@@ -1,0 +1,151 @@
+"""Model and engine configuration.
+
+Mirrors the capabilities of the reference (sail-sg/LongSpec) model stack
+(`longspec/test/llama.py`, `longspec/test/qwen2.py`) with a single unified
+config: the reference's Llama and Qwen2 rewrites differ only in attention
+bias and defaults, so one dataclass covers both families.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of a Llama/Qwen2-family decoder-only transformer."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    # Qwen2 uses attention bias on q/k/v; Llama does not
+    # (reference: test/llama.py:79-82, test/qwen2.py).
+    attention_bias: bool = False
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 16384
+    # pad/eos used by engines and collators.
+    pad_token_id: int = 0
+    eos_token_id: int = 2
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    @property
+    def num_kv_groups(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class DraftConfig:
+    """GLIDE draft layer config (reference: test/llama_glide.py:23-72, 388-468).
+
+    The draft is one decoder layer with sliding-window self-attention plus a
+    cross-attention that reads the target model's last-layer KV cache. Its
+    q/k/v projections always carry bias (reference `llama_glide.py:49-51`).
+    """
+
+    window: int = 512  # sliding-window size (reference flash window_size=(512,-1))
+    anchors: int = 0   # attention-sink anchor tokens always visible (0 = parity)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Speculative decoding engine configuration."""
+
+    # Token tree: nodes per level (excluding the root). Reference default
+    # `inference_long-bench.py:76`.
+    tree_shape: Tuple[int, ...] = (4, 16, 16, 16, 16)
+    # Chain speculation depth (reference `--gamma`, default 4).
+    gamma: int = 4
+    temperature: float = 0.0
+    # Attention implementation: "dense" (oracle), "chunked" (pure-JAX flash,
+    # runs anywhere), "pallas" (TPU kernels).
+    attn_impl: str = "chunked"
+    # MagicDec/StreamingLLM baseline cache geometry (reference
+    # llama.py:255-262): 32 sink tokens + `magicdec_window` recent tokens.
+    magicdec_sink: int = 32
+    magicdec_window: int = 1024
+
+    @property
+    def tree_size(self) -> int:
+        """Total tree nodes including root."""
+        return 1 + sum(self.tree_shape)
+
+    @property
+    def tree_depth(self) -> int:
+        return len(self.tree_shape)
+
+    @property
+    def level_offsets(self) -> Tuple[int, ...]:
+        """Start index of each level in the flattened tree; level 0 = root at 0.
+
+        Matches the reference's `acc_num_per_step` prefix sums
+        (`llama_glide.py:932-934`).
+        """
+        offs = [0, 1]
+        for c in self.tree_shape:
+            offs.append(offs[-1] + c)
+        return tuple(offs)
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference model registry (inference_long-bench.py:41-62)
+# ---------------------------------------------------------------------------
+
+def llama2_7b(max_pos: int = 16384) -> ModelConfig:
+    """Vicuna-7b-v1.5-16k / LongChat-7b-v1.5-32k geometry."""
+    return ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_layers=32, num_heads=32, num_kv_heads=32,
+        rope_theta=10000.0, max_position_embeddings=max_pos,
+    )
+
+
+def llama2_13b(max_pos: int = 16384) -> ModelConfig:
+    return ModelConfig(
+        vocab_size=32000, hidden_size=5120, intermediate_size=13824,
+        num_layers=40, num_heads=40, num_kv_heads=40,
+        rope_theta=10000.0, max_position_embeddings=max_pos,
+    )
+
+
+def llama3_8b(max_pos: int = 262144) -> ModelConfig:
+    """Llama-3-8B-Instruct-262k geometry (GQA)."""
+    return ModelConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8,
+        rope_theta=283461213.0, max_position_embeddings=max_pos,
+        eos_token_id=128009,
+    )
+
+
+def qwen2_32b(max_pos: int = 32768) -> ModelConfig:
+    """QwQ-32B-Preview geometry."""
+    return ModelConfig(
+        vocab_size=152064, hidden_size=5120, intermediate_size=27648,
+        num_layers=64, num_heads=40, num_kv_heads=8,
+        rope_theta=1000000.0, max_position_embeddings=max_pos,
+        attention_bias=True, eos_token_id=151645,
+    )
+
+
+def tiny_test(vocab_size: int = 503, num_layers: int = 2) -> ModelConfig:
+    """Small config for unit tests (CPU-runnable)."""
+    return ModelConfig(
+        vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+        num_layers=num_layers, num_heads=4, num_kv_heads=2, head_dim=16,
+        rope_theta=10000.0, max_position_embeddings=2048,
+        eos_token_id=1,
+    )
+
+
+DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}

@@ -1,0 +1,149 @@
+"""HF checkpoint <-> longspec_tpu parameter pytree conversion.
+
+Covers the target-model registry of the reference
+(`longspec/test/inference_long-bench.py:41-62`): Llama-family (Vicuna,
+LongChat, Llama-3) and Qwen2-family (QwQ) plus the GLIDE draft checkpoints
+(`sail/longspec-*`). Works from an in-memory HF torch model or a safetensors
+directory; no network access required.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+
+def config_from_hf(hf_cfg) -> ModelConfig:
+    """Build ModelConfig from a transformers PretrainedConfig (Llama/Qwen2)."""
+    get = lambda k, d=None: getattr(hf_cfg, k, d)
+    is_qwen = "qwen2" in str(get("model_type", "")).lower()
+    return ModelConfig(
+        vocab_size=hf_cfg.vocab_size,
+        hidden_size=hf_cfg.hidden_size,
+        intermediate_size=hf_cfg.intermediate_size,
+        num_layers=hf_cfg.num_hidden_layers,
+        num_heads=hf_cfg.num_attention_heads,
+        num_kv_heads=get("num_key_value_heads", hf_cfg.num_attention_heads),
+        head_dim=get("head_dim", None),
+        rms_norm_eps=get("rms_norm_eps", 1e-5),
+        rope_theta=get("rope_theta", 10000.0),
+        attention_bias=bool(get("attention_bias", False)) or is_qwen,
+        tie_word_embeddings=bool(get("tie_word_embeddings", False)),
+        max_position_embeddings=get("max_position_embeddings", 16384),
+        pad_token_id=get("pad_token_id", 0) or 0,
+        eos_token_id=get("eos_token_id", 2),
+    )
+
+
+def _np(t):
+    import torch
+    if isinstance(t, torch.Tensor):
+        return t.detach().to(torch.float32).cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def params_from_hf_state_dict(sd: Dict, cfg: ModelConfig, dtype=jnp.float32,
+                              prefix: str = "model.") -> Dict:
+    """Convert an HF Llama/Qwen2 state dict to the stacked param pytree.
+
+    HF nn.Linear stores [out, in]; we store [in, out] (transpose). Per-layer
+    tensors are stacked on a leading L axis for lax.scan.
+    """
+    L = cfg.num_layers
+
+    def get(name):
+        return _np(sd[name])
+
+    def stack(fmt, transpose=False):
+        ws = [get(fmt.format(i)) for i in range(L)]
+        a = np.stack([w.T if transpose else w for w in ws], axis=0)
+        return jnp.asarray(a, dtype)
+
+    layers = {
+        "input_norm": stack(prefix + "layers.{}.input_layernorm.weight"),
+        "wq": stack(prefix + "layers.{}.self_attn.q_proj.weight", True),
+        "wk": stack(prefix + "layers.{}.self_attn.k_proj.weight", True),
+        "wv": stack(prefix + "layers.{}.self_attn.v_proj.weight", True),
+        "wo": stack(prefix + "layers.{}.self_attn.o_proj.weight", True),
+        "post_norm": stack(prefix + "layers.{}.post_attention_layernorm.weight"),
+        "w_gate": stack(prefix + "layers.{}.mlp.gate_proj.weight", True),
+        "w_up": stack(prefix + "layers.{}.mlp.up_proj.weight", True),
+        "w_down": stack(prefix + "layers.{}.mlp.down_proj.weight", True),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = stack(prefix + "layers.{}.self_attn.q_proj.bias")
+        layers["bk"] = stack(prefix + "layers.{}.self_attn.k_proj.bias")
+        layers["bv"] = stack(prefix + "layers.{}.self_attn.v_proj.bias")
+    params = {
+        "embed": jnp.asarray(get(prefix + "embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(get(prefix + "norm.weight"), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+    return params
+
+
+def draft_params_from_hf_state_dict(sd: Dict, cfg: ModelConfig,
+                                    dtype=jnp.float32) -> Dict:
+    """Convert a GLIDE draft-layer checkpoint (reference
+    `draft_model_weights.pth` layout, one `LlamaGlideDecoderLayer`:
+    self_attn/cross_attn GlideAttention with q/k/v bias + mlp + 3 norms,
+    `llama_glide.py:388-423`)."""
+    def t(name):
+        return jnp.asarray(_np(sd[name]).T, dtype)
+
+    def v(name):
+        return jnp.asarray(_np(sd[name]), dtype)
+
+    def attn(p):
+        return {
+            "wq": t(f"{p}.q_proj.weight"), "bq": v(f"{p}.q_proj.bias"),
+            "wk": t(f"{p}.k_proj.weight"), "bk": v(f"{p}.k_proj.bias"),
+            "wv": t(f"{p}.v_proj.weight"), "bv": v(f"{p}.v_proj.bias"),
+            "wo": t(f"{p}.o_proj.weight"),
+        }
+
+    return {
+        "input_norm": v("input_layernorm.weight"),
+        "sa": attn("self_attn"),
+        "post_sa_norm": v("post_self_attention_layernorm.weight"),
+        "ca": attn("cross_attn"),
+        "post_ca_norm": v("post_cross_attention_layernorm.weight"),
+        "w_gate": t("mlp.gate_proj.weight"),
+        "w_up": t("mlp.up_proj.weight"),
+        "w_down": t("mlp.down_proj.weight"),
+    }
+
+
+def load_safetensors_dir(path: str) -> Dict:
+    """Load all *.safetensors files in a checkpoint directory into one dict."""
+    from safetensors import safe_open
+    sd = {}
+    for fn in sorted(os.listdir(path)):
+        if fn.endswith(".safetensors"):
+            with safe_open(os.path.join(path, fn), framework="np") as f:
+                for k in f.keys():
+                    sd[k] = f.get_tensor(k)
+    return sd
+
+
+def load_hf_checkpoint(path: str, dtype=jnp.bfloat16):
+    """Load (ModelConfig, params) from a local HF checkpoint directory."""
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+
+    class _C:  # minimal attr view
+        pass
+
+    hf = _C()
+    for k, val in raw.items():
+        setattr(hf, k, val)
+    cfg = config_from_hf(hf)
+    sd = load_safetensors_dir(path)
+    return cfg, params_from_hf_state_dict(sd, cfg, dtype)

@@ -1,0 +1,197 @@
+"""GLIDE draft layer: sliding-window self-attention + cross-attention over the
+target model's last-layer KV cache + MLP, with three RMSNorms.
+
+TPU-native re-design of the reference draft
+(`longspec/test/llama_glide.py:23-468`): one functional layer whose state is
+an explicit draft KV cache, driven by the same three shapes of step the
+target model uses (prefill / append / train). The draft shares the target's
+embedding and LM head, so it adds only its own single layer of parameters
+and a single-layer KV cache.
+
+Key semantics carried over from the reference:
+  * self-attention uses a left sliding window of `window` tokens
+    (flash ``window_size=(512, -1)``: `llama_glide.py:199, 227, 262, 300`);
+  * q/k/v projections carry bias (`llama_glide.py:49-51`);
+  * cross-attention queries are RoPE'd and attend the target's last-layer
+    *post-RoPE* KV rows with "kvcache-causal" visibility: the i-th of T new
+    draft tokens sees target rows [0, llm_len - T_valid + i + 1)
+    (flash_attn_with_kvcache causal semantics, `llama_glide.py:261-265`);
+    during tree expansion visibility is simply [0, llm_len)
+    (causal=False, `llama_glide.py:296-297`);
+  * training-time cross-attention truncates the teacher KV by a random
+    1..4-token pad so the draft learns to run 1-4 tokens ahead of the
+    target cache (`llama_glide.py:105-145`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, DraftConfig
+from ..ops import attention as att
+from ..ops.rope import rope_cos_sin, apply_rope
+from .llama import rms_norm, write_cache_rows, sliced_prefix_attention
+
+
+def init_draft_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
+    hd = cfg.head_dim_
+    D, I, H, Hkv = cfg.hidden_size, cfg.intermediate_size, cfg.num_heads, cfg.num_kv_heads
+    ks = jax.random.split(rng, 11)
+
+    def w(key, *shape):
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    def attn(k0, k1, k2, k3):
+        return {
+            "wq": w(k0, D, H * hd), "bq": jnp.zeros((H * hd,), dtype),
+            "wk": w(k1, D, Hkv * hd), "bk": jnp.zeros((Hkv * hd,), dtype),
+            "wv": w(k2, D, Hkv * hd), "bv": jnp.zeros((Hkv * hd,), dtype),
+            "wo": w(k3, H * hd, D),
+        }
+
+    return {
+        "input_norm": jnp.ones((D,), dtype),
+        "sa": attn(ks[0], ks[1], ks[2], ks[3]),
+        "post_sa_norm": jnp.ones((D,), dtype),
+        "ca": attn(ks[4], ks[5], ks[6], ks[7]),
+        "post_ca_norm": jnp.ones((D,), dtype),
+        "w_gate": w(ks[8], D, I),
+        "w_up": w(ks[9], D, I),
+        "w_down": w(ks[10], I, D),
+    }
+
+
+def _proj_qkv(x, ap, cfg: ModelConfig):
+    b, t, _ = x.shape
+    hd = cfg.head_dim_
+    q = (jnp.dot(x, ap["wq"]) + ap["bq"]).reshape(b, t, cfg.num_heads, hd)
+    k = (jnp.dot(x, ap["wk"]) + ap["bk"]).reshape(b, t, cfg.num_kv_heads, hd)
+    v = (jnp.dot(x, ap["wv"]) + ap["bv"]).reshape(b, t, cfg.num_kv_heads, hd)
+    return q, k, v
+
+
+def _mlp(x, p):
+    return jnp.dot(jax.nn.silu(jnp.dot(x, p["w_gate"])) * jnp.dot(x, p["w_up"]),
+                   p["w_down"])
+
+
+def glide_forward(
+    draft_params,
+    cfg: ModelConfig,
+    dcfg: DraftConfig,
+    hidden: jnp.ndarray,            # [B, T, Dm] embedded input tokens
+    positions: jnp.ndarray,         # [B, T] absolute positions
+    d_kv_k: jnp.ndarray,            # [B, Sd, Hkv, D] draft self-attn KV cache
+    d_kv_v: jnp.ndarray,
+    d_cache_lens: jnp.ndarray,      # [B] valid draft KV rows
+    llm_k: jnp.ndarray,             # [B, S, Hkv, D] target last-layer KV (roped)
+    llm_v: jnp.ndarray,
+    llm_k_hi: jnp.ndarray,          # [B] or [B, T] per-query CA upper bound
+    suffix_mask: Optional[jnp.ndarray] = None,  # [B, T, T] (None => causal)
+    attn_impl: str = "dense",
+    write_at: Optional[jnp.ndarray] = None,
+):
+    """One GLIDE layer step over T new tokens; returns (hidden', d_kv_k', d_kv_v').
+
+    Self-attention = sliding-window prefix attention over the draft cache
+    merged (via LSE) with suffix attention under `suffix_mask`; cross-
+    attention = prefix attention over the target KV bounded by `llm_k_hi`.
+    New draft KV rows are written at [write_at, write_at+T) (default:
+    d_cache_lens).
+    """
+    b, t, _ = hidden.shape
+    hd = cfg.head_dim_
+    if write_at is None:
+        write_at = d_cache_lens
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    if suffix_mask is None:
+        cm = att.causal_mask(t, t)
+        if dcfg.window is not None:
+            qi = jnp.arange(t)[:, None]
+            kj = jnp.arange(t)[None, :]
+            cm = cm & (kj >= qi - dcfg.window)
+        suffix_mask = jnp.broadcast_to(cm[None], (b, t, t))
+
+    # --- sliding-window self-attention ---
+    x = rms_norm(hidden, draft_params["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    d_kv_k = write_cache_rows(d_kv_k, k, write_at)
+    d_kv_v = write_cache_rows(d_kv_v, v, write_at)
+    o_p, lse_p = sliced_prefix_attention(q, d_kv_k, d_kv_v, d_cache_lens,
+                                         positions, dcfg.window, dcfg.anchors,
+                                         attn_impl)
+    o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)
+    o = att.merge_attention(o_p, lse_p, o_s, lse_s)
+    o = jnp.dot(o.astype(hidden.dtype).reshape(b, t, -1), draft_params["sa"]["wo"])
+    hidden = hidden + o
+
+    # --- cross-attention over target last-layer KV ---
+    x = rms_norm(hidden, draft_params["post_sa_norm"], cfg.rms_norm_eps)
+    qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
+    qc = apply_rope(qc, cos, sin)
+    o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi, positions,
+                                     None, 0, attn_impl)
+    o_c = jnp.dot(o_c.astype(hidden.dtype).reshape(b, t, -1),
+                  draft_params["ca"]["wo"])
+    hidden = hidden + o_c
+
+    # --- MLP ---
+    x = rms_norm(hidden, draft_params["post_ca_norm"], cfg.rms_norm_eps)
+    hidden = hidden + _mlp(x, draft_params)
+    return hidden, d_kv_k, d_kv_v
+
+
+def glide_train_forward(
+    draft_params,
+    cfg: ModelConfig,
+    dcfg: DraftConfig,
+    hidden: jnp.ndarray,      # [B, S, Dm] embedded tokens
+    positions: jnp.ndarray,   # [B, S] (anchor-offset randomized by caller)
+    llm_k: jnp.ndarray,       # [B, S, Hkv, D] teacher last-layer roped KV
+    llm_v: jnp.ndarray,
+    pad_size: jnp.ndarray,    # scalar int32 in [1, 4]
+    lengths: Optional[jnp.ndarray] = None,
+):
+    """Training forward (ref `llama_glide.py:181-204` + `:105-145`).
+
+    Self-attention: causal with left window. Cross-attention: query i attends
+    teacher rows [0, i - pad_size] — i.e. the teacher cache truncated by
+    `pad_size` tokens, with the first `pad_size` outputs zeroed, exactly the
+    reference's pad-shift construction (`llama_glide.py:123-140`).
+    """
+    b, s, _ = hidden.shape
+    hd = cfg.head_dim_
+    if lengths is None:
+        lengths = jnp.full((b,), s, jnp.int32)
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+
+    # self-attention (window + causal + per-row lengths)
+    x = rms_norm(hidden, draft_params["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    sa_mask = att.prefill_mask(s, lengths, window=dcfg.window, anchors=dcfg.anchors)
+    o, _ = att.attend_masked(q, k, v, sa_mask)
+    o = jnp.dot(o.astype(hidden.dtype).reshape(b, s, -1), draft_params["sa"]["wo"])
+    hidden = hidden + o
+
+    # cross-attention with pad-truncated teacher KV
+    x = rms_norm(hidden, draft_params["post_sa_norm"], cfg.rms_norm_eps)
+    qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
+    qc = apply_rope(qc, cos, sin)
+    qi = jnp.arange(s)[:, None]
+    kj = jnp.arange(s)[None, :]
+    ca_mask = (kj <= qi - pad_size)[None] & (kj[None] < lengths[:, None, None])
+    o_c, _ = att.attend_masked(qc, llm_k, llm_v, ca_mask)
+    # rows i < pad_size have no visible key -> attend_masked returns 0 there,
+    # matching the reference's zero left-padding of the CA output.
+    o_c = jnp.dot(o_c.astype(hidden.dtype).reshape(b, s, -1),
+                  draft_params["ca"]["wo"])
+    hidden = hidden + o_c
+
+    x = rms_norm(hidden, draft_params["post_ca_norm"], cfg.rms_norm_eps)
+    return hidden + _mlp(x, draft_params)

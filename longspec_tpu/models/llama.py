@@ -1,0 +1,356 @@
+"""TPU-native Llama/Qwen2-family target model.
+
+Functional re-design of the reference target models
+(`longspec/test/llama.py`, `longspec/test/qwen2.py`): instead of modules that
+mutate `self.K_Cache` (`llama.py:86-96, 219-222`), the model is a pure
+function over a parameter pytree and an explicit KV-cache array, scanned over
+stacked layers so XLA compiles one layer body.
+
+Modes (replacing the reference's exec_type dispatch, `llama.py:98-130`):
+  * ``prefill``  — causal self-attention over a fresh prompt, writes
+                   cache[0:S] (ref ``prefill``, `llama.py:199-226`).
+  * ``append``   — T new tokens attend cache[0:k_hi] (flash-decode part) plus
+                   a caller-supplied T×T suffix mask (causal for chain decode,
+                   tree mask for tree verification), merged exactly via LSE —
+                   the hybrid attention of ref ``decoding``/``tree_decoding``
+                   (`llama.py:304-421`) unified into one path.
+  * ``train``    — causal, no cache, optionally returns last-layer roped K/V
+                   for GLIDE training (ref ``glide_training``,
+                   `llama.py:266-302`).
+
+Params layout: weights are [in, out] so application is ``x @ w``; per-layer
+tensors are stacked on a leading L axis for ``lax.scan``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import attention as att
+from ..ops.rope import rope_cos_sin, apply_rope
+
+
+# ---------------------------------------------------------------------------
+# Parameter construction
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
+    """Random-normal init (std=0.02) with the exact pytree layout used
+    throughout; shapes match HF checkpoints after transposition."""
+    hd = cfg.head_dim_
+    keys = jax.random.split(rng, 12)
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, Hkv = cfg.num_heads, cfg.num_kv_heads
+
+    def w(key, *shape):
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layers = {
+        "input_norm": jnp.ones((L, D), dtype),
+        "wq": w(keys[0], L, D, H * hd),
+        "wk": w(keys[1], L, D, Hkv * hd),
+        "wv": w(keys[2], L, D, Hkv * hd),
+        "wo": w(keys[3], L, H * hd, D),
+        "post_norm": jnp.ones((L, D), dtype),
+        "w_gate": w(keys[4], L, D, I),
+        "w_up": w(keys[5], L, D, I),
+        "w_down": w(keys[6], L, I, D),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = jnp.zeros((L, H * hd), dtype)
+        layers["bk"] = jnp.zeros((L, Hkv * hd), dtype)
+        layers["bv"] = jnp.zeros((L, Hkv * hd), dtype)
+    params = {
+        "embed": w(keys[7], cfg.vocab_size, D),
+        "layers": layers,
+        "final_norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = w(keys[8], D, cfg.vocab_size)
+    return params
+
+
+def lm_head_weight(params):
+    return params["lm_head"] if "lm_head" in params else params["embed"].T
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed.astype(x.dtype) * w.astype(x.dtype))
+
+
+def mlp(x, lp):
+    g = jnp.dot(x, lp["w_gate"])
+    u = jnp.dot(x, lp["w_up"])
+    return jnp.dot(jax.nn.silu(g) * u, lp["w_down"])
+
+
+def qkv(x, lp, cfg: ModelConfig):
+    b, t, _ = x.shape
+    hd = cfg.head_dim_
+    q = jnp.dot(x, lp["wq"])
+    k = jnp.dot(x, lp["wk"])
+    v = jnp.dot(x, lp["wv"])
+    if cfg.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    return (q.reshape(b, t, cfg.num_heads, hd),
+            k.reshape(b, t, cfg.num_kv_heads, hd),
+            v.reshape(b, t, cfg.num_kv_heads, hd))
+
+
+def write_cache_rows(cache: jnp.ndarray, new: jnp.ndarray, starts: jnp.ndarray):
+    """Write new[b] (T rows) into cache[b] at row offset starts[b].
+
+    cache: [B, S, Hkv, D]; new: [B, T, Hkv, D]; starts: [B] int32.
+    Implemented as a vmapped dynamic_update_slice (no scatter — XLA lowers
+    this to an efficient in-place DUS on TPU when the buffer is donated).
+    """
+    def one(c, n, s):
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (s, 0, 0))
+    return jax.vmap(one)(cache, new, starts)
+
+
+def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
+                            attn_impl: str, chunk: int = 1024):
+    """Attention of q over cache rows [0, k_hi) with optional sliding window.
+
+    k_hi: [B] or [B, Tq] per-query exclusive upper bound (supports the
+    kvcache-causal semantics of flash_attn_with_kvcache used by the draft's
+    cross-attention re-encode, ref `llama_glide.py:261-265`).
+    Returns (o fp32, lse fp32).
+    """
+    b, tq = q.shape[:2]
+    if k_hi.ndim == 1:
+        k_hi2 = jnp.broadcast_to(k_hi[:, None], (b, tq))
+    else:
+        k_hi2 = k_hi
+    if attn_impl == "dense":
+        s_max = k_cache.shape[1]
+        kj = jnp.arange(s_max)[None, None, :]
+        mask = kj < k_hi2[:, :, None]
+        if window is not None:
+            vis = kj >= q_pos[:, :, None] - window
+            if anchors > 0:
+                vis = vis | (kj < anchors)
+            mask = mask & vis
+        return att.attend_masked(q, k_cache, v_cache, mask)
+    elif attn_impl == "chunked":
+        return _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos,
+                                          window, anchors, chunk)
+    elif attn_impl == "pallas":
+        from ..ops.pallas_decode import flash_decode
+        return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window, anchors)
+    raise ValueError(f"unknown attn_impl {attn_impl}")
+
+
+def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
+                               anchors, chunk):
+    """Chunked online-softmax prefix attention with per-query upper bounds."""
+    b, tq, h, d = q.shape
+    s = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    groups = h // hkv
+    qf = q.astype(jnp.float32) * (d ** -0.5)
+    n_chunks = max(1, -(-s // chunk))
+    pad = n_chunks * chunk - s
+    if pad:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    kc = k_cache.reshape(b, n_chunks, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
+    vc = v_cache.reshape(b, n_chunks, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
+
+    def body(carry, inp):
+        m_run, l_run, acc = carry
+        kch, vch, c_idx = inp
+        kj = c_idx * chunk + jnp.arange(chunk)
+        mask = kj[None, None, :] < k_hi2[:, :, None]  # [B,Tq,chunk]
+        if window is not None:
+            vis = kj[None, None, :] >= q_pos[:, :, None] - window
+            if anchors > 0:
+                vis = vis | (kj[None, None, :] < anchors)
+            mask = mask & vis
+        kr = att._repeat_kv(kch, groups).astype(jnp.float32)
+        vr = att._repeat_kv(vch, groups).astype(jnp.float32)
+        sco = jnp.einsum("bqhd,bkhd->bhqk", qf, kr)
+        sco = jnp.where(mask[:, None], sco, att.NEG_INF)
+        m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
+        p = jnp.where(mask[:, None], jnp.exp(sco - m_new[..., None]), 0.0)
+        alpha = jnp.exp(m_run - m_new)
+        l_new = l_run * alpha + jnp.sum(p, axis=-1)
+        acc_new = acc * alpha[..., None] + jnp.einsum("bhqk,bkhd->bhqd", p, vr)
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((b, h, tq), att.NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, tq), jnp.float32)
+    a0 = jnp.zeros((b, h, tq, d), jnp.float32)
+    (m_f, l_f, acc_f), _ = jax.lax.scan(body, (m0, l0, a0),
+                                        (kc, vc, jnp.arange(n_chunks)))
+    valid = l_f > 0
+    o = jnp.where(valid[..., None], acc_f / jnp.maximum(l_f, 1e-38)[..., None], 0.0)
+    lse = jnp.where(valid, jnp.where(m_f > att.NEG_INF / 2, m_f, 0.0)
+                    + jnp.log(jnp.maximum(l_f, 1e-38)), -jnp.inf)
+    return o.transpose(0, 2, 1, 3), lse.transpose(0, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def embed(params, tokens):
+    return jnp.take(params["embed"], tokens, axis=0)
+
+
+def _final(params, cfg, h):
+    return rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
+
+
+def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
+                    lengths: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                    attn_impl: str = "dense", positions: Optional[jnp.ndarray] = None):
+    """Prompt prefill. tokens: [B, S] right-padded; lengths: [B].
+
+    kv caches: [L, B, S_max, Hkv, D]. Writes rows [0:S). Returns
+    (hidden [B, S, Dm], kv_k, kv_v).
+    """
+    b, s = tokens.shape
+    hd = cfg.head_dim_
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    mask = att.prefill_mask(s, lengths)
+    h = embed(params, tokens)
+
+    def layer(h, lp_kv):
+        lp, (ck, cv) = lp_kv
+        x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = qkv(x, lp, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if attn_impl == "pallas":
+            from ..ops.pallas_prefill import flash_prefill
+            o, _ = flash_prefill(q, k, v, lengths)
+        else:
+            o, _ = att.attend_masked(q, k, v, mask)
+        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
+        h = h + o
+        x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+        h = h + mlp(x, lp)
+        ck = ck.at[:, :s].set(k.astype(ck.dtype))
+        cv = cv.at[:, :s].set(v.astype(cv.dtype))
+        return h, (ck, cv)
+
+    h, (kv_k, kv_v) = jax.lax.scan(layer, h, (params["layers"], (kv_k, kv_v)))
+    return _final(params, cfg, h), kv_k, kv_v
+
+
+def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
+                   positions: jnp.ndarray, suffix_mask: jnp.ndarray,
+                   cache_lens: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
+                   attn_impl: str = "dense", write_at: Optional[jnp.ndarray] = None):
+    """Hybrid-attention step over T new tokens.
+
+    tokens: [B, T]; positions: [B, T] absolute; suffix_mask: [B, T, T]
+    (True = attend; causal for chain decode, tree mask for tree verify —
+    must include the diagonal); cache_lens: [B] — prefix rows [0, cache_lens)
+    are attended. New KV rows are written at
+    [write_at, write_at+T) (default write_at = cache_lens).
+
+    The per-layer attention is prefix flash-decode (with LSE) + dense masked
+    suffix attention (with LSE), merged exactly — the reference's hybrid tree
+    attention (`llama.py:357-421`) generalized to every decode shape.
+    """
+    b, t = tokens.shape
+    hd = cfg.head_dim_
+    if write_at is None:
+        write_at = cache_lens
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    h = embed(params, tokens)
+
+    def layer(h, lp_kv):
+        lp, (ck, cv) = lp_kv
+        x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = qkv(x, lp, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ck = write_cache_rows(ck, k, write_at)
+        cv = write_cache_rows(cv, v, write_at)
+        o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens, positions,
+                                             None, 0, attn_impl)
+        o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)
+        o = att.merge_attention(o_p, lse_p, o_s, lse_s)
+        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
+        h = h + o
+        x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+        h = h + mlp(x, lp)
+        return h, (ck, cv)
+
+    h, (kv_k, kv_v) = jax.lax.scan(layer, h, (params["layers"], (kv_k, kv_v)))
+    return _final(params, cfg, h), kv_k, kv_v
+
+
+def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
+                  positions: Optional[jnp.ndarray] = None,
+                  return_last_kv: bool = False, attn_impl: str = "dense",
+                  lengths: Optional[jnp.ndarray] = None, remat: bool = True):
+    """Training-mode causal forward (no cache).
+
+    With ``return_last_kv`` also returns the last layer's post-RoPE (K, V)
+    for GLIDE draft training (ref ``glide_training``, `llama.py:295-302` —
+    the cache stores roped keys, so the draft cross-attends roped keys).
+    """
+    b, s = tokens.shape
+    hd = cfg.head_dim_
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+    if lengths is None:
+        lengths = jnp.full((b,), s, jnp.int32)
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    mask = att.prefill_mask(s, lengths)
+    h = embed(params, tokens)
+
+    def layer(h, lp):
+        x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = qkv(x, lp, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if attn_impl == "pallas":
+            from ..ops.pallas_prefill import flash_prefill
+            o, _ = flash_prefill(q, k, v, lengths)
+        else:
+            o, _ = att.attend_masked(q, k, v, mask)
+        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
+        h = h + o
+        x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+        h = h + mlp(x, lp)
+        return h, (k, v)
+
+    if remat:
+        layer = jax.checkpoint(layer)
+    h, (ks, vs) = jax.lax.scan(layer, h, params["layers"])
+    out = _final(params, cfg, h)
+    if return_last_kv:
+        return out, (ks[-1], vs[-1])
+    return out
+
+
+def logits_at(params, hidden_rows: jnp.ndarray) -> jnp.ndarray:
+    """Project selected hidden rows to fp32 logits."""
+    w = lm_head_weight(params)
+    return jnp.dot(hidden_rows.astype(jnp.float32), w.astype(jnp.float32))
+
+
+def alloc_kv_cache(cfg: ModelConfig, batch: int, s_max: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, batch, s_max, cfg.num_kv_heads, cfg.head_dim_)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -1,0 +1,113 @@
+"""Target model correctness vs HuggingFace transformers (fp32, CPU).
+
+Gate for SURVEY.md §7.2 step 1: prefill logits must match HF within
+tolerance on the same random weights, for both Llama (no bias) and Qwen2
+(qkv bias, GQA) geometries.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from longspec_tpu.config import ModelConfig
+from longspec_tpu.models import llama as M
+from longspec_tpu.models.convert import config_from_hf, params_from_hf_state_dict
+
+
+def make_hf_llama(seed=0):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(seed)
+    cfg = LlamaConfig(
+        vocab_size=311, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=False, tie_word_embeddings=False,
+    )
+    model = LlamaForCausalLM(cfg).eval().to(torch.float32)
+    return cfg, model
+
+
+def make_hf_qwen2(seed=1):
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+    torch.manual_seed(seed)
+    cfg = Qwen2Config(
+        vocab_size=277, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rms_norm_eps=1e-6, rope_theta=100000.0,
+        tie_word_embeddings=False,
+    )
+    model = Qwen2ForCausalLM(cfg).eval().to(torch.float32)
+    return cfg, model
+
+
+@pytest.mark.parametrize("family", ["llama", "qwen2"])
+def test_prefill_logits_match_hf(family):
+    import torch
+    hf_cfg, hf_model = make_hf_llama() if family == "llama" else make_hf_qwen2()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.attention_bias == (family == "qwen2")
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg, jnp.float32)
+
+    rng = np.random.default_rng(0)
+    B, S = 2, 33
+    tokens = rng.integers(0, cfg.vocab_size, (B, S))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(tokens)).logits.numpy()
+
+    kv_k, kv_v = M.alloc_kv_cache(cfg, B, 64, jnp.float32)
+    lengths = jnp.full((B,), S, jnp.int32)
+    hidden, kv_k, kv_v = M.forward_prefill(params, cfg, jnp.asarray(tokens),
+                                           lengths, kv_k, kv_v)
+    logits = M.logits_at(params, hidden)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-4, rtol=2e-3)
+
+
+def test_append_matches_prefill():
+    """Decoding T tokens via forward_append == prefilling the whole sequence."""
+    hf_cfg, hf_model = make_hf_llama(seed=3)
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg, jnp.float32)
+
+    rng = np.random.default_rng(1)
+    B, S, T = 2, 21, 5
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S + T)))
+
+    kv_k, kv_v = M.alloc_kv_cache(cfg, B, 64, jnp.float32)
+    full_h, _, _ = M.forward_prefill(params, cfg, tokens,
+                                     jnp.full((B,), S + T, jnp.int32), kv_k, kv_v)
+
+    kv_k, kv_v = M.alloc_kv_cache(cfg, B, 64, jnp.float32)
+    _, kv_k, kv_v = M.forward_prefill(params, cfg, tokens[:, :S],
+                                      jnp.full((B,), S, jnp.int32), kv_k, kv_v)
+    cache_lens = jnp.full((B,), S, jnp.int32)
+    positions = S + jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    from longspec_tpu.ops.attention import causal_mask
+    smask = jnp.broadcast_to(causal_mask(T, T)[None], (B, T, T))
+    for impl in ("dense", "chunked"):
+        h2, _, _ = M.forward_append(params, cfg, tokens[:, S:], positions, smask,
+                                    cache_lens, kv_k, kv_v, attn_impl=impl)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(full_h[:, S:]),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_ragged_prefill_lengths():
+    """Per-row prompt lengths: padded rows must not affect valid rows."""
+    cfg = ModelConfig(vocab_size=127, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2, head_dim=16)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    S = 12
+    toks_a = jnp.asarray(rng.integers(0, 127, (1, S)))
+    # batch: row0 full len, row1 shorter prompt padded with junk
+    short = 7
+    toks_b = jnp.concatenate([toks_a, toks_a], axis=0)
+    kv_k, kv_v = M.alloc_kv_cache(cfg, 2, 32, jnp.float32)
+    h, _, _ = M.forward_prefill(params, cfg, toks_b,
+                                jnp.asarray([S, short], jnp.int32), kv_k, kv_v)
+    kv_k1, kv_v1 = M.alloc_kv_cache(cfg, 1, 32, jnp.float32)
+    h_short, _, _ = M.forward_prefill(params, cfg, toks_a[:, :short],
+                                      jnp.asarray([short], jnp.int32), kv_k1, kv_v1)
+    np.testing.assert_allclose(np.asarray(h[1, :short]), np.asarray(h_short[0]),
+                               atol=1e-5, rtol=1e-4)
