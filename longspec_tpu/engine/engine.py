@@ -1,0 +1,520 @@
+"""Speculative decoding engine: vanilla / chain / tree generation loops.
+
+TPU-native re-design of the reference engines
+(`longspec/test/llama_glide.py:552-1245`): every generation loop is a single
+jitted `lax.while_loop` over a static-shape carry — the reference's host
+Python decode loop, per-batch tree-mask loops (`llama_glide.py:1069-1084`)
+and `.item()` bookkeeping all become masked vectorized ops on device.
+
+Design deltas vs the reference (SURVEY.md §7.1):
+  * Explicit functional state threaded through the loop (no module-attribute
+    KV caches).
+  * Tree verification feeds ONLY the token tree to the target; accepted rows
+    are committed for ALL layers from the collected per-layer tree KV,
+    removing the reference's "re-forward accepted tokens + move last layer
+    only" workaround (`llama_glide.py:1078-1090, 1166-1173`).
+  * The draft re-encodes the accepted tokens each round (as the reference's
+    micro-step 0 does) with a static [B, gamma+1] buffer and per-row valid
+    lengths.
+  * Beam expansion does per-node top-k then top-k over candidates —
+    mathematically identical to the reference's flat (nodes x vocab) top-k
+    (`llama_glide.py:1064-1067`) but sharded-vocab friendly.
+
+Metrics match the reference harness: `count` = accepted draft tokens,
+`num` = target rounds x batch; mean_accept = (count+num)/num and
+tok/s = (count+num)/elapsed (`inference_long-bench.py:257-260`).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, DraftConfig, EngineConfig
+from ..models import llama as M
+from ..models import glide as G
+from ..ops import attention as att
+
+
+class DecodeState(NamedTuple):
+    """Functional decode state (SURVEY.md §7.1.1)."""
+    kv_k: jnp.ndarray          # [L, B, S, Hkv, D] target KV cache (roped keys)
+    kv_v: jnp.ndarray
+    d_kv_k: jnp.ndarray        # [B, Sd, Hkv, D] draft self-attn KV cache
+    d_kv_v: jnp.ndarray
+    cache_lens: jnp.ndarray    # [B] valid target rows
+    d_cache_lens: jnp.ndarray  # [B] valid draft rows
+
+
+class GenCarry(NamedTuple):
+    state: DecodeState
+    acc_tokens: jnp.ndarray   # [B, A] tokens awaiting draft re-encode
+    acc_len: jnp.ndarray      # [B] valid count in acc_tokens (>=1)
+    output_ids: jnp.ndarray   # [B, out_buf]
+    out_len: jnp.ndarray      # [B] emitted count
+    done: jnp.ndarray         # [B] bool
+    count: jnp.ndarray        # scalar int32: accepted draft tokens
+    num: jnp.ndarray          # scalar int32: target rounds x live rows
+    rounds: jnp.ndarray       # scalar int32
+    rng: jnp.ndarray
+
+
+def _sample(logits_f32, rng, temperature: float):
+    if temperature == 0.0:
+        return jnp.argmax(logits_f32, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(rng, logits_f32 / temperature, axis=-1).astype(jnp.int32)
+
+
+def _masked_row_write(buf, new, starts, done):
+    """Write new[b] at buf[b, starts[b]:...] unless done[b]."""
+    def one(o, t, s, d):
+        upd = jax.lax.dynamic_update_slice(o, t.astype(o.dtype), (s,))
+        return jnp.where(d, o, upd)
+    return jax.vmap(one)(buf, new, starts, done)
+
+
+class SpecEngine:
+    """Holds parameters + jit-compiled generation loops for one model pair."""
+
+    def __init__(self, params, draft_params, cfg: ModelConfig,
+                 dcfg: DraftConfig = DraftConfig(),
+                 ecfg: EngineConfig = EngineConfig()):
+        self.params = params
+        self.draft_params = draft_params
+        self.cfg = cfg
+        self.dcfg = dcfg
+        self.ecfg = ecfg
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # State allocation & prefill
+    # ------------------------------------------------------------------
+
+    def init_state(self, batch: int, s_max: int, dtype=jnp.bfloat16) -> DecodeState:
+        kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch, s_max, dtype)
+        hd = self.cfg.head_dim_
+        d_shape = (batch, s_max, self.cfg.num_kv_heads, hd)
+        return DecodeState(
+            kv_k=kv_k, kv_v=kv_v,
+            d_kv_k=jnp.zeros(d_shape, dtype), d_kv_v=jnp.zeros(d_shape, dtype),
+            cache_lens=jnp.zeros((batch,), jnp.int32),
+            d_cache_lens=jnp.zeros((batch,), jnp.int32),
+        )
+
+    def _prefill_impl(self, tokens, lengths, state: DecodeState, rng):
+        """Target + draft prompt prefill; returns (state, first_token, logits0)."""
+        cfg, dcfg = self.cfg, self.dcfg
+        b, s = tokens.shape
+        h, kv_k, kv_v = M.forward_prefill(self.params, cfg, tokens, lengths,
+                                          state.kv_k, state.kv_v,
+                                          attn_impl=self.ecfg.attn_impl)
+        last_h = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0]
+        logits0 = M.logits_at(self.params, last_h)
+        t0 = _sample(logits0, rng, self.ecfg.temperature)
+
+        positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
+        emb = M.embed(self.params, tokens)
+        ca_hi = positions + 1  # lag-0 prefill CA (ref llama_glide.py:263-265)
+        _, d_kv_k, d_kv_v = G.glide_forward(
+            self.draft_params, cfg, dcfg, emb, positions,
+            state.d_kv_k, state.d_kv_v, state.d_cache_lens,
+            kv_k[-1], kv_v[-1], ca_hi,
+            attn_impl=self.ecfg.attn_impl,
+            write_at=jnp.zeros((b,), jnp.int32))
+        new_state = DecodeState(kv_k, kv_v, d_kv_k, d_kv_v,
+                                cache_lens=lengths.astype(jnp.int32),
+                                d_cache_lens=lengths.astype(jnp.int32))
+        return new_state, t0, logits0
+
+    # ------------------------------------------------------------------
+    # Vanilla autoregressive generation (ref llama_glide.py:552-585)
+    # ------------------------------------------------------------------
+
+    def _vanilla_loop(self, state: DecodeState, t0, max_gen_len: int, rng):
+        cfg = self.cfg
+        b = t0.shape[0]
+        out_buf = max_gen_len + 1
+        output_ids = jnp.full((b, out_buf), cfg.eos_token_id, jnp.int32)
+        output_ids = output_ids.at[:, 0].set(t0)
+        smask = jnp.ones((b, 1, 1), bool)
+
+        def cond(c):
+            return (~jnp.all(c[4])) & (c[3][0] < max_gen_len)
+
+        def body(c):
+            st, cur, output_ids, i, done, num, rng = c
+            rng, k1 = jax.random.split(rng)
+            pos = st.cache_lens[:, None]
+            h, kv_k, kv_v = M.forward_append(
+                self.params, cfg, cur[:, None], pos, smask, st.cache_lens,
+                st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl)
+            logits = M.logits_at(self.params, h[:, 0])
+            nxt = _sample(logits, k1, self.ecfg.temperature)
+            nxt = jnp.where(done, cfg.eos_token_id, nxt)
+            cache_lens = st.cache_lens + jnp.where(done, 0, 1)
+            output_ids = output_ids.at[:, i[0] + 1].set(nxt)
+            num = num + jnp.sum(~done)
+            done = done | (nxt == cfg.eos_token_id)
+            st = st._replace(kv_k=kv_k, kv_v=kv_v, cache_lens=cache_lens)
+            return (st, nxt, output_ids, i + 1, done, num, rng)
+
+        done0 = (t0 == cfg.eos_token_id)
+        init = (state, t0, output_ids, jnp.zeros((1,), jnp.int32), done0,
+                jnp.zeros((), jnp.int32), rng)
+        st, _, output_ids, _, _, num, _ = jax.lax.while_loop(cond, body, init)
+        return st, output_ids, num
+
+    # ------------------------------------------------------------------
+    # Chain speculation (ref spec_generate, llama_glide.py:621-774)
+    # ------------------------------------------------------------------
+
+    def _chain_round(self, carry: GenCarry):
+        cfg, dcfg, ecfg = self.cfg, self.dcfg, self.ecfg
+        gamma = ecfg.gamma
+        A = gamma + 1
+        b = carry.acc_tokens.shape[0]
+        st = carry.state
+        rng, k_draft, k_ver = jax.random.split(carry.rng, 3)
+
+        # ---- 1. draft re-encode of accepted tokens (micro-step 0) ----
+        pos = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
+        emb = M.embed(self.params, carry.acc_tokens)
+        ca_hi = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
+        h, d_kv_k, d_kv_v = G.glide_forward(
+            self.draft_params, cfg, dcfg, emb, pos,
+            st.d_kv_k, st.d_kv_v, st.d_cache_lens,
+            st.kv_k[-1], st.kv_v[-1], ca_hi,
+            attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
+        d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
+        bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
+        logits = M.logits_at(self.params, bonus_h)  # [B, V] fp32
+
+        # ---- 2. gamma-1 more single-token draft steps ----
+        spec = jnp.zeros((b, A), jnp.int32)
+        bonus = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
+        spec = spec.at[:, 0].set(bonus)
+        spec_logits = jnp.zeros((b, A, cfg.vocab_size), jnp.float32)
+        d1 = jnp.argmax(logits, -1).astype(jnp.int32)
+        spec = spec.at[:, 1].set(d1)
+        spec_logits = spec_logits.at[:, 1].set(logits)
+        smask1 = jnp.ones((b, 1, 1), bool)
+        cur = d1
+        dkk, dkv = d_kv_k, d_kv_v
+        dcl = d_cache_lens
+        for s_i in range(1, gamma):
+            posi = dcl[:, None]
+            embi = M.embed(self.params, cur[:, None])
+            hi, dkk, dkv = G.glide_forward(
+                self.draft_params, cfg, dcfg, embi, posi, dkk, dkv, dcl,
+                st.kv_k[-1], st.kv_v[-1], st.cache_lens[:, None],
+                suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl)
+            dcl = dcl + jnp.where(carry.done, 0, 1)
+            li = M.logits_at(self.params, hi[:, 0])
+            cur = jnp.argmax(li, -1).astype(jnp.int32)
+            spec = spec.at[:, s_i + 1].set(cur)
+            spec_logits = spec_logits.at[:, s_i + 1].set(li)
+        # NOTE: draft cache rows for spec tokens 1..gamma-1 were written at
+        # dcl..; they are junk for the next round and get overwritten by the
+        # next re-encode (reference behaves identically).
+        d_cache_lens_out = d_cache_lens  # only accepted re-encode advances
+
+        # ---- 3. target verify of [bonus, d1..dgamma] ----
+        pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
+        cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
+        hv, kv_k, kv_v = M.forward_append(
+            self.params, cfg, spec, pos_t, cmask, st.cache_lens,
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl)
+        ver_logits = M.logits_at(self.params, hv)  # [B, A, V] fp32
+        tgt_out = jnp.argmax(ver_logits, -1).astype(jnp.int32)
+
+        if ecfg.temperature == 0.0:
+            ok = (tgt_out[:, :-1] == spec[:, 1:])
+            verification = jnp.cumprod(ok.astype(jnp.int32), axis=-1)
+            correct_len = jnp.sum(verification, -1) + 1  # [B] in [1, A]
+            emit = tgt_out
+        else:
+            # Reference chain T>0 semantics (llama_glide.py:715-735):
+            # accept with min(1, p/q) on the greedy draft tokens; rejected
+            # positions replaced by a sample from p.
+            q_probs = jax.nn.softmax(spec_logits[:, 1:] / ecfg.temperature, -1)
+            p_probs = jax.nn.softmax(ver_logits[:, :-1] / ecfg.temperature, -1)
+            gidx = spec[:, 1:, None]
+            q_tok = jnp.take_along_axis(q_probs, gidx, -1)[..., 0]
+            p_tok = jnp.take_along_axis(p_probs, gidx, -1)[..., 0]
+            eps = 1e-9
+            alpha = jnp.clip((p_tok + eps) / (q_tok + eps), 0.0, 1.0)
+            rng, k_acc, k_res = jax.random.split(rng, 3)
+            accept = jax.random.uniform(k_acc, alpha.shape) < alpha
+            resample = jax.random.categorical(
+                k_res, jnp.log(jnp.maximum(p_probs, 1e-38)), axis=-1).astype(jnp.int32)
+            ver_tokens = jnp.where(accept, spec[:, 1:], resample)
+            # final bonus: target sample at the last position
+            rng, k_b = jax.random.split(rng)
+            last = _sample(ver_logits[:, -1], k_b, ecfg.temperature)
+            emit = jnp.concatenate([ver_tokens, last[:, None]], axis=1)
+            verification = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
+            correct_len = jnp.sum(verification, -1) + 1
+
+        adv = jnp.where(carry.done, 0, correct_len)
+        # emitted tokens = emit[:, :correct_len] (target outputs incl. bonus)
+        acc_tokens_new = emit  # [B, A]; valid prefix = correct_len
+        cache_lens = st.cache_lens + adv
+
+        output_ids = _masked_row_write(carry.output_ids, emit, carry.out_len,
+                                       carry.done)
+        out_len = carry.out_len + adv
+        kj = jnp.arange(A)[None, :]
+        has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
+        out_buf = carry.output_ids.shape[1]
+        done = carry.done | has_eos | (out_len + A >= out_buf)
+        count = carry.count + jnp.sum(jnp.where(carry.done, 0, adv - 1))
+        num = carry.num + jnp.sum(~carry.done)
+        acc_len = jnp.where(done, 1, correct_len)
+
+        st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens_out)
+        return GenCarry(st, acc_tokens_new, acc_len, output_ids, out_len, done,
+                        count, num, carry.rounds + 1, rng)
+
+    # ------------------------------------------------------------------
+    # Tree speculation (ref tree_spec_generate, llama_glide.py:915-1126)
+    # ------------------------------------------------------------------
+
+    def _tree_round(self, carry: GenCarry):
+        cfg, dcfg, ecfg = self.cfg, self.dcfg, self.ecfg
+        shape = ecfg.tree_shape
+        offs = ecfg.level_offsets      # e.g. (0, 1, 5, 21, 37, 53, 69+... )
+        N = ecfg.tree_size             # nodes incl. root
+        gamma = ecfg.tree_depth
+        A = gamma + 1                  # max accepted path length
+        b = carry.acc_tokens.shape[0]
+        st = carry.state
+        hd = cfg.head_dim_
+        rng = carry.rng
+
+        # ---- 1. draft re-encode of accepted tokens ----
+        pos = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
+        emb = M.embed(self.params, carry.acc_tokens)
+        ca_hi = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
+        h, d_kv_k, d_kv_v = G.glide_forward(
+            self.draft_params, cfg, dcfg, emb, pos,
+            st.d_kv_k, st.d_kv_v, st.d_cache_lens,
+            st.kv_k[-1], st.kv_v[-1], ca_hi,
+            attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
+        d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
+        root_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
+        root_logp = jax.nn.log_softmax(M.logits_at(self.params, root_h), axis=-1)
+
+        # ---- 2. tree expansion (beam rule) ----
+        root_tok = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
+        tree_tokens = jnp.zeros((b, N), jnp.int32).at[:, 0].set(root_tok)
+        father = jnp.zeros((b, N), jnp.int32)
+        tmask = jnp.zeros((b, N, N), bool).at[:, :, 0].set(True)
+        hist_logp = jnp.zeros((b, N), jnp.float32)
+        need_q = ecfg.temperature > 0.0
+        spec_logp = (jnp.zeros((b, N, cfg.vocab_size), jnp.float32)
+                     if need_q else None)
+        if need_q:
+            spec_logp = spec_logp.at[:, 0].set(root_logp)
+
+        # level 1: top-k of root distribution
+        c1 = shape[0]
+        logp1, ids1 = jax.lax.top_k(root_logp, c1)
+        tree_tokens = jax.lax.dynamic_update_slice(tree_tokens, ids1.astype(jnp.int32), (0, 1))
+        hist_logp = jax.lax.dynamic_update_slice(hist_logp, logp1, (0, 1))
+        diag_idx = jnp.arange(1, 1 + c1)
+        tmask = tmask.at[:, diag_idx, diag_idx].set(True)
+
+        # draft-side tree KV buffer: root + all nodes
+        root_row = d_cache_lens - 1  # draft cache row of the root token
+        def gather_row(cache, r):
+            return jnp.take_along_axis(cache, r[:, None, None, None], axis=1)
+        tk = jnp.zeros((b, N, cfg.num_kv_heads, hd), d_kv_k.dtype)
+        tv = jnp.zeros_like(tk)
+        tk = tk.at[:, :1].set(gather_row(d_kv_k, root_row))
+        tv = tv.at[:, :1].set(gather_row(d_kv_v, root_row))
+
+        for lvl in range(1, gamma):
+            lo, hi = offs[lvl], offs[lvl + 1]
+            c_l, c_next = hi - lo, shape[lvl]
+            toks_l = jax.lax.dynamic_slice(tree_tokens, (0, lo), (b, c_l))
+            pos_l = jnp.broadcast_to((root_row + lvl)[:, None], (b, c_l))
+            emb_l = M.embed(self.params, toks_l)
+            sfx_mask = jax.lax.dynamic_slice(tmask, (0, lo, 0), (b, c_l, N))
+            h_l, tk, tv = G.glide_forward(
+                self.draft_params, cfg, dcfg, emb_l, pos_l,
+                d_kv_k, d_kv_v, root_row,  # prefix excludes root (it's in tk)
+                st.kv_k[-1], st.kv_v[-1],
+                jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
+                suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
+                suffix_kv=(tk, tv), suffix_write_offset=lo)
+            logp_l = jax.nn.log_softmax(M.logits_at(self.params, h_l), axis=-1)
+            if need_q:
+                spec_logp = jax.lax.dynamic_update_slice(spec_logp, logp_l, (0, lo, 0))
+            cum = hist_logp[:, lo:hi, None] + logp_l
+            # per-node top-k then flat top-k (== flat nodes x vocab top-k)
+            v_top, i_top = jax.lax.top_k(cum, c_next)        # [B, c_l, c_next]
+            v_flat = v_top.reshape(b, c_l * c_next)
+            i_flat = i_top.reshape(b, c_l * c_next)
+            sel_v, sel = jax.lax.top_k(v_flat, c_next)        # [B, c_next]
+            father_l = (sel // c_next).astype(jnp.int32) + lo
+            pred = jnp.take_along_axis(i_flat, sel, axis=1).astype(jnp.int32)
+            nlo = hi
+            tree_tokens = jax.lax.dynamic_update_slice(tree_tokens, pred, (0, nlo))
+            father = jax.lax.dynamic_update_slice(father, father_l, (0, nlo))
+            hist_logp = jax.lax.dynamic_update_slice(hist_logp, sel_v, (0, nlo))
+            # new rows = father row + own diagonal
+            frows = jnp.take_along_axis(tmask, father_l[:, :, None], axis=1)
+            didx = jnp.arange(nlo, nlo + c_next)
+            frows = frows.at[:, jnp.arange(c_next), didx].set(True)
+            tmask = jax.lax.dynamic_update_slice(tmask, frows, (0, nlo, 0))
+
+        depth = jnp.sum(tmask, axis=-1).astype(jnp.int32) - 1  # [B, N]
+
+        # ---- 3. target verification forward over the tree ----
+        pos_t = st.cache_lens[:, None] + depth
+        hv, _, _, new_k, new_v = M.forward_append(
+            self.params, cfg, tree_tokens, pos_t, tmask, st.cache_lens,
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True)
+        tgt_logits = M.logits_at(self.params, hv)  # [B, N, V] fp32
+
+        # ---- 4. accept ----
+        if ecfg.temperature == 0.0:
+            tgt_pred = jnp.argmax(tgt_logits, -1).astype(jnp.int32)
+            ok = jnp.take_along_axis(tgt_pred, father, axis=1) == tree_tokens
+            ok = ok.at[:, 0].set(True)
+            n_ok = jnp.sum(tmask & ok[:, None, :], axis=-1)
+            valid = n_ok == (depth + 1)
+            best = jnp.argmax(valid * jnp.arange(N)[None, :], axis=-1)  # [B]
+            acc_num = jnp.take_along_axis(depth, best[:, None], 1)[:, 0] + 1
+            path_mask = jnp.take_along_axis(tmask, best[:, None, None], axis=1)[:, 0]
+            order_key = jnp.where(path_mask, jnp.arange(N)[None, :], N + 1)
+            path_idx = jnp.argsort(order_key, axis=-1)[:, :A]  # [B, A]
+            path_idx_c = jnp.minimum(path_idx, N - 1)
+            emit = jnp.take_along_axis(tgt_pred, path_idx_c, axis=1)  # [B, A]
+        else:
+            from .verify import verify_stochastic
+            rng, k_v = jax.random.split(rng)
+            emit, acc_num, path_idx_c = verify_stochastic(
+                tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
+                ecfg.temperature, k_v, ecfg)
+
+        # ---- 5. commit accepted KV rows for ALL layers ----
+        sel_k = jnp.take_along_axis(new_k, path_idx_c[None, :, :, None, None], axis=2)
+        sel_v = jnp.take_along_axis(new_v, path_idx_c[None, :, :, None, None], axis=2)
+        wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
+        kv_k = wr(st.kv_k, sel_k, st.cache_lens)
+        kv_v = wr(st.kv_v, sel_v, st.cache_lens)
+
+        adv = jnp.where(carry.done, 0, acc_num)
+        cache_lens = st.cache_lens + adv
+        output_ids = _masked_row_write(carry.output_ids, emit, carry.out_len,
+                                       carry.done)
+        out_len = carry.out_len + adv
+        kj = jnp.arange(A)[None, :]
+        has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
+        out_buf = carry.output_ids.shape[1]
+        done = carry.done | has_eos | (out_len + A >= out_buf)
+        count = carry.count + jnp.sum(jnp.where(carry.done, 0, adv - 1))
+        num = carry.num + jnp.sum(~carry.done)
+        acc_len = jnp.where(done, 1, acc_num)
+
+        st = DecodeState(kv_k, kv_v, d_kv_k, d_kv_v, cache_lens, d_cache_lens)
+        return GenCarry(st, emit, acc_len, output_ids, out_len, done,
+                        count, num, carry.rounds + 1, rng)
+
+    # ------------------------------------------------------------------
+    # Public generation APIs (timing excludes prefill, like the reference)
+    # ------------------------------------------------------------------
+
+    def _get_jit(self, name, fn, donate=()):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn, donate_argnums=donate,
+                                            static_argnums=())
+        return self._jit_cache[name]
+
+    def _spec_loop(self, round_fn, state, t0, max_gen_len: int, rng, a_max: int):
+        cfg = self.cfg
+        b = t0.shape[0]
+        out_buf = max_gen_len + a_max + 1
+        output_ids = jnp.full((b, out_buf), cfg.eos_token_id, jnp.int32)
+        output_ids = output_ids.at[:, 0].set(t0)
+        acc_tokens = jnp.zeros((b, a_max), jnp.int32).at[:, 0].set(t0)
+        carry = GenCarry(
+            state=state, acc_tokens=acc_tokens,
+            acc_len=jnp.ones((b,), jnp.int32),
+            output_ids=output_ids, out_len=jnp.ones((b,), jnp.int32),
+            done=(t0 == cfg.eos_token_id),
+            count=jnp.zeros((), jnp.int32), num=jnp.ones((), jnp.int32) * b,
+            rounds=jnp.zeros((), jnp.int32), rng=rng)
+
+        def cond(c):
+            return (~jnp.all(c.done)) & (c.rounds < max_gen_len)
+
+        return jax.lax.while_loop(cond, round_fn, carry)
+
+    def _run(self, method: str, input_ids, prompt_lens, max_gen_len: int,
+             seed: int = 0, state_dtype=jnp.bfloat16,
+             s_max: Optional[int] = None):
+        """Shared driver. Returns dict with output_ids, count, num, elapsed."""
+        cfg, ecfg = self.cfg, self.ecfg
+        input_ids = jnp.asarray(input_ids, jnp.int32)
+        b, s = input_ids.shape
+        prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+        if s_max is None:
+            s_max = s + max_gen_len + ecfg.tree_size + 8
+        state = self.init_state(b, s_max, state_dtype)
+        rng = jax.random.PRNGKey(seed)
+        rng, k_pre, k_gen = jax.random.split(rng, 3)
+
+        prefill = self._get_jit("prefill", self._prefill_impl)
+        state, t0, _ = prefill(input_ids, prompt_lens, state, k_pre)
+        jax.block_until_ready(t0)
+
+        if method == "vanilla":
+            loop = self._get_jit(
+                ("vanilla", max_gen_len),
+                functools.partial(self._vanilla_loop, max_gen_len=max_gen_len))
+            t_start = time.perf_counter()
+            _, output_ids, num = loop(state, t0, rng=k_gen)
+            jax.block_until_ready(output_ids)
+            elapsed = time.perf_counter() - t_start
+            n = int(num)
+            return dict(output_ids=np.asarray(output_ids), count=0, num=max(n, 1),
+                        elapsed=elapsed, new_tokens=n + b)
+        if method == "chain":
+            round_fn, a_max = self._chain_round, ecfg.gamma + 1
+        elif method == "tree":
+            round_fn, a_max = self._tree_round, ecfg.tree_depth + 1
+        else:
+            raise ValueError(f"unknown method {method}")
+        loop = self._get_jit(
+            (method, max_gen_len),
+            functools.partial(self._spec_loop, round_fn,
+                              max_gen_len=max_gen_len, a_max=a_max))
+        t_start = time.perf_counter()
+        carry = loop(state, t0, rng=k_gen)
+        jax.block_until_ready(carry.output_ids)
+        elapsed = time.perf_counter() - t_start
+        count, num = int(carry.count), int(carry.num)
+        # mask junk beyond each row's emitted length with eos
+        out_buf = carry.output_ids.shape[1]
+        output_ids = jnp.where(jnp.arange(out_buf)[None] < carry.out_len[:, None],
+                               carry.output_ids, cfg.eos_token_id)
+        return dict(output_ids=np.asarray(output_ids), count=count,
+                    num=num, elapsed=elapsed,
+                    new_tokens=int(jnp.sum(carry.out_len)))
+
+    def vanilla_generate(self, input_ids, prompt_lens, max_gen_len=64, seed=0,
+                         **kw):
+        return self._run("vanilla", input_ids, prompt_lens, max_gen_len, seed, **kw)
+
+    def spec_generate(self, input_ids, prompt_lens, max_gen_len=64, seed=0, **kw):
+        return self._run("chain", input_ids, prompt_lens, max_gen_len, seed, **kw)
+
+    def tree_spec_generate(self, input_ids, prompt_lens, max_gen_len=64, seed=0,
+                           **kw):
+        return self._run("tree", input_ids, prompt_lens, max_gen_len, seed, **kw)

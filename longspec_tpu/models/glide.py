@@ -92,14 +92,26 @@ def glide_forward(
     suffix_mask: Optional[jnp.ndarray] = None,  # [B, T, T] (None => causal)
     attn_impl: str = "dense",
     write_at: Optional[jnp.ndarray] = None,
+    suffix_kv: Optional[tuple] = None,          # (tk, tv): [B, Ns, Hkv, D]
+    suffix_write_offset: int = 0,
 ):
-    """One GLIDE layer step over T new tokens; returns (hidden', d_kv_k', d_kv_v').
+    """One GLIDE layer step over T new tokens.
 
     Self-attention = sliding-window prefix attention over the draft cache
     merged (via LSE) with suffix attention under `suffix_mask`; cross-
     attention = prefix attention over the target KV bounded by `llm_k_hi`.
-    New draft KV rows are written at [write_at, write_at+T) (default:
-    d_cache_lens).
+
+    Without `suffix_kv`: new draft KV rows are written into the main cache at
+    [write_at, write_at+T) (default: d_cache_lens) and the suffix keys are
+    the T new tokens themselves. Returns (hidden', d_kv_k', d_kv_v').
+
+    With `suffix_kv=(tk, tv)`: the new roped K/V are written into that side
+    buffer at static offset `suffix_write_offset` and suffix attention runs
+    over the whole buffer under suffix_mask [B, T, Ns] — this is the tree-
+    expansion step, where queries of level l attend root + earlier-level
+    nodes held in the side buffer (the reference writes tree KV into the
+    main cache instead, `llama_glide.py:309-319`; a side buffer keeps the
+    draft cache strictly append-only). Returns (hidden', tk', tv').
     """
     b, t, _ = hidden.shape
     hd = cfg.head_dim_
@@ -119,12 +131,21 @@ def glide_forward(
     q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    d_kv_k = write_cache_rows(d_kv_k, k, write_at)
-    d_kv_v = write_cache_rows(d_kv_v, v, write_at)
+    if suffix_kv is None:
+        d_kv_k = write_cache_rows(d_kv_k, k, write_at)
+        d_kv_v = write_cache_rows(d_kv_v, v, write_at)
+        sk, sv = k, v
+    else:
+        tk, tv = suffix_kv
+        tk = jax.lax.dynamic_update_slice(tk, k.astype(tk.dtype),
+                                          (0, suffix_write_offset, 0, 0))
+        tv = jax.lax.dynamic_update_slice(tv, v.astype(tv.dtype),
+                                          (0, suffix_write_offset, 0, 0))
+        sk, sv = tk, tv
     o_p, lse_p = sliced_prefix_attention(q, d_kv_k, d_kv_v, d_cache_lens,
                                          positions, dcfg.window, dcfg.anchors,
                                          attn_impl)
-    o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)
+    o_s, lse_s = att.attend_masked(q, sk, sv, suffix_mask)
     o = att.merge_attention(o_p, lse_p, o_s, lse_s)
     o = jnp.dot(o.astype(hidden.dtype).reshape(b, t, -1), draft_params["sa"]["wo"])
     hidden = hidden + o
@@ -142,7 +163,9 @@ def glide_forward(
     # --- MLP ---
     x = rms_norm(hidden, draft_params["post_ca_norm"], cfg.rms_norm_eps)
     hidden = hidden + _mlp(x, draft_params)
-    return hidden, d_kv_k, d_kv_v
+    if suffix_kv is None:
+        return hidden, d_kv_k, d_kv_v
+    return hidden, tk, tv
 
 
 def glide_train_forward(

@@ -258,7 +258,8 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
 def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                    positions: jnp.ndarray, suffix_mask: jnp.ndarray,
                    cache_lens: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
-                   attn_impl: str = "dense", write_at: Optional[jnp.ndarray] = None):
+                   attn_impl: str = "dense", write_at: Optional[jnp.ndarray] = None,
+                   collect_kv: bool = False):
     """Hybrid-attention step over T new tokens.
 
     tokens: [B, T]; positions: [B, T] absolute; suffix_mask: [B, T, T]
@@ -270,6 +271,12 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     The per-layer attention is prefix flash-decode (with LSE) + dense masked
     suffix attention (with LSE), merged exactly — the reference's hybrid tree
     attention (`llama.py:357-421`) generalized to every decode shape.
+
+    With ``collect_kv=True`` the caches are NOT written; instead the new
+    per-layer roped (K, V) are returned stacked as [L, B, T, Hkv, D] so the
+    engine can commit only the *accepted* rows for all layers in one shot —
+    replacing the reference's "move only the last layer and re-forward
+    accepted tokens" host-side workaround (`llama_glide.py:1166-1173`).
     """
     b, t = tokens.shape
     hd = cfg.head_dim_
@@ -284,8 +291,9 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        ck = write_cache_rows(ck, k, write_at)
-        cv = write_cache_rows(cv, v, write_at)
+        if not collect_kv:
+            ck = write_cache_rows(ck, k, write_at)
+            cv = write_cache_rows(cv, v, write_at)
         o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens, positions,
                                              None, 0, attn_impl)
         o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)
@@ -294,10 +302,14 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
-        return h, (ck, cv)
+        return h, ((ck, cv), (k, v))
 
-    h, (kv_k, kv_v) = jax.lax.scan(layer, h, (params["layers"], (kv_k, kv_v)))
-    return _final(params, cfg, h), kv_k, kv_v
+    h, ((kv_k, kv_v), (new_k, new_v)) = jax.lax.scan(
+        layer, h, (params["layers"], (kv_k, kv_v)))
+    out = _final(params, cfg, h)
+    if collect_kv:
+        return out, kv_k, kv_v, new_k, new_v
+    return out, kv_k, kv_v
 
 
 def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
