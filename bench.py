@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""End-to-end LongSpec-TPU benchmark.
+
+Measures the headline metric of the reference (BASELINE.md): wall-clock
+speedup of tree speculative decoding over vanilla autoregressive decoding at
+long context, lossless at temperature 0, plus mean accepted tokens per round.
+
+Pipeline (all on-device; nothing fetched over the network):
+  1. Build a random-weight target model (fixed seed) and self-distill a GLIDE
+     draft on the target's own greedy continuations (cached to .bench_cache/).
+  2. Run vanilla decode and tree-spec decode on the same long prompts.
+  3. Verify token-exact equality (losslessness gate).
+  4. Print ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+vs_baseline compares against the reference's published best long-context
+speedup on its own hardware (2.67x, `index.html:289`).
+
+Usage: python bench.py [--smoke] [--ctx 8192] [--gen 256]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
+    ap.add_argument("--ctx", type=int, default=8192)
+    ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--distill-steps", type=int, default=400)
+    ap.add_argument("--attn", type=str, default="chunked")
+    ap.add_argument("--no-cache", action="store_true")
+    args = ap.parse_args()
+
+    if args.smoke:
+        os.environ["JAX_PLATFORMS"] = "cpu"  # override ambient axon setting
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.engine.engine import SpecEngine
+    from longspec_tpu.train.distill import generate_corpus, distill_draft
+
+    if args.smoke:
+        cfg = ModelConfig(vocab_size=503, hidden_size=128, intermediate_size=256,
+                          num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                          max_position_embeddings=4096, eos_token_id=1)
+        ctx, gen, distill_steps = 192, 48, 8
+        corpus_seqs, corpus_len = 4, 96
+        tree_shape, window = (2, 3, 3), 64
+    else:
+        # largest Llama-like geometry that fits one v5e chip with headroom:
+        # ~3.6B params bf16 (the reference benches 7B-13B on one 80GB A100;
+        # one 16GB v5e chip holds this + 16k KV)
+        cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
+                          intermediate_size=14336, num_layers=16,
+                          num_heads=32, num_kv_heads=8, head_dim=128,
+                          max_position_embeddings=32768, eos_token_id=2)
+        ctx, gen, distill_steps = args.ctx, args.gen, args.distill_steps
+        corpus_seqs, corpus_len = 24, 640
+        tree_shape, window = (4, 16, 16, 16, 16), 512
+
+    dcfg = DraftConfig(window=window)
+    ecfg = EngineConfig(tree_shape=tree_shape, gamma=4, temperature=0.0,
+                        attn_impl=args.attn)
+
+    t0 = time.time()
+    params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"{'smoke' if args.smoke else 'tpu'}_{cfg.num_layers}x{cfg.hidden_size}"
+    draft_path = os.path.join(cache_dir, f"draft_{tag}.npz")
+
+    if os.path.exists(draft_path) and not args.no_cache:
+        import pickle
+        with np.load(draft_path, allow_pickle=True) as z:
+            flat = {k: jnp.asarray(v).astype(jnp.bfloat16) for k, v in z.items()}
+        dparams = unflatten(flat)
+        sys.stderr.write("loaded cached draft\n")
+    else:
+        dparams0 = jax.jit(lambda k: G.init_draft_params(k, cfg, jnp.bfloat16))(
+            jax.random.PRNGKey(1))
+        eng0 = SpecEngine(params, dparams0, cfg, dcfg, ecfg)
+        sys.stderr.write("generating distillation corpus...\n")
+        corpus = generate_corpus(eng0, np.random.default_rng(0), corpus_seqs,
+                                 prompt_len=32, gen_len=corpus_len - 32,
+                                 batch=min(8, corpus_seqs))
+        sys.stderr.write(f"corpus {corpus.shape}; distilling draft...\n")
+        dparams, hist = distill_draft(params, cfg, dcfg, corpus,
+                                      steps=distill_steps,
+                                      batch=4 if not args.smoke else 2,
+                                      attn_impl=args.attn)
+        sys.stderr.write(f"distill loss: {hist[:2]} ... {hist[-2:]}\n")
+        flat = flatten(dparams)
+        np.savez(draft_path, **{k: np.asarray(v.astype(jnp.float32))
+                                for k, v in flat.items()})
+
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+
+    # long prompt: target-generated text (realistic decode-time distribution)
+    rng = np.random.default_rng(42)
+    b = args.batch
+    seed_len = 32
+    seed_prompt = rng.integers(2, cfg.vocab_size, (b, seed_len))
+    sys.stderr.write(f"building {ctx}-token prompt by generation...\n")
+    res = eng.vanilla_generate(seed_prompt, np.full((b,), seed_len, np.int32),
+                               max_gen_len=ctx - seed_len,
+                               s_max=ctx + gen + ecfg.tree_size + 16)
+    prompt = np.concatenate([seed_prompt, res["output_ids"][:, :ctx - seed_len]],
+                            axis=1)
+    lens = np.full((b,), ctx, np.int32)
+    s_max = ctx + gen + ecfg.tree_size + 16
+
+    sys.stderr.write("vanilla decode...\n")
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    van_tps = van["num"] / van["elapsed"]
+
+    sys.stderr.write("tree-spec decode...\n")
+    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    tree_tps = (tree["count"] + tree["num"]) / tree["elapsed"]
+    accept = (tree["count"] + tree["num"]) / tree["num"]
+
+    # losslessness gate
+    n_cmp = min(van["num"], tree["count"] + tree["num"], gen - 1)
+    lossless = bool(np.array_equal(van["output_ids"][:, :n_cmp],
+                                   tree["output_ids"][:, :n_cmp]))
+
+    speedup = tree_tps / van_tps
+    result = {
+        "metric": "tree_spec_speedup_vs_vanilla",
+        "value": round(float(speedup), 4),
+        "unit": "x",
+        "vs_baseline": round(float(speedup) / 2.67, 4),
+        "mean_accept": round(float(accept), 4),
+        "vanilla_tok_s": round(float(van_tps), 2),
+        "tree_tok_s": round(float(tree_tps), 2),
+        "lossless": lossless,
+        "ctx": ctx,
+        "gen": gen,
+        "model": f"llama-{cfg.num_layers}L-{cfg.hidden_size}h",
+        "setup_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(result))
+
+
+def flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+        if isinstance(v, dict):
+            out.update(flatten(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def unflatten(flat):
+    out = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -105,26 +105,24 @@ class SpecEngine:
             d_cache_lens=jnp.zeros((batch,), jnp.int32),
         )
 
-    def _prefill_impl(self, tokens, lengths, state: DecodeState, rng):
+    def _prefill_impl(self, params, draft_params, tokens, lengths,
+                      state: DecodeState, rng):
         """Target + draft prompt prefill; returns (state, first_token, logits0)."""
         cfg, dcfg = self.cfg, self.dcfg
         b, s = tokens.shape
-        h, kv_k, kv_v = M.forward_prefill(self.params, cfg, tokens, lengths,
+        h, kv_k, kv_v = M.forward_prefill(params, cfg, tokens, lengths,
                                           state.kv_k, state.kv_v,
                                           attn_impl=self.ecfg.attn_impl)
         last_h = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0]
-        logits0 = M.logits_at(self.params, last_h)
+        logits0 = M.logits_at(params, last_h)
         t0 = _sample(logits0, rng, self.ecfg.temperature)
 
         positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-        emb = M.embed(self.params, tokens)
-        ca_hi = positions + 1  # lag-0 prefill CA (ref llama_glide.py:263-265)
-        _, d_kv_k, d_kv_v = G.glide_forward(
-            self.draft_params, cfg, dcfg, emb, positions,
-            state.d_kv_k, state.d_kv_v, state.d_cache_lens,
-            kv_k[-1], kv_v[-1], ca_hi,
-            attn_impl=self.ecfg.attn_impl,
-            write_at=jnp.zeros((b,), jnp.int32))
+        emb = M.embed(params, tokens)
+        _, d_kv_k, d_kv_v = G.glide_prefill(
+            draft_params, cfg, dcfg, emb, positions, lengths,
+            state.d_kv_k, state.d_kv_v, kv_k[-1], kv_v[-1],
+            attn_impl=self.ecfg.attn_impl)
         new_state = DecodeState(kv_k, kv_v, d_kv_k, d_kv_v,
                                 cache_lens=lengths.astype(jnp.int32),
                                 d_cache_lens=lengths.astype(jnp.int32))
@@ -134,7 +132,7 @@ class SpecEngine:
     # Vanilla autoregressive generation (ref llama_glide.py:552-585)
     # ------------------------------------------------------------------
 
-    def _vanilla_loop(self, state: DecodeState, t0, max_gen_len: int, rng):
+    def _vanilla_loop(self, params, state: DecodeState, t0, max_gen_len: int, rng):
         cfg = self.cfg
         b = t0.shape[0]
         out_buf = max_gen_len + 1
@@ -150,9 +148,9 @@ class SpecEngine:
             rng, k1 = jax.random.split(rng)
             pos = st.cache_lens[:, None]
             h, kv_k, kv_v = M.forward_append(
-                self.params, cfg, cur[:, None], pos, smask, st.cache_lens,
+                params, cfg, cur[:, None], pos, smask, st.cache_lens,
                 st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl)
-            logits = M.logits_at(self.params, h[:, 0])
+            logits = M.logits_at(params, h[:, 0])
             nxt = _sample(logits, k1, self.ecfg.temperature)
             nxt = jnp.where(done, cfg.eos_token_id, nxt)
             cache_lens = st.cache_lens + jnp.where(done, 0, 1)
@@ -172,7 +170,7 @@ class SpecEngine:
     # Chain speculation (ref spec_generate, llama_glide.py:621-774)
     # ------------------------------------------------------------------
 
-    def _chain_round(self, carry: GenCarry):
+    def _chain_round(self, params, draft_params, carry: GenCarry):
         cfg, dcfg, ecfg = self.cfg, self.dcfg, self.ecfg
         gamma = ecfg.gamma
         A = gamma + 1
@@ -182,16 +180,16 @@ class SpecEngine:
 
         # ---- 1. draft re-encode of accepted tokens (micro-step 0) ----
         pos = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
-        emb = M.embed(self.params, carry.acc_tokens)
+        emb = M.embed(params, carry.acc_tokens)
         ca_hi = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
         h, d_kv_k, d_kv_v = G.glide_forward(
-            self.draft_params, cfg, dcfg, emb, pos,
+            draft_params, cfg, dcfg, emb, pos,
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
             st.kv_k[-1], st.kv_v[-1], ca_hi,
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
-        logits = M.logits_at(self.params, bonus_h)  # [B, V] fp32
+        logits = M.logits_at(params, bonus_h)  # [B, V] fp32
 
         # ---- 2. gamma-1 more single-token draft steps ----
         spec = jnp.zeros((b, A), jnp.int32)
@@ -207,13 +205,13 @@ class SpecEngine:
         dcl = d_cache_lens
         for s_i in range(1, gamma):
             posi = dcl[:, None]
-            embi = M.embed(self.params, cur[:, None])
+            embi = M.embed(params, cur[:, None])
             hi, dkk, dkv = G.glide_forward(
-                self.draft_params, cfg, dcfg, embi, posi, dkk, dkv, dcl,
+                draft_params, cfg, dcfg, embi, posi, dkk, dkv, dcl,
                 st.kv_k[-1], st.kv_v[-1], st.cache_lens[:, None],
                 suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl)
             dcl = dcl + jnp.where(carry.done, 0, 1)
-            li = M.logits_at(self.params, hi[:, 0])
+            li = M.logits_at(params, hi[:, 0])
             cur = jnp.argmax(li, -1).astype(jnp.int32)
             spec = spec.at[:, s_i + 1].set(cur)
             spec_logits = spec_logits.at[:, s_i + 1].set(li)
@@ -226,9 +224,9 @@ class SpecEngine:
         pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
         cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
         hv, kv_k, kv_v = M.forward_append(
-            self.params, cfg, spec, pos_t, cmask, st.cache_lens,
+            params, cfg, spec, pos_t, cmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl)
-        ver_logits = M.logits_at(self.params, hv)  # [B, A, V] fp32
+        ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
         tgt_out = jnp.argmax(ver_logits, -1).astype(jnp.int32)
 
         if ecfg.temperature == 0.0:
@@ -283,7 +281,7 @@ class SpecEngine:
     # Tree speculation (ref tree_spec_generate, llama_glide.py:915-1126)
     # ------------------------------------------------------------------
 
-    def _tree_round(self, carry: GenCarry):
+    def _tree_round(self, params, draft_params, carry: GenCarry):
         cfg, dcfg, ecfg = self.cfg, self.dcfg, self.ecfg
         shape = ecfg.tree_shape
         offs = ecfg.level_offsets      # e.g. (0, 1, 5, 21, 37, 53, 69+... )
@@ -297,16 +295,16 @@ class SpecEngine:
 
         # ---- 1. draft re-encode of accepted tokens ----
         pos = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
-        emb = M.embed(self.params, carry.acc_tokens)
+        emb = M.embed(params, carry.acc_tokens)
         ca_hi = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
         h, d_kv_k, d_kv_v = G.glide_forward(
-            self.draft_params, cfg, dcfg, emb, pos,
+            draft_params, cfg, dcfg, emb, pos,
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
             st.kv_k[-1], st.kv_v[-1], ca_hi,
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         root_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
-        root_logp = jax.nn.log_softmax(M.logits_at(self.params, root_h), axis=-1)
+        root_logp = jax.nn.log_softmax(M.logits_at(params, root_h), axis=-1)
 
         # ---- 2. tree expansion (beam rule) ----
         root_tok = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
@@ -342,16 +340,16 @@ class SpecEngine:
             c_l, c_next = hi - lo, shape[lvl]
             toks_l = jax.lax.dynamic_slice(tree_tokens, (0, lo), (b, c_l))
             pos_l = jnp.broadcast_to((root_row + lvl)[:, None], (b, c_l))
-            emb_l = M.embed(self.params, toks_l)
+            emb_l = M.embed(params, toks_l)
             sfx_mask = jax.lax.dynamic_slice(tmask, (0, lo, 0), (b, c_l, N))
             h_l, tk, tv = G.glide_forward(
-                self.draft_params, cfg, dcfg, emb_l, pos_l,
+                draft_params, cfg, dcfg, emb_l, pos_l,
                 d_kv_k, d_kv_v, root_row,  # prefix excludes root (it's in tk)
                 st.kv_k[-1], st.kv_v[-1],
                 jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
                 suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
                 suffix_kv=(tk, tv), suffix_write_offset=lo)
-            logp_l = jax.nn.log_softmax(M.logits_at(self.params, h_l), axis=-1)
+            logp_l = jax.nn.log_softmax(M.logits_at(params, h_l), axis=-1)
             if need_q:
                 spec_logp = jax.lax.dynamic_update_slice(spec_logp, logp_l, (0, lo, 0))
             cum = hist_logp[:, lo:hi, None] + logp_l
@@ -377,9 +375,9 @@ class SpecEngine:
         # ---- 3. target verification forward over the tree ----
         pos_t = st.cache_lens[:, None] + depth
         hv, _, _, new_k, new_v = M.forward_append(
-            self.params, cfg, tree_tokens, pos_t, tmask, st.cache_lens,
+            params, cfg, tree_tokens, pos_t, tmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True)
-        tgt_logits = M.logits_at(self.params, hv)  # [B, N, V] fp32
+        tgt_logits = M.logits_at(params, hv)  # [B, N, V] fp32
 
         # ---- 4. accept ----
         if ecfg.temperature == 0.0:
@@ -436,7 +434,8 @@ class SpecEngine:
                                             static_argnums=())
         return self._jit_cache[name]
 
-    def _spec_loop(self, round_fn, state, t0, max_gen_len: int, rng, a_max: int):
+    def _spec_loop(self, round_fn, params, draft_params, state, t0,
+                   max_gen_len: int, rng, a_max: int):
         cfg = self.cfg
         b = t0.shape[0]
         out_buf = max_gen_len + a_max + 1
@@ -454,7 +453,8 @@ class SpecEngine:
         def cond(c):
             return (~jnp.all(c.done)) & (c.rounds < max_gen_len)
 
-        return jax.lax.while_loop(cond, round_fn, carry)
+        return jax.lax.while_loop(
+            cond, lambda c: round_fn(params, draft_params, c), carry)
 
     def _run(self, method: str, input_ids, prompt_lens, max_gen_len: int,
              seed: int = 0, state_dtype=jnp.bfloat16,
@@ -471,18 +471,19 @@ class SpecEngine:
         rng, k_pre, k_gen = jax.random.split(rng, 3)
 
         prefill = self._get_jit("prefill", self._prefill_impl)
-        state, t0, _ = prefill(input_ids, prompt_lens, state, k_pre)
-        jax.block_until_ready(t0)
+        state, t0, _ = prefill(self.params, self.draft_params, input_ids,
+                               prompt_lens, state, k_pre)
+        np.asarray(t0)  # force full sync (block_until_ready can be a no-op
+        # through remote-TPU relays; a host readback is the only hard barrier)
 
         if method == "vanilla":
             loop = self._get_jit(
                 ("vanilla", max_gen_len),
                 functools.partial(self._vanilla_loop, max_gen_len=max_gen_len))
             t_start = time.perf_counter()
-            _, output_ids, num = loop(state, t0, rng=k_gen)
-            jax.block_until_ready(output_ids)
+            _, output_ids, num = loop(self.params, state, t0, rng=k_gen)
+            n = int(num)  # scalar readback = hard barrier
             elapsed = time.perf_counter() - t_start
-            n = int(num)
             return dict(output_ids=np.asarray(output_ids), count=0, num=max(n, 1),
                         elapsed=elapsed, new_tokens=n + b)
         if method == "chain":
@@ -496,10 +497,9 @@ class SpecEngine:
             functools.partial(self._spec_loop, round_fn,
                               max_gen_len=max_gen_len, a_max=a_max))
         t_start = time.perf_counter()
-        carry = loop(state, t0, rng=k_gen)
-        jax.block_until_ready(carry.output_ids)
+        carry = loop(self.params, self.draft_params, state, t0, rng=k_gen)
+        count, num = int(carry.count), int(carry.num)  # readback barrier
         elapsed = time.perf_counter() - t_start
-        count, num = int(carry.count), int(carry.num)
         # mask junk beyond each row's emitted length with eos
         out_buf = carry.output_ids.shape[1]
         output_ids = jnp.where(jnp.arange(out_buf)[None] < carry.out_len[:, None],

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..config import ModelConfig, DraftConfig
 from ..ops import attention as att
 from ..ops.rope import rope_cos_sin, apply_rope
-from .llama import rms_norm, write_cache_rows, sliced_prefix_attention
+from .llama import (rms_norm, write_cache_rows, sliced_prefix_attention,
+                    causal_self_attention)
 
 
 def init_draft_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
@@ -166,6 +167,48 @@ def glide_forward(
     if suffix_kv is None:
         return hidden, d_kv_k, d_kv_v
     return hidden, tk, tv
+
+
+def glide_prefill(
+    draft_params,
+    cfg: ModelConfig,
+    dcfg: DraftConfig,
+    hidden: jnp.ndarray,       # [B, S, Dm] embedded prompt
+    positions: jnp.ndarray,    # [B, S]
+    lengths: jnp.ndarray,      # [B] prompt lengths
+    d_kv_k: jnp.ndarray, d_kv_v: jnp.ndarray,
+    llm_k: jnp.ndarray, llm_v: jnp.ndarray,
+    attn_impl: str = "chunked",
+):
+    """Memory-safe draft prompt prefill (ref `llama_glide.py:206-233` +
+    ca_prefill `:263-265`): window-causal SA over the prompt, lag-0 causal CA
+    over the target's last-layer KV. Writes draft KV rows [0:S)."""
+    b, s, _ = hidden.shape
+    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
+
+    x = rms_norm(hidden, draft_params["input_norm"], cfg.rms_norm_eps)
+    q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    d_kv_k = d_kv_k.at[:, :s].set(k.astype(d_kv_k.dtype))
+    d_kv_v = d_kv_v.at[:, :s].set(v.astype(d_kv_v.dtype))
+    o, _ = causal_self_attention(q, k, v, lengths, dcfg.window, dcfg.anchors,
+                                 attn_impl)
+    hidden = hidden + jnp.dot(o.astype(hidden.dtype).reshape(b, s, -1),
+                              draft_params["sa"]["wo"])
+
+    x = rms_norm(hidden, draft_params["post_sa_norm"], cfg.rms_norm_eps)
+    qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
+    qc = apply_rope(qc, cos, sin)
+    # lag-0 causal CA over the target KV == causal self-attn masking with
+    # external keys (query i attends llm rows [0, i+1)); q-blocked for memory.
+    o_c, _ = causal_self_attention(qc, llm_k[:, :s], llm_v[:, :s], lengths,
+                                   None, 0, attn_impl)
+    hidden = hidden + jnp.dot(o_c.astype(hidden.dtype).reshape(b, s, -1),
+                              draft_params["ca"]["wo"])
+
+    x = rms_norm(hidden, draft_params["post_ca_norm"], cfg.rms_norm_eps)
+    return hidden + _mlp(x, draft_params), d_kv_k, d_kv_v
 
 
 def glide_train_forward(

@@ -122,6 +122,44 @@ def write_cache_rows(cache: jnp.ndarray, new: jnp.ndarray, starts: jnp.ndarray):
     return jax.vmap(one)(cache, new, starts)
 
 
+def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
+                          q_chunk: int = 512):
+    """Causal (optionally sliding-window) self-attention over a full sequence.
+
+    Memory-safe prefill: scans over query blocks, each attending keys
+    [0, q_pos+1) via the chunked online-softmax kernel — O(chunk^2) live
+    memory instead of the dense [S, S] score matrix. Semantics equal
+    flash_attn_func(causal=True, window_size=(window, -1)) over the first
+    `lengths[b]` tokens (reference `llama.py:218`, `llama_glide.py:199`).
+    """
+    b, s, h, d = q.shape
+    if attn_impl == "dense":
+        mask = att.prefill_mask(s, lengths, window=window, anchors=anchors)
+        return att.attend_masked(q, k, v, mask)
+    if attn_impl == "pallas":
+        from ..ops.pallas_prefill import flash_prefill
+        return flash_prefill(q, k, v, lengths, window=window, anchors=anchors)
+    n_blocks = -(-s // q_chunk)
+    pad = n_blocks * q_chunk - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    qb = q.reshape(b, n_blocks, q_chunk, h, d).transpose(1, 0, 2, 3, 4)
+
+    def body(_, inp):
+        qi, blk = inp
+        pos = blk * q_chunk + jnp.arange(q_chunk)[None, :]  # [1, q_chunk]
+        pos = jnp.broadcast_to(pos, (b, q_chunk))
+        k_hi = jnp.minimum(pos + 1, lengths[:, None])
+        o, lse = _attend_prefix_chunked_khi(qi, k, v, k_hi, pos, window,
+                                            anchors, chunk=1024)
+        return None, (o, lse)
+
+    _, (o, lse) = jax.lax.scan(body, None, (qb, jnp.arange(n_blocks)))
+    o = o.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * q_chunk, h, d)
+    lse = lse.transpose(1, 0, 2, 3).reshape(b, n_blocks * q_chunk, h)
+    return o[:, :s], lse[:, :s]
+
+
 def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
                             attn_impl: str, chunk: int = 1024):
     """Attention of q over cache rows [0, k_hi) with optional sliding window.
@@ -229,7 +267,6 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
-    mask = att.prefill_mask(s, lengths)
     h = embed(params, tokens)
 
     def layer(h, lp_kv):
@@ -238,11 +275,7 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if attn_impl == "pallas":
-            from ..ops.pallas_prefill import flash_prefill
-            o, _ = flash_prefill(q, k, v, lengths)
-        else:
-            o, _ = att.attend_masked(q, k, v, mask)
+        o, _ = causal_self_attention(q, k, v, lengths, None, 0, attn_impl)
         o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
@@ -329,7 +362,6 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
     if lengths is None:
         lengths = jnp.full((b,), s, jnp.int32)
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
-    mask = att.prefill_mask(s, lengths)
     h = embed(params, tokens)
 
     def layer(h, lp):
@@ -337,11 +369,7 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        if attn_impl == "pallas":
-            from ..ops.pallas_prefill import flash_prefill
-            o, _ = flash_prefill(q, k, v, lengths)
-        else:
-            o, _ = att.attend_masked(q, k, v, mask)
+        o, _ = causal_self_attention(q, k, v, lengths, None, 0, attn_impl)
         o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)

@@ -1,0 +1,140 @@
+"""GLIDE draft-layer training: loss, train step, and a simple training loop.
+
+TPU-native equivalent of the reference trainer stack
+(`longspec/train/trainer_base_ds_mul_fs_tp.py` + model forward
+`train/models/llama_glide.py:512-552`): the frozen target runs under
+stop-gradient with rematerialization, only the single draft layer gets
+gradients, data parallelism is a mesh axis (ZeRO-style optimizer-state
+sharding comes from sharding the optax state the same way as params), and
+the loss is the chunked fused CE (no [B,S,V] logits).
+
+Key training semantics carried over:
+  * anchor-offset position randomization for short sequences: sink in [0, 4],
+    positions[sink:] += random offset in [0, min(30000, max_len-1000)-len]
+    (ref `llama_glide.py:518-528`);
+  * cross-attention teacher-KV truncated by a random pad in [1, 4]
+    (ref `llama_glide.py:123-140`);
+  * labels with pad masked to ignore_index (ref `:530`);
+  * the target's own loss computed for logging only (ref `:531-540`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, DraftConfig
+from ..models import llama as M
+from ..models import glide as G
+from ..ops.fused_ce import fused_linear_ce
+
+
+def anchor_offset_positions(rng, batch: int, seq_len: int, max_len: int,
+                            apply: bool = True):
+    """Randomized position ids (ref `llama_glide.py:518-528`).
+
+    Returns [B, S] int32. When `apply` is False (long sequences), plain
+    arange. A single (sink, offset) pair is drawn per batch like the
+    reference (which randomizes per step, not per row).
+    """
+    pos = jnp.broadcast_to(jnp.arange(seq_len)[None], (batch, seq_len))
+    if not apply:
+        return pos
+    k1, k2 = jax.random.split(rng)
+    sink = jax.random.randint(k1, (), 0, 5)
+    hi = jnp.maximum(jnp.minimum(30000, max_len - 1000) - seq_len, 0)
+    offset = jax.random.randint(k2, (), 0, hi + 1)
+    return pos + jnp.where(jnp.arange(seq_len)[None] >= sink, offset, 0)
+
+
+def glide_training_loss(draft_params, target_params, cfg: ModelConfig,
+                        dcfg: DraftConfig, tokens, labels, positions,
+                        pad_size, compute_llm_loss: bool = False,
+                        attn_impl: str = "chunked"):
+    """Draft CE loss (and optional frozen-target loss for logging)."""
+    target_params = jax.lax.stop_gradient(target_params)
+    hidden_t, (llm_k, llm_v) = M.forward_train(
+        target_params, cfg, tokens, positions=positions, return_last_kv=True,
+        attn_impl=attn_impl)
+    llm_k = jax.lax.stop_gradient(llm_k)
+    llm_v = jax.lax.stop_gradient(llm_v)
+
+    emb = M.embed(target_params, tokens)
+    hidden_d = G.glide_train_forward(draft_params, cfg, dcfg, emb, positions,
+                                     llm_k, llm_v, pad_size)
+    w = M.lm_head_weight(target_params)
+    # shift: predict token t+1 from position t (ref compute_fused_loss,
+    # llama_glide.py:493-502)
+    loss = fused_linear_ce(hidden_d[:, :-1], w, labels[:, 1:])
+    if compute_llm_loss:
+        llm_loss = fused_linear_ce(jax.lax.stop_gradient(hidden_t[:, :-1]), w,
+                                   labels[:, 1:])
+        return loss, llm_loss
+    return loss, jnp.zeros((), jnp.float32)
+
+
+class TrainState(NamedTuple):
+    draft_params: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_optimizer(lr: float = 5e-4, warmup_steps: int = 100,
+                   total_steps: int = 10000, weight_decay: float = 0.01,
+                   grad_clip: float = 1.0, schedule: str = "cosine"):
+    """AdamW + warmup/cosine (ref optimizer factory
+    `train/general_util/training_utils.py:197-267` and DeepSpeed
+    WarmupDecayLR configs)."""
+    if schedule == "cosine":
+        sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup_steps,
+                                                   max(total_steps, warmup_steps + 1))
+    elif schedule == "linear":
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps),
+             optax.linear_schedule(lr, 0.0, max(total_steps - warmup_steps, 1))],
+            [warmup_steps])
+    else:
+        sched = lr
+    return optax.chain(optax.clip_by_global_norm(grad_clip),
+                       optax.adamw(sched, weight_decay=weight_decay,
+                                   b1=0.9, b2=0.95))
+
+
+def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
+                    max_len_for_offset: Optional[int] = None,
+                    anchor_offset: bool = True, compute_llm_loss: bool = False,
+                    attn_impl: str = "chunked"):
+    """Returns jitted step(state, target_params, tokens, labels, rng) ->
+    (state, metrics)."""
+    max_len = max_len_for_offset or cfg.max_position_embeddings
+
+    def step(state: TrainState, target_params, tokens, labels, rng):
+        b, s = tokens.shape
+        k_pos, k_pad = jax.random.split(jax.random.fold_in(rng, state.step))
+        positions = anchor_offset_positions(k_pos, b, s, max_len,
+                                            apply=anchor_offset)
+        pad_size = jax.random.randint(k_pad, (), 1, 5)
+
+        def loss_fn(dp):
+            return glide_training_loss(dp, target_params, cfg, dcfg, tokens,
+                                       labels, positions, pad_size,
+                                       compute_llm_loss, attn_impl)
+
+        (loss, llm_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.draft_params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.draft_params)
+        draft_params = optax.apply_updates(state.draft_params, updates)
+        gnorm = optax.global_norm(grads)
+        new_state = TrainState(draft_params, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "llm_loss": llm_loss, "gnorm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def init_train_state(draft_params, optimizer) -> TrainState:
+    return TrainState(draft_params, optimizer.init(draft_params),
+                      jnp.zeros((), jnp.int32))
