@@ -90,9 +90,11 @@ def main():
     draft_path = os.path.join(cache_dir, f"draft_{tag}.npz")
 
     if os.path.exists(draft_path) and not args.no_cache:
-        import pickle
-        with np.load(draft_path, allow_pickle=True) as z:
-            flat = {k: jnp.asarray(v).astype(jnp.bfloat16) for k, v in z.items()}
+        import ml_dtypes
+        with np.load(draft_path) as z:
+            flat = {k: jnp.asarray(v.view(ml_dtypes.bfloat16))
+                    if v.dtype == np.uint16 else jnp.asarray(v).astype(jnp.bfloat16)
+                    for k, v in z.items()}
         dparams = unflatten(flat)
         sys.stderr.write("loaded cached draft\n")
     else:
@@ -110,7 +112,7 @@ def main():
                                       attn_impl=args.attn)
         sys.stderr.write(f"distill loss: {hist[:2]} ... {hist[-2:]}\n")
         flat = flatten(dparams)
-        np.savez(draft_path, **{k: np.asarray(v.astype(jnp.float32))
+        np.savez(draft_path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
                                 for k, v in flat.items()})
 
     eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)

@@ -42,9 +42,9 @@ from ..ops import attention as att
 
 class DecodeState(NamedTuple):
     """Functional decode state (SURVEY.md §7.1.1)."""
-    kv_k: jnp.ndarray          # [L, B, S, Hkv, D] target KV cache (roped keys)
+    kv_k: jnp.ndarray          # [L, B, Hkv, S, D] target KV cache (roped keys)
     kv_v: jnp.ndarray
-    d_kv_k: jnp.ndarray        # [B, Sd, Hkv, D] draft self-attn KV cache
+    d_kv_k: jnp.ndarray        # [B, Hkv, Sd, D] draft self-attn KV cache
     d_kv_v: jnp.ndarray
     cache_lens: jnp.ndarray    # [B] valid target rows
     d_cache_lens: jnp.ndarray  # [B] valid draft rows
@@ -88,6 +88,7 @@ class SpecEngine:
         self.cfg = cfg
         self.dcfg = dcfg
         self.ecfg = ecfg
+        self.mesh = None  # set to a Mesh to shard DecodeState (parallel/)
         self._jit_cache = {}
 
     # ------------------------------------------------------------------
@@ -97,13 +98,20 @@ class SpecEngine:
     def init_state(self, batch: int, s_max: int, dtype=jnp.bfloat16) -> DecodeState:
         kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch, s_max, dtype)
         hd = self.cfg.head_dim_
-        d_shape = (batch, s_max, self.cfg.num_kv_heads, hd)
-        return DecodeState(
+        d_shape = (batch, self.cfg.num_kv_heads, s_max, hd)
+        state = DecodeState(
             kv_k=kv_k, kv_v=kv_v,
             d_kv_k=jnp.zeros(d_shape, dtype), d_kv_v=jnp.zeros(d_shape, dtype),
             cache_lens=jnp.zeros((batch,), jnp.int32),
             d_cache_lens=jnp.zeros((batch,), jnp.int32),
         )
+        if self.mesh is not None:
+            from ..parallel import shardings as sh
+            sp = sh.state_pspecs()
+            state = DecodeState(*[
+                jax.device_put(x, jax.sharding.NamedSharding(self.mesh, sp[f]))
+                for f, x in zip(DecodeState._fields, state)])
+        return state
 
     def _prefill_impl(self, params, draft_params, tokens, lengths,
                       state: DecodeState, rng):
@@ -329,7 +337,9 @@ class SpecEngine:
         # draft-side tree KV buffer: root + all nodes
         root_row = d_cache_lens - 1  # draft cache row of the root token
         def gather_row(cache, r):
-            return jnp.take_along_axis(cache, r[:, None, None, None], axis=1)
+            # cache [B, Hkv, S, D] -> [B, 1, Hkv, D]
+            g = jnp.take_along_axis(cache, r[:, None, None, None], axis=2)
+            return g.transpose(0, 2, 1, 3)
         tk = jnp.zeros((b, N, cfg.num_kv_heads, hd), d_kv_k.dtype)
         tv = jnp.zeros_like(tk)
         tk = tk.at[:, :1].set(gather_row(d_kv_k, root_row))

@@ -84,10 +84,10 @@ def glide_forward(
     dcfg: DraftConfig,
     hidden: jnp.ndarray,            # [B, T, Dm] embedded input tokens
     positions: jnp.ndarray,         # [B, T] absolute positions
-    d_kv_k: jnp.ndarray,            # [B, Sd, Hkv, D] draft self-attn KV cache
+    d_kv_k: jnp.ndarray,            # [B, Hkv, Sd, D] draft self-attn KV cache
     d_kv_v: jnp.ndarray,
     d_cache_lens: jnp.ndarray,      # [B] valid draft KV rows
-    llm_k: jnp.ndarray,             # [B, S, Hkv, D] target last-layer KV (roped)
+    llm_k: jnp.ndarray,             # [B, Hkv, S, D] target last-layer KV (roped)
     llm_v: jnp.ndarray,
     llm_k_hi: jnp.ndarray,          # [B] or [B, T] per-query CA upper bound
     suffix_mask: Optional[jnp.ndarray] = None,  # [B, T, T] (None => causal)
@@ -177,7 +177,7 @@ def glide_prefill(
     positions: jnp.ndarray,    # [B, S]
     lengths: jnp.ndarray,      # [B] prompt lengths
     d_kv_k: jnp.ndarray, d_kv_v: jnp.ndarray,
-    llm_k: jnp.ndarray, llm_v: jnp.ndarray,
+    llm_k: jnp.ndarray, llm_v: jnp.ndarray,  # [B, Hkv, S, D]
     attn_impl: str = "chunked",
 ):
     """Memory-safe draft prompt prefill (ref `llama_glide.py:206-233` +
@@ -190,9 +190,11 @@ def glide_prefill(
     q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    d_kv_k = d_kv_k.at[:, :s].set(k.astype(d_kv_k.dtype))
-    d_kv_v = d_kv_v.at[:, :s].set(v.astype(d_kv_v.dtype))
-    o, _ = causal_self_attention(q, k, v, lengths, dcfg.window, dcfg.anchors,
+    kt = k.transpose(0, 2, 1, 3)  # cache layout [B, Hkv, S, D]
+    vt = v.transpose(0, 2, 1, 3)
+    d_kv_k = d_kv_k.at[:, :, :s].set(kt.astype(d_kv_k.dtype))
+    d_kv_v = d_kv_v.at[:, :, :s].set(vt.astype(d_kv_v.dtype))
+    o, _ = causal_self_attention(q, kt, vt, lengths, dcfg.window, dcfg.anchors,
                                  attn_impl)
     hidden = hidden + jnp.dot(o.astype(hidden.dtype).reshape(b, s, -1),
                               draft_params["sa"]["wo"])
@@ -202,8 +204,8 @@ def glide_prefill(
     qc = apply_rope(qc, cos, sin)
     # lag-0 causal CA over the target KV == causal self-attn masking with
     # external keys (query i attends llm rows [0, i+1)); q-blocked for memory.
-    o_c, _ = causal_self_attention(qc, llm_k[:, :s], llm_v[:, :s], lengths,
-                                   None, 0, attn_impl)
+    o_c, _ = causal_self_attention(qc, llm_k[:, :, :s], llm_v[:, :, :s],
+                                   lengths, None, 0, attn_impl)
     hidden = hidden + jnp.dot(o_c.astype(hidden.dtype).reshape(b, s, -1),
                               draft_params["ca"]["wo"])
 

@@ -111,15 +111,16 @@ def qkv(x, lp, cfg: ModelConfig):
 
 
 def write_cache_rows(cache: jnp.ndarray, new: jnp.ndarray, starts: jnp.ndarray):
-    """Write new[b] (T rows) into cache[b] at row offset starts[b].
+    """Write new[b] (T rows) into cache[b] at sequence offset starts[b].
 
-    cache: [B, S, Hkv, D]; new: [B, T, Hkv, D]; starts: [B] int32.
-    Implemented as a vmapped dynamic_update_slice (no scatter — XLA lowers
-    this to an efficient in-place DUS on TPU when the buffer is donated).
+    cache: [B, Hkv, S, D] (TPU-native layout: contiguous (chunk, D) tiles per
+    head for the Pallas decode kernel); new: [B, T, Hkv, D]; starts: [B].
+    Implemented as a vmapped dynamic_update_slice (XLA lowers this to an
+    in-place DUS when the buffer is donated/aliased).
     """
     def one(c, n, s):
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (s, 0, 0))
-    return jax.vmap(one)(cache, new, starts)
+        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, s, 0))
+    return jax.vmap(one)(cache, new.transpose(0, 2, 1, 3), starts)
 
 
 def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
@@ -131,11 +132,14 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
     memory instead of the dense [S, S] score matrix. Semantics equal
     flash_attn_func(causal=True, window_size=(window, -1)) over the first
     `lengths[b]` tokens (reference `llama.py:218`, `llama_glide.py:199`).
+
+    q: [B, S, H, D]; k, v: cache layout [B, Hkv, S', D] (S' >= S).
     """
     b, s, h, d = q.shape
     if attn_impl == "dense":
         mask = att.prefill_mask(s, lengths, window=window, anchors=anchors)
-        return att.attend_masked(q, k, v, mask)
+        return att.attend_masked(q, k.transpose(0, 2, 1, 3),
+                                 v.transpose(0, 2, 1, 3), mask)
     if attn_impl == "pallas":
         from ..ops.pallas_prefill import flash_prefill
         return flash_prefill(q, k, v, lengths, window=window, anchors=anchors)
@@ -164,7 +168,8 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
                             attn_impl: str, chunk: int = 1024):
     """Attention of q over cache rows [0, k_hi) with optional sliding window.
 
-    k_hi: [B] or [B, Tq] per-query exclusive upper bound (supports the
+    q: [B, Tq, H, D]; caches: [B, Hkv, S, D]. k_hi: [B] or [B, Tq] per-query
+    exclusive upper bound (covers per-row cache lengths and the
     kvcache-causal semantics of flash_attn_with_kvcache used by the draft's
     cross-attention re-encode, ref `llama_glide.py:261-265`).
     Returns (o fp32, lse fp32).
@@ -175,7 +180,7 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
     else:
         k_hi2 = k_hi
     if attn_impl == "dense":
-        s_max = k_cache.shape[1]
+        s_max = k_cache.shape[2]
         kj = jnp.arange(s_max)[None, None, :]
         mask = kj < k_hi2[:, :, None]
         if window is not None:
@@ -183,7 +188,8 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
             if anchors > 0:
                 vis = vis | (kj < anchors)
             mask = mask & vis
-        return att.attend_masked(q, k_cache, v_cache, mask)
+        return att.attend_masked(q, k_cache.transpose(0, 2, 1, 3),
+                                 v_cache.transpose(0, 2, 1, 3), mask)
     elif attn_impl == "chunked":
         return _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos,
                                           window, anchors, chunk)
@@ -195,51 +201,57 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
 
 def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
                                anchors, chunk):
-    """Chunked online-softmax prefix attention with per-query upper bounds."""
+    """Chunked online-softmax prefix attention with per-query upper bounds.
+
+    q: [B, Tq, H, D]; caches: [B, Hkv, S, D] (native layout).
+    """
     b, tq, h, d = q.shape
-    s = k_cache.shape[1]
-    hkv = k_cache.shape[2]
+    hkv, s = k_cache.shape[1], k_cache.shape[2]
     groups = h // hkv
-    qf = q.astype(jnp.float32) * (d ** -0.5)
+    # [B, Hkv, G, Tq, D]
+    qf = (q.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
+    qf = qf.reshape(b, hkv, groups, tq, d)
     n_chunks = max(1, -(-s // chunk))
     pad = n_chunks * chunk - s
     if pad:
-        k_cache = jnp.pad(k_cache, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        v_cache = jnp.pad(v_cache, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    kc = k_cache.reshape(b, n_chunks, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
-    vc = v_cache.reshape(b, n_chunks, chunk, hkv, d).transpose(1, 0, 2, 3, 4)
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kc = k_cache.reshape(b, hkv, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+    vc = v_cache.reshape(b, hkv, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
 
     def body(carry, inp):
         m_run, l_run, acc = carry
-        kch, vch, c_idx = inp
+        kch, vch, c_idx = inp                      # [B, Hkv, chunk, D]
         kj = c_idx * chunk + jnp.arange(chunk)
-        mask = kj[None, None, :] < k_hi2[:, :, None]  # [B,Tq,chunk]
+        mask = kj[None, None, :] < k_hi2[:, :, None]  # [B, Tq, chunk]
         if window is not None:
             vis = kj[None, None, :] >= q_pos[:, :, None] - window
             if anchors > 0:
                 vis = vis | (kj[None, None, :] < anchors)
             mask = mask & vis
-        kr = att._repeat_kv(kch, groups).astype(jnp.float32)
-        vr = att._repeat_kv(vch, groups).astype(jnp.float32)
-        sco = jnp.einsum("bqhd,bkhd->bhqk", qf, kr)
-        sco = jnp.where(mask[:, None], sco, att.NEG_INF)
+        mask = mask[:, None, None]                 # [B, 1, 1, Tq, chunk]
+        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32))
+        sco = jnp.where(mask, sco, att.NEG_INF)
         m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
-        p = jnp.where(mask[:, None], jnp.exp(sco - m_new[..., None]), 0.0)
+        p = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(p, axis=-1)
-        acc_new = acc * alpha[..., None] + jnp.einsum("bhqk,bkhd->bhqd", p, vr)
+        acc_new = acc * alpha[..., None] + jnp.einsum(
+            "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32))
         return (m_new, l_new, acc_new), None
 
-    m0 = jnp.full((b, h, tq), att.NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, tq), jnp.float32)
-    a0 = jnp.zeros((b, h, tq, d), jnp.float32)
+    m0 = jnp.full((b, hkv, groups, tq), att.NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hkv, groups, tq), jnp.float32)
+    a0 = jnp.zeros((b, hkv, groups, tq, d), jnp.float32)
     (m_f, l_f, acc_f), _ = jax.lax.scan(body, (m0, l0, a0),
                                         (kc, vc, jnp.arange(n_chunks)))
     valid = l_f > 0
     o = jnp.where(valid[..., None], acc_f / jnp.maximum(l_f, 1e-38)[..., None], 0.0)
     lse = jnp.where(valid, jnp.where(m_f > att.NEG_INF / 2, m_f, 0.0)
                     + jnp.log(jnp.maximum(l_f, 1e-38)), -jnp.inf)
-    return o.transpose(0, 2, 1, 3), lse.transpose(0, 2, 1)
+    o = o.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+    lse = lse.reshape(b, h, tq).transpose(0, 2, 1)
+    return o, lse
 
 
 # ---------------------------------------------------------------------------
@@ -275,13 +287,15 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        o, _ = causal_self_attention(q, k, v, lengths, None, 0, attn_impl)
+        kt = k.transpose(0, 2, 1, 3)   # [B, Hkv, S, D] cache layout
+        vt = v.transpose(0, 2, 1, 3)
+        o, _ = causal_self_attention(q, kt, vt, lengths, None, 0, attn_impl)
         o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
-        ck = ck.at[:, :s].set(k.astype(ck.dtype))
-        cv = cv.at[:, :s].set(v.astype(cv.dtype))
+        ck = ck.at[:, :, :s].set(kt.astype(ck.dtype))
+        cv = cv.at[:, :, :s].set(vt.astype(cv.dtype))
         return h, (ck, cv)
 
     h, (kv_k, kv_v) = jax.lax.scan(layer, h, (params["layers"], (kv_k, kv_v)))
@@ -369,7 +383,9 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        o, _ = causal_self_attention(q, k, v, lengths, None, 0, attn_impl)
+        o, _ = causal_self_attention(q, k.transpose(0, 2, 1, 3),
+                                     v.transpose(0, 2, 1, 3), lengths, None, 0,
+                                     attn_impl)
         o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
@@ -392,5 +408,7 @@ def logits_at(params, hidden_rows: jnp.ndarray) -> jnp.ndarray:
 
 
 def alloc_kv_cache(cfg: ModelConfig, batch: int, s_max: int, dtype=jnp.bfloat16):
-    shape = (cfg.num_layers, batch, s_max, cfg.num_kv_heads, cfg.head_dim_)
+    """[L, B, Hkv, S, D] — head-major so per-head (chunk, D) tiles are
+    contiguous for the Pallas decode kernel's DMA."""
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, s_max, cfg.head_dim_)
     return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)

@@ -1,0 +1,186 @@
+"""Pallas TPU flash-decode kernel.
+
+The TPU-native equivalent of the reference's `flash_attn_with_kvcache`
+(CUDA, used at `longspec/test/llama.py:324-325, 385` and
+`llama_glide.py:261-300`) with the extra capabilities hybrid tree attention
+needs (SURVEY.md §7.3):
+
+  * per-QUERY exclusive key upper bound `k_hi` (covers per-row cache lengths
+    AND the kvcache-causal re-encode semantics in one mechanism);
+  * optional sliding window with attention-sink anchors;
+  * fp32 log-sum-exp output for exact merging with the tree-masked suffix.
+
+Design: grid (B, Hkv, S/chunk); for each (batch, kv-head) the G*T query rows
+(G = GQA group size x T new tokens) stay resident in VMEM while KV chunks
+stream through; online-softmax state (m, l, acc) lives in VMEM scratch across
+chunk iterations (TPU grids execute sequentially over the minor dimension).
+Chunks entirely beyond every query's k_hi are skipped: their compute is
+predicated off AND their DMA is avoided by clamping the BlockSpec index map
+to the last useful chunk (Pallas skips re-fetching an unchanged block).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
+                   o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                   *, scale, chunk, window, anchors, t, g):
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    n_used = nchunk_ref[0]
+
+    @pl.when(c < n_used)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [chunk, D]
+        s = jax.lax.dot_general(q * scale, k,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [R, chunk]
+        col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        khi = khi_ref[0]                              # [R, 1]
+        mask = col < khi
+        if window is not None:
+            qpos = qpos_ref[0]                        # [R, 1]
+            vis = col >= qpos - window
+            if anchors > 0:
+                vis = jnp.logical_or(vis, col < anchors)
+            mask = jnp.logical_and(mask, vis)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_scr[:]                             # [R, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)               # [R, 1]
+        l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)           # [chunk, D]
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [R, D]
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_new
+        l_scr[:] = l_new
+
+    @pl.when(c == pl.num_programs(2) - 1)
+    def _():
+        l = l_scr[:]
+        valid = l > 0.0
+        o = acc_scr[:] / jnp.where(valid, l, 1.0)
+        o_ref[0, 0] = jnp.where(valid, o, 0.0)
+        m_safe = jnp.where(m_scr[:] > NEG_INF / 2, m_scr[:], 0.0)
+        lse = jnp.where(valid, m_safe + jnp.log(jnp.where(valid, l, 1.0)),
+                        -jnp.inf)
+        lse_ref[0, 0] = lse
+
+
+@functools.partial(jax.jit, static_argnames=("window", "anchors", "chunk",
+                                             "interpret"))
+def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                 k_hi: jnp.ndarray, q_pos: Optional[jnp.ndarray] = None,
+                 window: Optional[int] = None, anchors: int = 0,
+                 chunk: int = 512, interpret: Optional[bool] = None):
+    """Flash attention of T new queries over a KV cache.
+
+    q: [B, T, H, D]; caches: [B, Hkv, S, D]; k_hi: [B] or [B, T] exclusive
+    per-query bound; q_pos: [B, T] absolute positions (required iff window).
+    Returns (o fp32 [B, T, H, D], lse fp32 [B, T, H]). Matches the dense
+    oracle `ops.attention.attend_masked` / `sliced_prefix_attention` exactly
+    (tests/test_pallas.py).
+    """
+    b, t, h, d = q.shape
+    hkv, s = k_cache.shape[1], k_cache.shape[2]
+    g = h // hkv
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if k_hi.ndim == 1:
+        k_hi = jnp.broadcast_to(k_hi[:, None], (b, t))
+    if q_pos is None:
+        q_pos = jnp.zeros((b, t), jnp.int32)
+
+    # group queries by kv head: [B, Hkv, G*T, D]
+    qg = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, t, d).reshape(b, hkv, g * t, d)
+    r = g * t
+    r_pad = max(8, -(-r // 8) * 8)
+    if r_pad != r:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, r_pad - r), (0, 0)))
+    # per-row bounds: row = i*T + t -> bound k_hi[b, t]
+    khi_rows = jnp.tile(k_hi, (1, g))                        # [B, G*T]
+    qpos_rows = jnp.tile(q_pos, (1, g))
+    if r_pad != r:
+        khi_rows = jnp.pad(khi_rows, ((0, 0), (0, r_pad - r)))
+        qpos_rows = jnp.pad(qpos_rows, ((0, 0), (0, r_pad - r)))
+    khi_rows = khi_rows[..., None].astype(jnp.int32)         # [B, R, 1]
+    qpos_rows = qpos_rows[..., None].astype(jnp.int32)
+
+    n_chunks = -(-s // chunk)
+    s_pad = n_chunks * chunk
+    if s_pad != s:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+
+    # chunks actually needed (max over batch of max k_hi); scalar prefetch
+    max_hi = jnp.max(k_hi)
+    n_used = jnp.clip((max_hi + chunk - 1) // chunk, 1, n_chunks).astype(jnp.int32)
+    n_used_arr = jnp.broadcast_to(n_used, (1,))
+
+    kernel = functools.partial(_decode_kernel, scale=d ** -0.5, chunk=chunk,
+                               window=window, anchors=anchors, t=t, g=g)
+
+    vm = pltpu.VMEM
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, chunk, d),
+                         lambda i, j, c, nu: (i, j, jnp.minimum(c, nu[0] - 1), 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, chunk, d),
+                         lambda i, j, c, nu: (i, j, jnp.minimum(c, nu[0] - 1), 0),
+                         memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, r_pad, 1), lambda i, j, c, nu: (i, j, 0, 0),
+                         memory_space=vm),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r_pad, 1), jnp.float32),
+            pltpu.VMEM((r_pad, 1), jnp.float32),
+            pltpu.VMEM((r_pad, d), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, r_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, r_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_used_arr, khi_rows, qpos_rows, qg, k_cache, v_cache)
+
+    o = o[:, :, :r].reshape(b, hkv, g, t, d).transpose(0, 3, 1, 2, 4)
+    o = o.reshape(b, t, h, d)
+    lse = lse[:, :, :r, 0].reshape(b, hkv, g, t).transpose(0, 3, 1, 2).reshape(b, t, h)
+    return o, lse

@@ -1,0 +1,99 @@
+"""Mesh + sharding rules for multi-chip execution.
+
+TPU-native replacement for the reference's distributed substrate (DeepSpeed
+ZeRO + fairscale mpu + NCCL, SURVEY.md §2.4): a (dp, tp) `jax.sharding.Mesh`
+with GSPMD partitioning — XLA inserts all collectives over ICI.
+
+Layout (SURVEY.md §7.1.7 / BASELINE north star):
+  * target attention weights sharded on the head dimension over `tp`;
+  * MLP sharded on the intermediate dimension over `tp`;
+  * lm_head / embedding sharded on the vocab dimension over `tp` (draft beam
+    top-k runs shard-local per vocab shard, then a tiny cross-shard top-k —
+    see engine note on per-node top-k);
+  * target KV cache sharded on kv-heads over `tp`, batch over `dp`;
+  * GLIDE draft layer REPLICATED over `tp` (it is one layer; replication
+    keeps the gamma draft micro-steps collective-free so they can overlap
+    verify's collectives), its KV cache sharded over `dp` only;
+  * optimizer state for the draft sharded like ZeRO-1 over `dp` where
+    divisible (draft-only training: the state is small, but the rule is
+    applied anyway for parity with ZeRO semantics).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig
+
+
+def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= dp * tp, (len(devices), dp, tp)
+    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def param_pspecs(cfg: ModelConfig) -> dict:
+    """PartitionSpecs matching the param pytree of models.llama.init_params."""
+    layers = {
+        "input_norm": P(None, None),
+        "wq": P(None, None, "tp"),
+        "wk": P(None, None, "tp"),
+        "wv": P(None, None, "tp"),
+        "wo": P(None, "tp", None),
+        "post_norm": P(None, None),
+        "w_gate": P(None, None, "tp"),
+        "w_up": P(None, None, "tp"),
+        "w_down": P(None, "tp", None),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = P(None, "tp")
+        layers["bk"] = P(None, "tp")
+        layers["bv"] = P(None, "tp")
+    out = {
+        "embed": P(None, None),      # replicated rows: token gather stays local
+        "layers": layers,
+        "final_norm": P(None),
+    }
+    if not cfg.tie_word_embeddings:
+        out["lm_head"] = P(None, "tp")   # vocab-sharded logits
+    return out
+
+
+def draft_pspecs() -> dict:
+    """Draft layer replicated over tp (single layer; SURVEY §7.1.7)."""
+    rep2 = P(None, None)
+    attn = {"wq": rep2, "bq": P(None), "wk": rep2, "bk": P(None),
+            "wv": rep2, "bv": P(None), "wo": rep2}
+    return {
+        "input_norm": P(None), "sa": dict(attn), "post_sa_norm": P(None),
+        "ca": dict(attn), "post_ca_norm": P(None),
+        "w_gate": rep2, "w_up": rep2, "w_down": rep2,
+    }
+
+
+def state_pspecs() -> dict:
+    """PartitionSpecs for engine.DecodeState (as a dict by field name)."""
+    return {
+        "kv_k": P(None, "dp", "tp", None, None),
+        "kv_v": P(None, "dp", "tp", None, None),
+        "d_kv_k": P("dp", None, None, None),
+        "d_kv_v": P("dp", None, None, None),
+        "cache_lens": P("dp"),
+        "d_cache_lens": P("dp"),
+    }
+
+
+def shard_tree(tree, pspecs, mesh: Mesh):
+    """Device_put a pytree with matching PartitionSpecs."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, pspecs,
+        is_leaf=lambda x: not isinstance(x, dict))
+
+
+def ns(mesh: Mesh, pspecs):
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), pspecs,
+                        is_leaf=lambda x: isinstance(x, P))

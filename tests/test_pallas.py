@@ -1,0 +1,73 @@
+"""Pallas kernels vs dense-JAX oracles (interpret mode on CPU).
+
+The oracles' semantics are pinned by the reference's torch twins
+(SURVEY.md §4): flash_attn_with_kvcache-style prefix decode with per-row
+lengths / window / LSE.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from longspec_tpu.models.llama import sliced_prefix_attention
+from longspec_tpu.ops.pallas_decode import flash_decode
+
+
+def mk(b, t, h, hkv, d, s, seed=0):
+    """Caches in native [B, Hkv, S, D] layout."""
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("t,h,hkv", [(1, 4, 4), (5, 4, 2), (7, 8, 2)])
+def test_flash_decode_vs_dense(t, h, hkv):
+    b, d, s = 2, 32, 300
+    q, k, v = mk(b, t, h, hkv, d, s)
+    k_hi = jnp.asarray([[min(100 + 7 * i, 256) for i in range(t)],
+                        [min(50 + 3 * i, 256) for i in range(t)]], jnp.int32)
+    o_ref, lse_ref = sliced_prefix_attention(q, k, v, k_hi, None, None, 0, "dense")
+    o, lse = flash_decode(q, k, v, k_hi, chunk=128)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=1e-5, rtol=1e-4)
+
+
+def test_flash_decode_window_anchors():
+    b, t, h, hkv, d, s = 1, 6, 4, 2, 32, 400
+    q, k, v = mk(b, t, h, hkv, d, s, seed=3)
+    q_pos = jnp.asarray([[300 + i for i in range(t)]], jnp.int32)
+    k_hi = jnp.full((b, t), 300, jnp.int32)
+    for window, anchors in [(64, 0), (64, 4), (16, 2)]:
+        o_ref, lse_ref = sliced_prefix_attention(q, k, v, k_hi, q_pos, window,
+                                                 anchors, "dense")
+        o, lse = flash_decode(q, k, v, k_hi, q_pos, window, anchors, chunk=128)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=1e-5,
+                                   rtol=1e-4, err_msg=f"w={window} a={anchors}")
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_flash_decode_empty_prefix():
+    """Rows with zero valid keys must give o=0, lse=-inf (merge no-op)."""
+    b, t, h, hkv, d, s = 1, 2, 2, 2, 32, 128
+    q, k, v = mk(b, t, h, hkv, d, s, seed=5)
+    k_hi = jnp.asarray([[0, 17]], jnp.int32)
+    o, lse = flash_decode(q, k, v, k_hi, chunk=64)
+    assert np.all(np.asarray(o[0, 0]) == 0.0)
+    assert np.all(np.isneginf(np.asarray(lse[0, 0])))
+    o_ref, lse_ref = sliced_prefix_attention(q, k, v, k_hi, None, None, 0, "dense")
+    np.testing.assert_allclose(np.asarray(o[0, 1]), np.asarray(o_ref[0, 1]),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_flash_decode_uneven_tail():
+    """S not a multiple of chunk; k_hi beyond the last partial chunk edge."""
+    b, t, h, hkv, d, s = 1, 3, 4, 4, 32, 200
+    q, k, v = mk(b, t, h, hkv, d, s, seed=7)
+    k_hi = jnp.asarray([[200, 199, 150]], jnp.int32)
+    o_ref, lse_ref = sliced_prefix_attention(q, k, v, k_hi, None, None, 0, "dense")
+    o, lse = flash_decode(q, k, v, k_hi, chunk=128)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=1e-5, rtol=1e-4)
