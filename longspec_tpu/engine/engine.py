@@ -140,21 +140,23 @@ class SpecEngine:
     # Vanilla autoregressive generation (ref llama_glide.py:552-585)
     # ------------------------------------------------------------------
 
-    def _vanilla_loop(self, params, state: DecodeState, t0, max_gen_len: int, rng):
+    def _vanilla_segment(self, params, carry, limit, max_gen_len: int):
+        """Run the vanilla decode while-loop up to `limit` total rounds.
+
+        Bounded dispatches keep single XLA executions short — one giant
+        execution (minutes) can trip remote-worker watchdogs.
+        """
         cfg = self.cfg
-        b = t0.shape[0]
-        out_buf = max_gen_len + 1
-        output_ids = jnp.full((b, out_buf), cfg.eos_token_id, jnp.int32)
-        output_ids = output_ids.at[:, 0].set(t0)
-        smask = jnp.ones((b, 1, 1), bool)
 
         def cond(c):
-            return (~jnp.all(c[4])) & (c[3][0] < max_gen_len)
+            return (~jnp.all(c[4])) & (c[3][0] < limit)
 
         def body(c):
             st, cur, output_ids, i, done, num, rng = c
             rng, k1 = jax.random.split(rng)
+            b = cur.shape[0]
             pos = st.cache_lens[:, None]
+            smask = jnp.ones((b, 1, 1), bool)
             h, kv_k, kv_v = M.forward_append(
                 params, cfg, cur[:, None], pos, smask, st.cache_lens,
                 st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl)
@@ -168,11 +170,18 @@ class SpecEngine:
             st = st._replace(kv_k=kv_k, kv_v=kv_v, cache_lens=cache_lens)
             return (st, nxt, output_ids, i + 1, done, num, rng)
 
+        c = jax.lax.while_loop(cond, body, carry)
+        status = c[3][0] * 2 + jnp.all(c[4]).astype(jnp.int32)
+        return c, status
+
+    def _vanilla_carry(self, state, t0, max_gen_len: int, rng):
+        cfg = self.cfg
+        b = t0.shape[0]
+        output_ids = jnp.full((b, max_gen_len + 1), cfg.eos_token_id, jnp.int32)
+        output_ids = output_ids.at[:, 0].set(t0)
         done0 = (t0 == cfg.eos_token_id)
-        init = (state, t0, output_ids, jnp.zeros((1,), jnp.int32), done0,
+        return (state, t0, output_ids, jnp.zeros((1,), jnp.int32), done0,
                 jnp.zeros((), jnp.int32), rng)
-        st, _, output_ids, _, _, num, _ = jax.lax.while_loop(cond, body, init)
-        return st, output_ids, num
 
     # ------------------------------------------------------------------
     # Chain speculation (ref spec_generate, llama_glide.py:621-774)
@@ -444,15 +453,14 @@ class SpecEngine:
                                             static_argnums=())
         return self._jit_cache[name]
 
-    def _spec_loop(self, round_fn, params, draft_params, state, t0,
-                   max_gen_len: int, rng, a_max: int):
+    def _spec_carry(self, state, t0, max_gen_len: int, rng, a_max: int):
         cfg = self.cfg
         b = t0.shape[0]
         out_buf = max_gen_len + a_max + 1
         output_ids = jnp.full((b, out_buf), cfg.eos_token_id, jnp.int32)
         output_ids = output_ids.at[:, 0].set(t0)
         acc_tokens = jnp.zeros((b, a_max), jnp.int32).at[:, 0].set(t0)
-        carry = GenCarry(
+        return GenCarry(
             state=state, acc_tokens=acc_tokens,
             acc_len=jnp.ones((b,), jnp.int32),
             output_ids=output_ids, out_len=jnp.ones((b,), jnp.int32),
@@ -460,11 +468,19 @@ class SpecEngine:
             count=jnp.zeros((), jnp.int32), num=jnp.ones((), jnp.int32) * b,
             rounds=jnp.zeros((), jnp.int32), rng=rng)
 
+    def _spec_segment(self, round_fn, params, draft_params, carry, limit):
         def cond(c):
-            return (~jnp.all(c.done)) & (c.rounds < max_gen_len)
+            return (~jnp.all(c.done)) & (c.rounds < limit)
 
-        return jax.lax.while_loop(
+        c = jax.lax.while_loop(
             cond, lambda c: round_fn(params, draft_params, c), carry)
+        status = c.rounds * 2 + jnp.all(c.done).astype(jnp.int32)
+        return c, status
+
+    # max while-loop rounds executed per device dispatch: keeps individual
+    # XLA executions to seconds (a single multi-minute execution can trip
+    # remote-worker watchdogs and stalls nothing else can preempt).
+    segment_rounds: int = 512
 
     def _run(self, method: str, input_ids, prompt_lens, max_gen_len: int,
              seed: int = 0, state_dtype=jnp.bfloat16,
@@ -487,29 +503,35 @@ class SpecEngine:
         # through remote-TPU relays; a host readback is the only hard barrier)
 
         if method == "vanilla":
-            loop = self._get_jit(
-                ("vanilla", max_gen_len),
-                functools.partial(self._vanilla_loop, max_gen_len=max_gen_len))
-            t_start = time.perf_counter()
-            _, output_ids, num = loop(self.params, state, t0, rng=k_gen)
-            n = int(num)  # scalar readback = hard barrier
-            elapsed = time.perf_counter() - t_start
+            carry = self._vanilla_carry(state, t0, max_gen_len, k_gen)
+            seg = self._get_jit(
+                ("vanilla_seg", max_gen_len),
+                functools.partial(self._vanilla_segment, max_gen_len=max_gen_len))
+
+            def run_seg(carry, limit):
+                return seg(self.params, carry, limit)
+
+            carry, elapsed = self._drive(run_seg, carry, max_gen_len)
+            _, _, output_ids, _, _, num, _ = carry
+            n = int(num)
             return dict(output_ids=np.asarray(output_ids), count=0, num=max(n, 1),
                         elapsed=elapsed, new_tokens=n + b)
+
         if method == "chain":
             round_fn, a_max = self._chain_round, ecfg.gamma + 1
         elif method == "tree":
             round_fn, a_max = self._tree_round, ecfg.tree_depth + 1
         else:
             raise ValueError(f"unknown method {method}")
-        loop = self._get_jit(
-            (method, max_gen_len),
-            functools.partial(self._spec_loop, round_fn,
-                              max_gen_len=max_gen_len, a_max=a_max))
-        t_start = time.perf_counter()
-        carry = loop(self.params, self.draft_params, state, t0, rng=k_gen)
-        count, num = int(carry.count), int(carry.num)  # readback barrier
-        elapsed = time.perf_counter() - t_start
+        carry = self._spec_carry(state, t0, max_gen_len, k_gen, a_max)
+        seg = self._get_jit((method, "seg"),
+                            functools.partial(self._spec_segment, round_fn))
+
+        def run_seg(carry, limit):
+            return seg(self.params, self.draft_params, carry, limit)
+
+        carry, elapsed = self._drive(run_seg, carry, max_gen_len)
+        count, num = int(carry.count), int(carry.num)
         # mask junk beyond each row's emitted length with eos
         out_buf = carry.output_ids.shape[1]
         output_ids = jnp.where(jnp.arange(out_buf)[None] < carry.out_len[:, None],
@@ -517,6 +539,20 @@ class SpecEngine:
         return dict(output_ids=np.asarray(output_ids), count=count,
                     num=num, elapsed=elapsed,
                     new_tokens=int(jnp.sum(carry.out_len)))
+
+    def _drive(self, run_seg, carry, max_rounds: int):
+        """Dispatch bounded while-loop segments until done; returns
+        (final_carry, decode_elapsed_seconds)."""
+        t_start = time.perf_counter()
+        done_rounds = 0
+        while done_rounds < max_rounds:
+            limit = min(done_rounds + self.segment_rounds, max_rounds)
+            carry, status = run_seg(carry, jnp.int32(limit))
+            st = int(status)  # readback barrier per segment
+            done_rounds, all_done = st // 2, bool(st % 2)
+            if all_done:
+                break
+        return carry, time.perf_counter() - t_start
 
     def vanilla_generate(self, input_ids, prompt_lens, max_gen_len=64, seed=0,
                          **kw):
