@@ -5,12 +5,17 @@ Measures the headline metric of the reference (BASELINE.md): wall-clock
 speedup of tree speculative decoding over vanilla autoregressive decoding at
 long context, lossless at temperature 0, plus mean accepted tokens per round.
 
-Pipeline (all on-device; nothing fetched over the network):
-  1. Build a random-weight target model (fixed seed) and self-distill a GLIDE
-     draft on the target's own greedy continuations (cached to .bench_cache/).
-  2. Run vanilla decode and tree-spec decode on the same long prompts.
-  3. Verify token-exact equality (losslessness gate).
-  4. Print ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Pipeline (all on-device; nothing fetched over the network — a zero-egress
+box cannot download checkpoints, so the benchmark target is TRAINED here):
+  1. Pretrain the target on a synthetic Markov language (sharp next-token
+     margins, like a real LLM; a random-weight target has 1/V near-uniform
+     logits whose argmax flips under benign fp reorderings, which would make
+     any losslessness measurement meaningless). Cached to .bench_cache/.
+  2. Train the GLIDE draft on the same corpus with teacher KV (the standard
+     GLIDE recipe, train/trainer.py). Cached.
+  3. Run vanilla decode and tree-spec decode on held-out long prompts.
+  4. Verify token-exact equality (losslessness gate).
+  5. Print ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 vs_baseline compares against the reference's published best long-context
 speedup on its own hardware (2.67x, `index.html:289`).
@@ -39,6 +44,7 @@ def main():
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--distill-steps", type=int, default=400)
+    ap.add_argument("--target-steps", type=int, default=600)
     ap.add_argument("--attn", type=str, default="chunked")
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -53,14 +59,18 @@ def main():
     from longspec_tpu.models import llama as M
     from longspec_tpu.models import glide as G
     from longspec_tpu.engine.engine import SpecEngine
-    from longspec_tpu.train.distill import generate_corpus, distill_draft
+    from longspec_tpu.train import trainer as T
+    from longspec_tpu.train.distill import distill_draft
+    from longspec_tpu.train.synthetic import make_markov_lm, sample_corpus_fast
 
     if args.smoke:
         cfg = ModelConfig(vocab_size=503, hidden_size=128, intermediate_size=256,
                           num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
                           max_position_embeddings=4096, eos_token_id=1)
-        ctx, gen, distill_steps = 192, 48, 8
-        corpus_seqs, corpus_len = 4, 96
+        ctx, gen = 192, 48
+        distill_steps = args.distill_steps if args.distill_steps != 400 else 30
+        target_steps = args.target_steps if args.target_steps != 600 else 40
+        corpus_seqs, corpus_len, train_bsz = 32, 96, 4
         tree_shape, window = (2, 3, 3), 64
     else:
         # largest Llama-like geometry that fits one v5e chip with headroom:
@@ -71,7 +81,8 @@ def main():
                           num_heads=32, num_kv_heads=8, head_dim=128,
                           max_position_embeddings=32768, eos_token_id=2)
         ctx, gen, distill_steps = args.ctx, args.gen, args.distill_steps
-        corpus_seqs, corpus_len = 24, 640
+        target_steps = args.target_steps
+        corpus_seqs, corpus_len, train_bsz = 128, 512, 4
         tree_shape, window = (4, 16, 16, 16, 16), 512
 
     dcfg = DraftConfig(window=window)
@@ -79,55 +90,66 @@ def main():
                         attn_impl=args.attn)
 
     t0 = time.time()
-    params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
-        jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
-
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
-    tag = f"{'smoke' if args.smoke else 'tpu'}_{cfg.num_layers}x{cfg.hidden_size}"
+    tag = f"v4_{'smoke' if args.smoke else 'tpu'}_{cfg.num_layers}x{cfg.hidden_size}"
+    target_path = os.path.join(cache_dir, f"target_{tag}.npz")
     draft_path = os.path.join(cache_dir, f"draft_{tag}.npz")
 
-    if os.path.exists(draft_path) and not args.no_cache:
+    def save_tree(path, tree):
+        np.savez(path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
+                          for k, v in flatten(tree).items()})
+
+    def load_tree(path):
         import ml_dtypes
-        with np.load(draft_path) as z:
+        with np.load(path) as z:
             flat = {k: jnp.asarray(v.view(ml_dtypes.bfloat16))
-                    if v.dtype == np.uint16 else jnp.asarray(v).astype(jnp.bfloat16)
                     for k, v in z.items()}
-        dparams = unflatten(flat)
+        return unflatten(flat)
+
+    # ---- synthetic language + corpus ----
+    succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
+                                 n_states=min(1024, cfg.vocab_size - 2))
+    corpus = sample_corpus_fast(succ, probs, corpus_seqs, corpus_len, seed=8)
+
+    # ---- stage 0: pretrain the target on the corpus ----
+    if os.path.exists(target_path) and not args.no_cache:
+        params = load_tree(target_path)
+        sys.stderr.write("loaded cached target\n")
+    else:
+        params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
+            jax.random.PRNGKey(0))
+        opt = T.make_adafactor(lr=1e-3, warmup_steps=min(50, target_steps // 4))
+        st = T.init_train_state(params, opt)
+        step_fn = T.make_lm_train_step(cfg, opt, attn_impl=args.attn)
+        rng_np = np.random.default_rng(3)
+        sys.stderr.write(f"pretraining target ({target_steps} steps)...\n")
+        for i in range(target_steps):
+            idx = rng_np.integers(0, corpus.shape[0], (train_bsz,))
+            st, m = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
+            if (i + 1) % 100 == 0 or i + 1 == target_steps:
+                sys.stderr.write(f"  target step {i+1}: loss {float(m['loss']):.4f}\n")
+        params = st.draft_params
+        save_tree(target_path, params)
+
+    # ---- stage 1: train the GLIDE draft against the frozen target ----
+    if os.path.exists(draft_path) and not args.no_cache:
+        dparams = load_tree(draft_path)
         sys.stderr.write("loaded cached draft\n")
     else:
-        dparams0 = jax.jit(lambda k: G.init_draft_params(k, cfg, jnp.bfloat16))(
-            jax.random.PRNGKey(1))
-        eng0 = SpecEngine(params, dparams0, cfg, dcfg, ecfg)
-        sys.stderr.write("generating distillation corpus...\n")
-        corpus = generate_corpus(eng0, np.random.default_rng(0), corpus_seqs,
-                                 prompt_len=32, gen_len=corpus_len - 32,
-                                 batch=min(8, corpus_seqs))
-        sys.stderr.write(f"corpus {corpus.shape}; distilling draft...\n")
+        sys.stderr.write(f"training draft ({distill_steps} steps)...\n")
         dparams, hist = distill_draft(params, cfg, dcfg, corpus,
-                                      steps=distill_steps,
-                                      batch=4 if not args.smoke else 2,
+                                      steps=distill_steps, batch=train_bsz,
                                       attn_impl=args.attn)
-        sys.stderr.write(f"distill loss: {hist[:2]} ... {hist[-2:]}\n")
-        flat = flatten(dparams)
-        np.savez(draft_path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
-                                for k, v in flat.items()})
+        sys.stderr.write(f"draft loss: {hist[:2]} ... {hist[-2:]}\n")
+        save_tree(draft_path, dparams)
 
     eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
 
-    # long prompt: target-generated text (realistic decode-time distribution)
-    rng = np.random.default_rng(42)
+    # ---- held-out long prompts from the same language ----
     b = args.batch
-    seed_len = 32
-    seed_prompt = rng.integers(2, cfg.vocab_size, (b, seed_len))
-    sys.stderr.write(f"building {ctx}-token prompt by generation...\n")
-    res = eng.vanilla_generate(seed_prompt, np.full((b,), seed_len, np.int32),
-                               max_gen_len=ctx - seed_len,
-                               s_max=ctx + gen + ecfg.tree_size + 16)
-    prompt = np.concatenate([seed_prompt, res["output_ids"][:, :ctx - seed_len]],
-                            axis=1)
+    prompt = sample_corpus_fast(succ, probs, b, ctx, seed=999)
     lens = np.full((b,), ctx, np.int32)
     s_max = ctx + gen + ecfg.tree_size + 16
 

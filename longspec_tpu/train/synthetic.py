@@ -1,0 +1,66 @@
+"""Synthetic structured language for self-contained benchmarking.
+
+A zero-egress environment cannot download the reference's benchmark corpora
+(LongBench, SlimPajama), so the benchmark trains its target model on a
+synthetic Markov language: mostly-deterministic token transitions with a
+controlled fraction of branching states. A model trained on it has SHARP
+next-token distributions (large argmax margins — like a real LLM, unlike a
+random-weight network whose 1/V near-uniform logits make greedy decoding a
+coin flip), and its continuations are genuinely predictable, so speculative
+acceptance measures real drafting quality.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_markov_lm(vocab_size: int, branch_frac: float = 0.15,
+                   n_branches: int = 4, seed: int = 0,
+                   n_states: int | None = None):
+    """Order-1 transition table: succ[v] is the list of allowed successors of
+    token v (1 for deterministic states, `n_branches` for branching ones).
+
+    `n_states` bounds the active state space to tokens [2, 2+n_states) so a
+    modest corpus covers every transition many times — the model must LEARN
+    the table (generalize to held-out walks), not memorize sequences.
+    """
+    rng = np.random.default_rng(seed)
+    hi = 2 + (n_states or (vocab_size - 2))
+    succ = rng.integers(2, hi, (vocab_size, n_branches))
+    branching = rng.random(vocab_size) < branch_frac
+    probs = np.where(branching[:, None],
+                     np.asarray([0.55, 0.25, 0.15, 0.05])[None, :n_branches],
+                     np.asarray([1.0] + [0.0] * (n_branches - 1))[None])
+    return succ.astype(np.int64), probs
+
+
+def sample_corpus(succ, probs, n_seqs: int, seq_len: int, seed: int = 1):
+    """[n_seqs, seq_len] int32 sequences walked through the chain."""
+    rng = np.random.default_rng(seed)
+    v = succ.shape[0]
+    out = np.empty((n_seqs, seq_len), np.int64)
+    cur = rng.integers(2, v, n_seqs)
+    out[:, 0] = cur
+    for t in range(1, seq_len):
+        choice = np.array([rng.choice(succ.shape[1], p=probs[c]) for c in cur]) \
+            if probs.shape[1] > 1 else np.zeros(n_seqs, np.int64)
+        cur = succ[cur, choice]
+        out[:, t] = cur
+    return out.astype(np.int32)
+
+
+def sample_corpus_fast(succ, probs, n_seqs: int, seq_len: int, seed: int = 1):
+    """Vectorized corpus sampling."""
+    rng = np.random.default_rng(seed)
+    nb = succ.shape[1]
+    cum = np.cumsum(probs, axis=1)
+    out = np.empty((n_seqs, seq_len), np.int64)
+    # start anywhere in the active state range (max successor value bounds it)
+    cur = rng.integers(2, int(succ.max()) + 1, n_seqs)
+    out[:, 0] = cur
+    for t in range(1, seq_len):
+        u = rng.random(n_seqs)
+        choice = (u[:, None] > cum[cur]).sum(axis=1).clip(0, nb - 1)
+        cur = succ[cur, choice]
+        out[:, t] = cur
+    return out.astype(np.int32)

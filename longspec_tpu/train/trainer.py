@@ -138,3 +138,47 @@ def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
 def init_train_state(draft_params, optimizer) -> TrainState:
     return TrainState(draft_params, optimizer.init(draft_params),
                       jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Full-model (target) language-model training — used to pretrain benchmark
+# targets on synthetic data, and available as a general LM trainer.
+# ---------------------------------------------------------------------------
+
+def make_lm_train_step(cfg: ModelConfig, optimizer, attn_impl: str = "chunked",
+                       anchor_offset: bool = True):
+    """Jitted step(state, tokens, rng) -> (state, metrics) training ALL target
+    params with the chunked fused CE. Use a factored optimizer (adafactor)
+    for large models — AdamW moments for multi-B params exceed one chip.
+
+    `anchor_offset` applies the same position randomization the draft uses
+    (sink + random offset, ref `llama_glide.py:518-528`): a model trained
+    only on positions [0, S) emits degenerate tokens at decode positions far
+    beyond S; offset randomization makes short-sequence training usable at
+    long-context inference — the LongSpec trick, applied to target pretraining.
+    """
+
+    def step(state: TrainState, tokens, rng):
+        b, s = tokens.shape
+        positions = anchor_offset_positions(
+            jax.random.fold_in(rng, state.step), b, s,
+            cfg.max_position_embeddings, apply=anchor_offset)
+
+        def loss_fn(p):
+            hidden = M.forward_train(p, cfg, tokens, positions=positions,
+                                     attn_impl=attn_impl)
+            w = M.lm_head_weight(p)
+            return fused_linear_ce(hidden[:, :-1], w, tokens[:, 1:])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.draft_params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.draft_params)
+        params = optax.apply_updates(state.draft_params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_adafactor(lr: float = 1e-3, warmup_steps: int = 100):
+    sched = optax.warmup_cosine_decay_schedule(0.0, lr, warmup_steps, 100000)
+    return optax.adafactor(learning_rate=sched)
