@@ -1,0 +1,188 @@
+"""Pallas TPU flash-attention prefill kernel (causal + sliding window).
+
+TPU-native equivalent of the reference's `flash_attn_func` uses
+(`longspec/test/llama.py:218` causal prefill; `llama_glide.py:199,227`
+sliding-window draft prefill) plus per-row valid lengths and an optional
+"external keys" mode for the draft's lag-0 cross-attention prefill
+(`llama_glide.py:263-265`: query i attends key rows [0, i+1)).
+
+Design: grid (B, Hkv, n_q_blocks, n_k_blocks) — for each (batch, kv-head,
+query block) the KV blocks stream sequentially with online-softmax scratch.
+Blocks fully outside the causal/window band are skipped: compute is
+predicated off and DMA avoided by clamping the index map to the last block
+that intersects the band (consecutive equal indices skip the re-fetch).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _prefill_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr,
+                    *, scale, q_blk, k_blk, window, anchors, g, t):
+    qi = pl.program_id(2)
+    kc = pl.program_id(3)
+
+    @pl.when(kc == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    b_idx = pl.program_id(0)
+    seq_len = lens_ref[b_idx]
+    q_start = qi * q_blk
+    k_start = kc * k_blk
+    # block intersects the band iff k_start <= q_end and (no window or
+    # k_end > q_start - window) and k_start < seq_len
+    q_end = q_start + q_blk - 1
+    live = (k_start <= q_end) & (k_start < seq_len)
+    if window is not None:
+        win_live = (k_start + k_blk > q_start - window)
+        if anchors > 0:
+            win_live = win_live | (k_start < anchors)
+        live = live & win_live
+
+    @pl.when(live)
+    def _():
+        # q rows are (g, t) flattened: row = i * t + pos_in_block
+        q = q_ref[0, 0].astype(jnp.float32)           # [G*q_blk, D]
+        k = k_ref[0, 0].astype(jnp.float32)           # [k_blk, D]
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        qpos = q_start + row % q_blk                  # query absolute position
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (col <= qpos) & (col < seq_len) & (qpos < seq_len)
+        if window is not None:
+            vis = col >= qpos - window
+            if anchors > 0:
+                vis = jnp.logical_or(vis, col < anchors)
+            mask = jnp.logical_and(mask, vis)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0].astype(jnp.float32)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when(kc == pl.num_programs(3) - 1)
+    def _():
+        l = l_scr[:]
+        valid = l > 0.0
+        o_ref[0, 0] = jnp.where(valid, acc_scr[:] / jnp.where(valid, l, 1.0), 0.0)
+        m_safe = jnp.where(m_scr[:] > NEG_INF / 2, m_scr[:], 0.0)
+        lse_ref[0, 0] = jnp.where(valid, m_safe + jnp.log(jnp.where(valid, l, 1.0)),
+                                  -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "anchors", "q_blk",
+                                             "k_blk", "interpret", "kv_in_cache_layout"))
+def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                  lengths: jnp.ndarray, window: Optional[int] = None,
+                  anchors: int = 0, q_blk: int = 256, k_blk: int = 512,
+                  interpret: Optional[bool] = None,
+                  kv_in_cache_layout: bool = True):
+    """Causal (optionally sliding-window) self/cross attention over a full
+    sequence with per-row lengths.
+
+    q: [B, S, H, D]; k, v: [B, Hkv, S, D] (cache layout; pass
+    kv_in_cache_layout=False for [B, S, Hkv, D]).
+    Returns (o fp32 [B, S, H, D], lse fp32 [B, S, H]).
+    """
+    b, s, h, d = q.shape
+    if not kv_in_cache_layout:
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+    hkv = k.shape[1]
+    g = h // hkv
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    n_q = -(-s // q_blk)
+    n_k = -(-s // k_blk)
+    s_qpad = n_q * q_blk
+    s_kpad = n_k * k_blk
+    # group queries by kv head: [B, Hkv, G, S, D] -> [B, Hkv, G*S, D] where
+    # within a q block rows are [g0 rows.., g1 rows..] — we instead interleave
+    # blocks: easier layout: [B, Hkv, n_q, G*q_blk, D] flattened.
+    qg = q.transpose(0, 2, 1, 3).reshape(b, hkv, g, s, d)
+    if s_qpad != s:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, s_qpad - s), (0, 0)))
+    # [B, Hkv, G, n_q, q_blk, D] -> [B, Hkv, n_q, G, q_blk, D] -> flat rows
+    qg = qg.reshape(b, hkv, g, n_q, q_blk, d).transpose(0, 1, 3, 2, 4, 5)
+    qg = qg.reshape(b, hkv, n_q * g * q_blk, d)
+    if s_kpad != s:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, s_kpad - s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_kpad - s), (0, 0)))
+
+    rows = g * q_blk
+    lens = lengths.astype(jnp.int32)
+
+    kernel = functools.partial(_prefill_kernel, scale=d ** -0.5, q_blk=q_blk,
+                               k_blk=k_blk, window=window, anchors=anchors,
+                               g=g, t=s)
+    vm = pltpu.VMEM
+    # clamp KV index into the live band for this q block (skip DMA of dead
+    # upper-triangle blocks and, with a window and no anchors, of blocks
+    # entirely left of the window)
+    def k_idx(i, j, qi, kc, lens_pf):
+        last_live = jnp.minimum((qi * q_blk + q_blk - 1) // k_blk, n_k - 1)
+        kcc = jnp.minimum(kc, last_live)
+        if window is not None and anchors == 0:
+            first_live = jnp.maximum((qi * q_blk - window) // k_blk, 0)
+            kcc = jnp.maximum(kcc, first_live)
+        return (i, j, kcc, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, d),
+                         lambda i, j, qi, kc, lens_pf: (i, j, qi, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, k_blk, d), k_idx, memory_space=vm),
+            pl.BlockSpec((1, 1, k_blk, d), k_idx, memory_space=vm),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rows, d),
+                         lambda i, j, qi, kc, lens_pf: (i, j, qi, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, rows, 1),
+                         lambda i, j, qi, kc, lens_pf: (i, j, qi, 0),
+                         memory_space=vm),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, d), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, n_q * rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, n_q * rows, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lens, qg, k, v)
+
+    o = o.reshape(b, hkv, n_q, g, q_blk, d).transpose(0, 1, 3, 2, 4, 5)
+    o = o.reshape(b, hkv, g, s_qpad, d)[:, :, :, :s]
+    o = o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    lse = lse.reshape(b, hkv, n_q, g, q_blk).transpose(0, 1, 3, 2, 4)
+    lse = lse.reshape(b, h, s_qpad)[:, :, :s].transpose(0, 2, 1)
+    return o, lse

@@ -71,3 +71,31 @@ def test_flash_decode_uneven_tail():
     o, lse = flash_decode(q, k, v, k_hi, chunk=128)
     np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=1e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# flash_prefill vs dense oracle
+# ---------------------------------------------------------------------------
+
+from longspec_tpu.models.llama import causal_self_attention
+from longspec_tpu.ops.pallas_prefill import flash_prefill
+
+
+@pytest.mark.parametrize("window,anchors", [(None, 0), (64, 0), (64, 4)])
+def test_flash_prefill_vs_dense(window, anchors):
+    b, s, h, hkv, d = 2, 200, 4, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.float32)
+    lengths = jnp.asarray([s, s - 37], jnp.int32)
+    o_ref, lse_ref = causal_self_attention(q, k, v, lengths, window, anchors,
+                                           "dense")
+    o, lse = flash_prefill(q, k, v, lengths, window=window, anchors=anchors,
+                           q_blk=64, k_blk=64)
+    # rows beyond lengths are undefined; compare valid region only
+    for bi, L in enumerate([s, s - 37]):
+        np.testing.assert_allclose(np.asarray(o[bi, :L]), np.asarray(o_ref[bi, :L]),
+                                   atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(lse[bi, :L]),
+                                   np.asarray(lse_ref[bi, :L]), atol=1e-5, rtol=1e-4)
