@@ -295,6 +295,152 @@ class SpecEngine:
                         count, num, carry.rounds + 1, rng)
 
     # ------------------------------------------------------------------
+    # MagicDec / StreamingLLM self-speculation baseline
+    # (ref magicdec_generate, llama_glide.py:776-913; stream cache build
+    #  llama.py:228-264; draft step fix_stream_spec llama.py:331-355)
+    # ------------------------------------------------------------------
+
+    def _magicdec_prefill(self, params, tokens, lengths, state: DecodeState,
+                          rng):
+        """Target prefill + sink/recent stream-cache construction.
+
+        The stream cache (the target's own "draft" view) holds
+        `magicdec_sink` anchor rows + the `magicdec_window` most recent rows
+        of every layer's KV; it lives in DecodeState.d_kv_k/d_kv_v with
+        shape [L, B, Hkv, S_stream, D].
+        """
+        cfg, ecfg = self.cfg, self.ecfg
+        sink, win = ecfg.magicdec_sink, ecfg.magicdec_window
+        b, s = tokens.shape
+        h, kv_k, kv_v = M.forward_prefill(params, cfg, tokens, lengths,
+                                          state.kv_k, state.kv_v,
+                                          attn_impl=ecfg.attn_impl)
+        last_h = jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0]
+        logits0 = M.logits_at(params, last_h)
+        t0 = _sample(logits0, rng, ecfg.temperature)
+
+        # stream row j sources full-cache row: identity when len <= sink+win,
+        # else [0..sink) ++ [len-win, len)
+        j = jnp.arange(sink + win)
+        src = jnp.where(lengths[:, None] <= sink + win, j[None, :],
+                        jnp.where(j[None, :] < sink, j[None, :],
+                                  lengths[:, None] - win + (j[None, :] - sink)))
+        src = jnp.clip(src, 0, kv_k.shape[3] - 1)             # [B, sink+win]
+
+        def gather_stream(cache):
+            # cache [L, B, Hkv, S, D] -> [L, B, Hkv, sink+win, D]
+            return jnp.take_along_axis(
+                cache, src[None, :, None, :, None], axis=3)
+
+        s_stream = state.d_kv_k.shape[3]
+        pad = s_stream - (sink + win)
+        d_kv_k = jnp.pad(gather_stream(kv_k), ((0, 0),) * 3 + ((0, pad), (0, 0)))
+        d_kv_v = jnp.pad(gather_stream(kv_v), ((0, 0),) * 3 + ((0, pad), (0, 0)))
+        d_lens = jnp.minimum(lengths, sink + win).astype(jnp.int32)
+        new_state = DecodeState(kv_k, kv_v, d_kv_k.astype(state.d_kv_k.dtype),
+                                d_kv_v.astype(state.d_kv_v.dtype),
+                                cache_lens=lengths.astype(jnp.int32),
+                                d_cache_lens=d_lens)
+        return new_state, t0, logits0
+
+    def _magicdec_round(self, params, draft_params, carry: GenCarry):
+        """One MagicDec round: identical skeleton to `_chain_round`, with
+        the target-over-stream-cache standing in for the GLIDE draft
+        (`draft_params` is ignored — self-speculation)."""
+        cfg, ecfg = self.cfg, self.ecfg
+        gamma = ecfg.gamma
+        A = gamma + 1
+        b = carry.acc_tokens.shape[0]
+        st = carry.state
+        rng = carry.rng
+
+        # ---- 1. stream-cache re-encode of accepted tokens ----
+        # acc_tokens[j] sits at sequence position cache_lens - acc_len + 1 + j
+        # (the last accepted token is the new bonus at position cache_lens).
+        pos = (st.cache_lens - carry.acc_len + 1)[:, None] + jnp.arange(A)[None, :]
+        cmaskA = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
+        h, d_kv_k, d_kv_v = M.forward_append(
+            params, cfg, carry.acc_tokens, pos, cmaskA, st.d_cache_lens,
+            st.d_kv_k, st.d_kv_v, attn_impl=ecfg.attn_impl,
+            write_at=st.d_cache_lens)
+        d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
+        bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
+        logits = M.logits_at(params, bonus_h)
+
+        # ---- 2. gamma-1 more single-token stream draft steps ----
+        spec = jnp.zeros((b, A), jnp.int32)
+        bonus = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
+        spec = spec.at[:, 0].set(bonus)
+        spec_logits = jnp.zeros((b, A, cfg.vocab_size), jnp.float32)
+        d1 = jnp.argmax(logits, -1).astype(jnp.int32)
+        spec = spec.at[:, 1].set(d1)
+        spec_logits = spec_logits.at[:, 1].set(logits)
+        smask1 = jnp.ones((b, 1, 1), bool)
+        cur = d1
+        dkk, dkv, dcl = d_kv_k, d_kv_v, d_cache_lens
+        pos_cur = st.cache_lens + 1  # true position of `cur` (d1 follows bonus)
+        for s_i in range(1, gamma):
+            hi, dkk, dkv = M.forward_append(
+                params, cfg, cur[:, None], pos_cur[:, None], smask1, dcl,
+                dkk, dkv, attn_impl=ecfg.attn_impl, write_at=dcl)
+            dcl = dcl + jnp.where(carry.done, 0, 1)
+            pos_cur = pos_cur + 1
+            li = M.logits_at(params, hi[:, 0])
+            cur = jnp.argmax(li, -1).astype(jnp.int32)
+            spec = spec.at[:, s_i + 1].set(cur)
+            spec_logits = spec_logits.at[:, s_i + 1].set(li)
+
+        # ---- 3. full-cache target verify + accept (chain semantics) ----
+        pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
+        cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
+        hv, kv_k, kv_v = M.forward_append(
+            params, cfg, spec, pos_t, cmask, st.cache_lens,
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl)
+        ver_logits = M.logits_at(params, hv)
+        tgt_out = jnp.argmax(ver_logits, -1).astype(jnp.int32)
+
+        if ecfg.temperature == 0.0:
+            ok = (tgt_out[:, :-1] == spec[:, 1:])
+            verification = jnp.cumprod(ok.astype(jnp.int32), axis=-1)
+            correct_len = jnp.sum(verification, -1) + 1
+            emit = tgt_out
+        else:
+            q_probs = jax.nn.softmax(spec_logits[:, 1:] / ecfg.temperature, -1)
+            p_probs = jax.nn.softmax(ver_logits[:, :-1] / ecfg.temperature, -1)
+            gidx = spec[:, 1:, None]
+            q_tok = jnp.take_along_axis(q_probs, gidx, -1)[..., 0]
+            p_tok = jnp.take_along_axis(p_probs, gidx, -1)[..., 0]
+            eps = 1e-9
+            alpha = jnp.clip((p_tok + eps) / (q_tok + eps), 0.0, 1.0)
+            rng, k_acc, k_res = jax.random.split(rng, 3)
+            accept = jax.random.uniform(k_acc, alpha.shape) < alpha
+            resample = jax.random.categorical(
+                k_res, jnp.log(jnp.maximum(p_probs, 1e-38)), axis=-1).astype(jnp.int32)
+            ver_tokens = jnp.where(accept, spec[:, 1:], resample)
+            rng, k_b = jax.random.split(rng)
+            last = _sample(ver_logits[:, -1], k_b, ecfg.temperature)
+            emit = jnp.concatenate([ver_tokens, last[:, None]], axis=1)
+            verification = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
+            correct_len = jnp.sum(verification, -1) + 1
+
+        adv = jnp.where(carry.done, 0, correct_len)
+        cache_lens = st.cache_lens + adv
+        output_ids = _masked_row_write(carry.output_ids, emit, carry.out_len,
+                                       carry.done)
+        out_len = carry.out_len + adv
+        kj = jnp.arange(A)[None, :]
+        has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
+        out_buf = carry.output_ids.shape[1]
+        done = carry.done | has_eos | (out_len + A >= out_buf)
+        count = carry.count + jnp.sum(jnp.where(carry.done, 0, adv - 1))
+        num = carry.num + jnp.sum(~carry.done)
+        acc_len = jnp.where(done, 1, correct_len)
+
+        st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens)
+        return GenCarry(st, emit, acc_len, output_ids, out_len, done,
+                        count, num, carry.rounds + 1, rng)
+
+    # ------------------------------------------------------------------
     # Tree speculation (ref tree_spec_generate, llama_glide.py:915-1126)
     # ------------------------------------------------------------------
 
@@ -492,13 +638,31 @@ class SpecEngine:
         prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
         if s_max is None:
             s_max = s + max_gen_len + ecfg.tree_size + 8
-        state = self.init_state(b, s_max, state_dtype)
+        if method == "magicdec":
+            # stream cache replaces the draft cache: [L, B, Hkv, S_stream, D]
+            sink, win = ecfg.magicdec_sink, ecfg.magicdec_window
+            s_stream = sink + win + max_gen_len + ecfg.gamma + 8
+            kv_k, kv_v = M.alloc_kv_cache(cfg, b, s_max, state_dtype)
+            d_shape = (cfg.num_layers, b, cfg.num_kv_heads, s_stream,
+                       cfg.head_dim_)
+            state = DecodeState(kv_k, kv_v,
+                                jnp.zeros(d_shape, state_dtype),
+                                jnp.zeros(d_shape, state_dtype),
+                                jnp.zeros((b,), jnp.int32),
+                                jnp.zeros((b,), jnp.int32))
+        else:
+            state = self.init_state(b, s_max, state_dtype)
         rng = jax.random.PRNGKey(seed)
         rng, k_pre, k_gen = jax.random.split(rng, 3)
 
-        prefill = self._get_jit("prefill", self._prefill_impl)
-        state, t0, _ = prefill(self.params, self.draft_params, input_ids,
-                               prompt_lens, state, k_pre)
+        if method == "magicdec":
+            prefill = self._get_jit("magicdec_prefill", self._magicdec_prefill)
+            state, t0, _ = prefill(self.params, input_ids, prompt_lens, state,
+                                   k_pre)
+        else:
+            prefill = self._get_jit("prefill", self._prefill_impl)
+            state, t0, _ = prefill(self.params, self.draft_params, input_ids,
+                                   prompt_lens, state, k_pre)
         np.asarray(t0)  # force full sync (block_until_ready can be a no-op
         # through remote-TPU relays; a host readback is the only hard barrier)
 
@@ -519,6 +683,8 @@ class SpecEngine:
 
         if method == "chain":
             round_fn, a_max = self._chain_round, ecfg.gamma + 1
+        elif method == "magicdec":
+            round_fn, a_max = self._magicdec_round, ecfg.gamma + 1
         elif method == "tree":
             round_fn, a_max = self._tree_round, ecfg.tree_depth + 1
         else:
@@ -564,3 +730,9 @@ class SpecEngine:
     def tree_spec_generate(self, input_ids, prompt_lens, max_gen_len=64, seed=0,
                            **kw):
         return self._run("tree", input_ids, prompt_lens, max_gen_len, seed, **kw)
+
+    def magicdec_generate(self, input_ids, prompt_lens, max_gen_len=64, seed=0,
+                          **kw):
+        """StreamingLLM self-speculation baseline (ref llama_glide.py:776)."""
+        return self._run("magicdec", input_ids, prompt_lens, max_gen_len, seed,
+                         **kw)

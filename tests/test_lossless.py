@@ -56,6 +56,38 @@ def test_lossless_greedy_random_draft(method):
         assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
 
 
+@pytest.mark.parametrize("trunc", [False, True])
+def test_lossless_magicdec(trunc):
+    """MagicDec self-speculation is exactly lossless at T=0 (verification
+    uses the full cache) both when the stream cache covers the whole prompt
+    and when it truncates it (ref llama.py:228-264)."""
+    eng, cfg = build_engine()
+    if trunc:
+        # shrink sink+window below the prompt so compression kicks in
+        from longspec_tpu.config import EngineConfig
+        eng.ecfg = EngineConfig(tree_shape=eng.ecfg.tree_shape, gamma=3,
+                                temperature=0.0, attn_impl="dense",
+                                magicdec_sink=4, magicdec_window=8)
+    rng = np.random.default_rng(5)
+    B, S = 2, 21
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 6], np.int32)
+    max_gen = 24
+
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    out = eng.magicdec_generate(toks, lens, max_gen_len=max_gen,
+                                state_dtype=jnp.float32)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
+        m = min(len(v), len(s), max_gen)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+    if not trunc:
+        # full coverage -> self-draft always agrees -> every round accepts all
+        assert out["count"] > 0
+
+
 @pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
 def test_lossless_greedy_strong_draft(method):
     """Draft initialized so that acceptance > 0: copy target blocks into the
