@@ -1,0 +1,3 @@
+from .collators import (SFTCollator, LongDataCollator, LongCoTCollator,
+                        pack_documents)
+from .dataset import MappingDataset, MultiMappingDataset, add_id_aligner, concat_aligner

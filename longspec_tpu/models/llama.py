@@ -158,6 +158,10 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
                                             anchors, chunk=1024)
         return None, (o, lse)
 
+    # checkpoint per query block: backward recomputes each block's online
+    # softmax instead of saving every per-KV-chunk probability matrix
+    # (which is O(S^2) across blocks and OOMs full-param training at 4k+)
+    body = jax.checkpoint(body, prevent_cse=False)
     _, (o, lse) = jax.lax.scan(body, None, (qb, jnp.arange(n_blocks)))
     o = o.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * q_chunk, h, d)
     lse = lse.transpose(1, 0, 2, 3).reshape(b, n_blocks * q_chunk, h)

@@ -1,0 +1,180 @@
+"""Unit tests for the auxiliary subsystems: data pipeline, checkpointing,
+observability, experiment config, evaluator."""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def toy_encode(text):
+    return [ord(c) % 250 + 3 for c in text]
+
+
+# ---------------------------------------------------------------------------
+# data
+# ---------------------------------------------------------------------------
+
+def test_sft_collator_masks_prompt():
+    from longspec_tpu.data import SFTCollator
+    from longspec_tpu.data.collators import IGNORE_INDEX
+    c = SFTCollator(toy_encode, seq_len=32, pad_id=0, eos_id=2)
+    b = c([{"prompt": "abc", "response": "de"},
+           {"prompt": "x", "response": "yzw"}])
+    assert b["input_ids"].shape == (2, 32)
+    # prompt region ignored, response + eos labeled
+    assert (b["labels"][0, :3] == IGNORE_INDEX).all()
+    assert b["labels"][0, 3] == b["input_ids"][0, 3]
+    assert b["input_ids"][0, 5] == 2  # eos appended
+    assert b["lengths"].tolist() == [6, 5]
+
+
+def test_longdata_collator_no_mask():
+    from longspec_tpu.data import LongDataCollator
+    c = LongDataCollator(toy_encode, seq_len=16, pad_id=0)
+    b = c([{"text": "hello"}])
+    assert (b["labels"][0, :5] == b["input_ids"][0, :5]).all()
+
+
+def test_pack_documents():
+    from longspec_tpu.data import pack_documents
+    docs = [[5, 6, 7], [8, 9]]
+    buf = pack_documents(docs, seq_len=4, pad_id=0, eos_id=2)
+    assert buf.shape == (2, 4)
+    assert buf[0].tolist() == [5, 6, 7, 2]
+    assert buf[1].tolist() == [8, 9, 2, 0]
+
+
+def test_mapping_dataset_and_batches(tmp_path):
+    from longspec_tpu.data import MappingDataset, MultiMappingDataset, \
+        add_id_aligner, SFTCollator
+    from longspec_tpu.data.dataset import batches
+    p1 = tmp_path / "a.jsonl"
+    p1.write_text("\n".join(json.dumps({"q": f"q{i}", "a": f"a{i}"})
+                            for i in range(6)))
+    ds = MappingDataset(str(p1), aligners=[add_id_aligner],
+                        template="Q: {q}\nA:", template_key="prompt",
+                        kv_mapping={"prompt": "prompt", "a": "response",
+                                    "id": "id"})
+    assert len(ds) == 6 and ds[0]["prompt"].startswith("Q: q0")
+    mds = MultiMappingDataset(str(tmp_path / "*.jsonl"),
+                              template="Q: {q}\nA:", template_key="prompt",
+                              kv_mapping={"prompt": "prompt", "a": "response"})
+    assert len(mds) == 6
+    coll = SFTCollator(toy_encode, seq_len=24)
+    got = list(batches(mds, coll, batch_size=2, seed=1))
+    assert len(got) == 3 and got[0]["input_ids"].shape == (2, 24)
+    # dp sharding splits batches across ranks disjointly
+    r0 = list(batches(mds, coll, 2, seed=1, dp_rank=0, dp_size=2))
+    r1 = list(batches(mds, coll, 2, seed=1, dp_rank=1, dp_size=2))
+    assert len(r0) + len(r1) == 3
+
+
+# ---------------------------------------------------------------------------
+# checkpoint
+# ---------------------------------------------------------------------------
+
+def test_checkpoint_rotation_and_resume(tmp_path):
+    from longspec_tpu.train.checkpoint import CheckpointManager, load_draft
+    cm = CheckpointManager(str(tmp_path))
+    state = {"w": jnp.arange(4, dtype=jnp.bfloat16),
+             "opt": {"m": jnp.ones((2,), jnp.float32)}}
+    d1 = cm.save(state, step=1, draft_params={"w": jnp.ones((2,))})
+    state2 = {"w": jnp.arange(4, dtype=jnp.bfloat16) * 2,
+              "opt": {"m": jnp.ones((2,), jnp.float32) * 2}}
+    d2 = cm.save(state2, step=2, draft_params={"w": jnp.ones((2,)) * 2})
+    assert d1 != d2  # rotated tags
+    got, meta = cm.restore()
+    assert meta["step"] == 2
+    np.testing.assert_array_equal(np.asarray(got["w"], np.float32),
+                                  np.asarray(state2["w"], np.float32))
+    assert got["w"].dtype == jnp.bfloat16
+    # draft-only deploy artifact
+    dp = load_draft(d2)
+    np.testing.assert_allclose(np.asarray(dp["w"]), 2.0)
+    # corrupt the latest -> falls back to the other tag
+    os.remove(os.path.join(d2, "train_state.npz"))
+    got, meta = cm.restore()
+    assert meta["step"] == 1
+    # best-checkpoint note (lower is better)
+    assert cm.note_best(1.0, 1) and not cm.note_best(2.0, 2)
+
+
+# ---------------------------------------------------------------------------
+# observability
+# ---------------------------------------------------------------------------
+
+def test_metrics_writer_and_meter(tmp_path):
+    from longspec_tpu.utils.logging import MetricsWriter, AverageMeter, \
+        setup_logger
+    setup_logger(str(tmp_path))
+    mw = MetricsWriter(str(tmp_path), "r1", config={"lr": 1e-3})
+    mw.log(1, {"loss": 2.0})
+    mw.log(2, {"loss": 1.0})
+    assert mw.summary()["loss/min"] == 1.0
+    mw.close()
+    rows = [json.loads(l) for l in open(mw.path)]
+    assert rows[1]["loss"] == 1.0
+    m = AverageMeter()
+    m.update(1.0, 2)
+    m.update(4.0, 1)
+    assert abs(m.avg - 2.0) < 1e-9
+    assert abs(m.gather() - 2.0) < 1e-9  # single process
+
+
+# ---------------------------------------------------------------------------
+# experiment config
+# ---------------------------------------------------------------------------
+
+def test_expconfig_compose_interp_instantiate(tmp_path):
+    from longspec_tpu.train.expconfig import load_config, instantiate
+    (tmp_path / "deepspeed").mkdir()
+    (tmp_path / "exp").mkdir()
+    (tmp_path / "deepspeed" / "base.yaml").write_text(
+        "zero_stage: 1\nlr_schedule: cosine\n")
+    (tmp_path / "exp" / "main.yaml").write_text("""
+defaults:
+  - deepspeed@ds_cfg: base
+model_name: tiny
+output_dir: out/${model_name}
+lr: 5.0e-4
+collator:
+  _target_: longspec_tpu.data.collators.SFTCollator
+  encode:
+    _target_: tests.test_aux.toy_encode
+    _partial_: true
+  seq_len: 16
+""")
+    cfg = load_config(str(tmp_path / "exp" / "main.yaml"),
+                      overrides=["--lr=1e-3", "ds_cfg.zero_stage=3"])
+    assert cfg["output_dir"] == "out/tiny"
+    assert cfg["lr"] == 1e-3
+    assert cfg["ds_cfg"]["zero_stage"] == 3
+    assert cfg["ds_cfg"]["lr_schedule"] == "cosine"
+    coll = instantiate(cfg["collator"])
+    out = coll([{"prompt": "ab", "response": "c"}])
+    assert out["input_ids"].shape == (1, 16)
+
+
+# ---------------------------------------------------------------------------
+# evaluator
+# ---------------------------------------------------------------------------
+
+def test_evaluator_loss_only(tmp_path):
+    from longspec_tpu.config import tiny_test, DraftConfig
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.train.evaluator import evaluate
+    cfg = tiny_test()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(0)
+    toks = rng.integers(2, cfg.vocab_size, (4, 24)).astype(np.int32)
+    batches = [{"input_ids": toks[:2], "labels": toks[:2]},
+               {"input_ids": toks[2:], "labels": toks[2:]}]
+    out = evaluate(dparams, params, cfg, DraftConfig(window=8), batches,
+                   attn_impl="dense", output_dir=str(tmp_path))
+    assert np.isfinite(out["eval/loss"]) and out["eval/loss"] > 0
+    assert (tmp_path / "eval_predictions.jsonl").exists()
