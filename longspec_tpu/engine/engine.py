@@ -213,7 +213,10 @@ class SpecEngine:
         bonus = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
         spec = spec.at[:, 0].set(bonus)
         spec_logits = jnp.zeros((b, A, cfg.vocab_size), jnp.float32)
-        d1 = jnp.argmax(logits, -1).astype(jnp.int32)
+        # T>0: SAMPLE draft tokens from q (exact Leviathan losslessness
+        # requires proposals ~ q; the reference drafts greedily even at T>0,
+        # which only approximates the target law)
+        d1 = _sample(logits, jax.random.fold_in(k_draft, 0), ecfg.temperature)
         spec = spec.at[:, 1].set(d1)
         spec_logits = spec_logits.at[:, 1].set(logits)
         smask1 = jnp.ones((b, 1, 1), bool)
@@ -229,7 +232,8 @@ class SpecEngine:
                 suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             li = M.logits_at(params, hi[:, 0])
-            cur = jnp.argmax(li, -1).astype(jnp.int32)
+            cur = _sample(li, jax.random.fold_in(k_draft, s_i),
+                          ecfg.temperature)
             spec = spec.at[:, s_i + 1].set(cur)
             spec_logits = spec_logits.at[:, s_i + 1].set(li)
         # NOTE: draft cache rows for spec tokens 1..gamma-1 were written at
@@ -352,7 +356,7 @@ class SpecEngine:
         A = gamma + 1
         b = carry.acc_tokens.shape[0]
         st = carry.state
-        rng = carry.rng
+        rng, k_draft = jax.random.split(carry.rng)
 
         # ---- 1. stream-cache re-encode of accepted tokens ----
         # acc_tokens[j] sits at sequence position cache_lens - acc_len + 1 + j
@@ -372,7 +376,8 @@ class SpecEngine:
         bonus = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
         spec = spec.at[:, 0].set(bonus)
         spec_logits = jnp.zeros((b, A, cfg.vocab_size), jnp.float32)
-        d1 = jnp.argmax(logits, -1).astype(jnp.int32)
+        # T>0: sample draft tokens from q (see _chain_round)
+        d1 = _sample(logits, jax.random.fold_in(k_draft, 0), ecfg.temperature)
         spec = spec.at[:, 1].set(d1)
         spec_logits = spec_logits.at[:, 1].set(logits)
         smask1 = jnp.ones((b, 1, 1), bool)
@@ -386,7 +391,8 @@ class SpecEngine:
             dcl = dcl + jnp.where(carry.done, 0, 1)
             pos_cur = pos_cur + 1
             li = M.logits_at(params, hi[:, 0])
-            cur = jnp.argmax(li, -1).astype(jnp.int32)
+            cur = _sample(li, jax.random.fold_in(k_draft, s_i),
+                          ecfg.temperature)
             spec = spec.at[:, s_i + 1].set(cur)
             spec_logits = spec_logits.at[:, s_i + 1].set(li)
 
