@@ -178,3 +178,21 @@ def test_evaluator_loss_only(tmp_path):
                    attn_impl="dense", output_dir=str(tmp_path))
     assert np.isfinite(out["eval/loss"]) and out["eval/loss"] > 0
     assert (tmp_path / "eval_predictions.jsonl").exists()
+
+
+# ---------------------------------------------------------------------------
+# math answer scoring
+# ---------------------------------------------------------------------------
+
+def test_mathx_extract_and_equal():
+    from longspec_tpu.utils.mathx import extract_answer, answers_equal, \
+        score_generations
+    assert extract_answer(r"... so the result is \boxed{042}.") == "042"
+    assert answers_equal(extract_answer("The final answer is 1,234."), "1234")
+    assert answers_equal("042", "42")
+    assert answers_equal("1/2", "0.5")
+    assert answers_equal(r"\frac{3}{4}", "0.75")
+    assert not answers_equal("41", "42")
+    recs = [{"output": r"\boxed{7}", "answer": "7"},
+            {"output": "answer is 9", "answer": "8"}]
+    assert score_generations(recs) == 0.5
