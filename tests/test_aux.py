@@ -196,3 +196,15 @@ def test_mathx_extract_and_equal():
     recs = [{"output": r"\boxed{7}", "answer": "7"},
             {"output": "answer is 9", "answer": "8"}]
     assert score_generations(recs) == 0.5
+
+
+def test_phase_timer():
+    from longspec_tpu.utils.profiling import PhaseTimer
+    import jax.numpy as jnp
+    pt = PhaseTimer()
+    with pt.phase("a", sync_on=jnp.ones((2,))):
+        pass
+    with pt.phase("a"):
+        pass
+    rep = pt.report()
+    assert rep["a"]["count"] == 2 and rep["a"]["total_s"] >= 0
