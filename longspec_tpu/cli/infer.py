@@ -101,7 +101,7 @@ def load_engine(args):
     from ..engine.engine import SpecEngine
 
     tokenizer = AutoTokenizer.from_pretrained(args.target_path)
-    params, cfg = load_hf_checkpoint(args.target_path, jnp.bfloat16)
+    cfg, params = load_hf_checkpoint(args.target_path, jnp.bfloat16)
     if os.path.isdir(args.draft_path) and not os.path.exists(
             os.path.join(args.draft_path, "draft_model_weights.npz")):
         from ..models.convert import load_safetensors_dir, \

@@ -22,6 +22,14 @@ def config_from_hf(hf_cfg) -> ModelConfig:
     """Build ModelConfig from a transformers PretrainedConfig (Llama/Qwen2)."""
     get = lambda k, d=None: getattr(hf_cfg, k, d)
     is_qwen = "qwen2" in str(get("model_type", "")).lower()
+    # HF Llama-3.x ships eos_token_id as a list ([128001, 128009]); the
+    # engine needs a scalar for stop checks and buffer fills.
+    eos = get("eos_token_id", 2)
+    if isinstance(eos, (list, tuple)):
+        eos = eos[0] if eos else 2
+    pad = get("pad_token_id", 0)
+    if isinstance(pad, (list, tuple)):
+        pad = pad[0] if pad else 0
     return ModelConfig(
         vocab_size=hf_cfg.vocab_size,
         hidden_size=hf_cfg.hidden_size,
@@ -35,8 +43,8 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         attention_bias=bool(get("attention_bias", False)) or is_qwen,
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         max_position_embeddings=get("max_position_embeddings", 16384),
-        pad_token_id=get("pad_token_id", 0) or 0,
-        eos_token_id=get("eos_token_id", 2),
+        pad_token_id=pad or 0,
+        eos_token_id=eos,
     )
 
 

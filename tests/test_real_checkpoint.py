@@ -1,0 +1,210 @@
+"""Real-checkpoint end-to-end tests: tiny HF-format checkpoint directories
+(config.json + safetensors + tokenizer) written to disk, then driven through
+the PUBLIC CLI entry points — the reference's primary deliverable
+(`inference_long-bench.py:104-260`: load an HF target + draft dir, run a
+task, report mean_accept/tok_s).
+
+Round-1 gap this closes: both CLIs' `load_hf_checkpoint` call sites were
+untested (and had a swapped tuple unpack); every real-checkpoint invocation
+crashed while the synthetic-model test branch stayed green.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+VOCAB = 211
+
+
+def _write_tokenizer(path: str):
+    """Tiny offline word-level tokenizer: ids 2..V-1 are words 't2'..'tN'."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<unk>": 0, "</s>": 1}
+    vocab.update({f"t{i}": i for i in range(2, VOCAB)})
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>",
+                                   eos_token="</s>", pad_token="<unk>")
+    fast.save_pretrained(path)
+
+
+def _write_hf_checkpoint(path: str, family: str):
+    """Tiny random-weight HF checkpoint dir in the given family's geometry."""
+    import torch
+    if family == "llama":
+        from transformers import LlamaConfig, LlamaForCausalLM
+        cfg = LlamaConfig(vocab_size=VOCAB, hidden_size=64,
+                          intermediate_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          max_position_embeddings=2048, rope_theta=10000.0,
+                          # Llama-3.x style LIST eos (regression: must be
+                          # normalized to a scalar by config_from_hf)
+                          eos_token_id=[1], pad_token_id=0,
+                          tie_word_embeddings=False)
+        torch.manual_seed(0)
+        model = LlamaForCausalLM(cfg)
+    else:
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+        cfg = Qwen2Config(vocab_size=VOCAB, hidden_size=64,
+                          intermediate_size=128, num_hidden_layers=2,
+                          num_attention_heads=4, num_key_value_heads=2,
+                          max_position_embeddings=2048, rope_theta=10000.0,
+                          eos_token_id=1, pad_token_id=0,
+                          tie_word_embeddings=False)
+        torch.manual_seed(1)
+        model = Qwen2ForCausalLM(cfg)
+    model.eval().to(torch.float32)
+    model.save_pretrained(path, safe_serialization=True)
+    _write_tokenizer(path)
+    return model
+
+
+def _write_draft(path: str, target_dir: str):
+    import jax
+    from longspec_tpu.models.convert import load_hf_checkpoint
+    from longspec_tpu.models.glide import init_draft_params
+    from longspec_tpu.train.checkpoint import export_draft
+    cfg, _ = load_hf_checkpoint(target_dir)
+    dparams = init_draft_params(jax.random.PRNGKey(7), cfg)
+    export_draft(path, dparams, config_dict={"window": 16})
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def llama_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("llama_hf")
+    target = str(d / "target")
+    draft = str(d / "draft")
+    _write_hf_checkpoint(target, "llama")
+    cfg = _write_draft(draft, target)
+    return target, draft, cfg
+
+
+def test_infer_cli_tree_end_to_end(llama_ckpt, tmp_path, capsys):
+    """`cli.infer.main` from an on-disk HF checkpoint through tree decode:
+    loads tokenizer/target/draft, runs warm-up + generation, writes the
+    per-prompt jsonl and prints harness metrics."""
+    target, draft, cfg = llama_ckpt
+    assert cfg.eos_token_id == 1  # list eos normalized
+    data = tmp_path / "aime.jsonl"
+    words = " ".join(f"t{2 + (i * 7) % (VOCAB - 2)}" for i in range(40))
+    with open(data, "w") as f:
+        f.write(json.dumps({"problem": words}) + "\n")
+
+    from longspec_tpu.cli.infer import main
+    rc = main(["--target-path", target, "--draft-path", draft,
+               "--task", "aime", "--data-path", str(data),
+               "--method", "tree", "--tree-shape", "2", "3", "3",
+               "--max-gen-len", "12", "--window", "16",
+               "--attn-impl", "dense",
+               "--out-dir", str(tmp_path / "out")])
+    assert rc == 0
+    rows = [json.loads(l) for l in
+            open(tmp_path / "out" / "aime_tree.jsonl")]
+    assert len(rows) == 1 and rows[0]["num"] >= 1
+    assert isinstance(rows[0]["output"], str)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["task"] == "aime" and summary["mean_accept"] >= 1.0
+    assert summary["tok_s"] > 0
+
+
+def test_infer_cli_length_filter(llama_ckpt, tmp_path, capsys):
+    """Non-aime tasks keep the reference's 1200 < len <= budget filter
+    (`inference_long-bench.py:117-128`): a short context is rejected."""
+    target, draft, _ = llama_ckpt
+    data = tmp_path / "gov.jsonl"
+    with open(data, "w") as f:
+        f.write(json.dumps({"context": "t2 t3 t4", "input": ""}) + "\n")
+    from longspec_tpu.cli.infer import main
+    rc = main(["--target-path", target, "--draft-path", draft,
+               "--task", "gov_report", "--data-path", str(data),
+               "--method", "tree", "--max-gen-len", "4",
+               "--out-dir", str(tmp_path / "out2")])
+    assert rc == 1  # no prompts pass the filter
+
+
+def test_qwen2_checkpoint_loads_and_decodes(tmp_path):
+    """Qwen2-geometry HF dir (attention bias) through load_engine + one tree
+    generation; prefill logits cross-checked against the HF torch model."""
+    import torch
+    import jax.numpy as jnp
+    target = str(tmp_path / "target")
+    draft = str(tmp_path / "draft")
+    hf = _write_hf_checkpoint(target, "qwen2")
+    _write_draft(draft, target)
+
+    from longspec_tpu.cli.infer import get_args, load_engine
+    args = get_args(["--target-path", target, "--draft-path", draft,
+                     "--task", "aime", "--data-path", "/dev/null",
+                     "--tree-shape", "2", "3", "--window", "16",
+                     "--attn-impl", "dense"])
+    eng, tokenizer, cfg = load_engine(args)
+    assert cfg.attention_bias  # qwen2 family
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(2, VOCAB, (1, 10)).astype(np.int32)
+    # prefill logits parity vs HF torch (bf16 load tolerance)
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(toks)).logits[0, -1].numpy()
+    from longspec_tpu.models import llama as M
+    kv_k, kv_v = M.alloc_kv_cache(cfg, 1, 16, jnp.float32)
+    h, _, _ = M.forward_prefill(eng.params, cfg, jnp.asarray(toks),
+                                jnp.asarray([10]), kv_k, kv_v,
+                                attn_impl="dense")
+    mine = np.asarray(M.logits_at(eng.params, h[0, 9]), np.float32)
+    assert np.argmax(mine) == np.argmax(hf_logits)
+    corr = np.corrcoef(mine, hf_logits)[0, 1]
+    assert corr > 0.98, corr
+
+    out = eng.tree_spec_generate(toks, np.array([10], np.int32),
+                                 max_gen_len=8)
+    ids = out["output_ids"]
+    assert ((ids >= 0) & (ids < VOCAB)).all()
+
+
+def test_train_cli_hf_target(llama_ckpt, tmp_path):
+    """`cli.train.main` with an HF `target_path` (the branch with the
+    round-1 swapped unpack) runs steps and exports the draft."""
+    target, _, _ = llama_ckpt
+    data = tmp_path / "data"
+    data.mkdir()
+    with open(data / "corpus.jsonl", "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"prompt": "ab" * (i + 1),
+                                "response": "cdef" * (i + 1)}) + "\n")
+    cfg = tmp_path / "exp.yaml"
+    cfg.write_text(f"""
+exp_name: hf_t
+output_dir: {tmp_path}/run
+target_path: {target}
+draft:
+  window: 16
+data:
+  pattern: {data}/*.jsonl
+  batch_size: 2
+  collator:
+    _target_: longspec_tpu.data.collators.SFTCollator
+    encode:
+      _target_: tests.test_aux.toy_encode
+      _partial_: true
+    seq_len: 48
+training:
+  total_steps: 2
+  lr: 1.0e-3
+  warmup_steps: 1
+  save_steps: 2
+  log_steps: 1
+  attn_impl: dense
+""")
+    from longspec_tpu.cli.train import main
+    assert main([str(cfg)]) == 0
+    run = tmp_path / "run"
+    assert (run / "checkpoint-last" / "draft_model_weights.npz").exists()
+    rows = [json.loads(l) for l in open(run / "train.metrics.jsonl")]
+    assert rows and np.isfinite(rows[-1]["train/loss"])
