@@ -74,6 +74,13 @@ class EngineConfig:
     # llama.py:255-262): 32 sink tokens + `magicdec_window` recent tokens.
     magicdec_sink: int = 32
     magicdec_window: int = 1024
+    # DRAFT-side beam/proposal scoring head precision. "int8" reads a
+    # per-column-scaled int8 copy of lm_head during draft micro-steps
+    # (halving the dominant HBM read of each tree level); losslessness is
+    # unaffected — q only selects proposals (and at T>0 the sampling and
+    # verification q are the same quantized distribution). Target
+    # VERIFICATION logits always stay full precision.
+    draft_head: str = "bf16"  # "bf16" | "int8"
 
     @property
     def tree_size(self) -> int:

@@ -77,6 +77,48 @@ def _masked_row_write(buf, new, starts, done):
     return jax.vmap(one)(buf, new, starts, done)
 
 
+def _chain_accept(spec, spec_logits, ver_logits, temperature: float, rng):
+    """Shared chain/magicdec acceptance (ref llama_glide.py:715-748).
+
+    T=0: greedy cumulative match. T>0: exact Leviathan — drafts were sampled
+    from q, accept with min(1, p/q), and the first rejected position is
+    resampled from the RESIDUAL norm(max(p-q, 0)) (falling back to p when the
+    residual is empty), which makes the emitted law exactly p. (The reference
+    resamples from p itself, which is only approximate; `engine/verify.py`
+    already used residuals for the tree path.)
+
+    Returns (emit [B, A], correct_len [B], rng).
+    """
+    tgt_out = jnp.argmax(ver_logits, -1).astype(jnp.int32)
+    if temperature == 0.0:
+        ok = (tgt_out[:, :-1] == spec[:, 1:])
+        verification = jnp.cumprod(ok.astype(jnp.int32), axis=-1)
+        correct_len = jnp.sum(verification, -1) + 1  # [B] in [1, A]
+        return tgt_out, correct_len, rng
+    q_probs = jax.nn.softmax(spec_logits[:, 1:] / temperature, -1)
+    p_probs = jax.nn.softmax(ver_logits[:, :-1] / temperature, -1)
+    gidx = spec[:, 1:, None]
+    q_tok = jnp.take_along_axis(q_probs, gidx, -1)[..., 0]
+    p_tok = jnp.take_along_axis(p_probs, gidx, -1)[..., 0]
+    eps = 1e-9
+    alpha = jnp.clip((p_tok + eps) / (q_tok + eps), 0.0, 1.0)
+    rng, k_acc, k_res, k_b = jax.random.split(rng, 4)
+    accept = jax.random.uniform(k_acc, alpha.shape) < alpha
+    residual = jnp.maximum(p_probs - q_probs, 0.0)
+    denom = jnp.sum(residual, -1, keepdims=True)
+    residual = jnp.where(denom > 0, residual / jnp.maximum(denom, 1e-38),
+                         p_probs)
+    resample = jax.random.categorical(
+        k_res, jnp.log(jnp.maximum(residual, 1e-38)), axis=-1).astype(jnp.int32)
+    ver_tokens = jnp.where(accept, spec[:, 1:], resample)
+    # final bonus: target sample at the last position
+    last = _sample(ver_logits[:, -1], k_b, temperature)
+    emit = jnp.concatenate([ver_tokens, last[:, None]], axis=1)
+    verification = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
+    correct_len = jnp.sum(verification, -1) + 1
+    return emit, correct_len, rng
+
+
 class SpecEngine:
     """Holds parameters + jit-compiled generation loops for one model pair."""
 
@@ -90,6 +132,34 @@ class SpecEngine:
         self.ecfg = ecfg
         self.mesh = None  # set to a Mesh to shard DecodeState (parallel/)
         self._jit_cache = {}
+        # int8 draft scoring head: per-vocab-column absmax scales; the int8
+        # copy is read instead of the bf16 lm_head during draft micro-steps
+        # (ROADMAP: ~40% of tree-round time was lm_head re-reads)
+        self._qhead = None
+        if ecfg.draft_head == "int8":
+            w = M.lm_head_weight(params)
+
+            @jax.jit
+            def quantize(w):
+                scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / 127.0
+                w8 = jnp.round(w.astype(jnp.float32) /
+                               jnp.maximum(scale, 1e-30)[None, :])
+                return w8.astype(jnp.int8), scale
+
+            self._qhead = quantize(w)
+
+    def _draft_logits(self, params, h):
+        """Draft-side scoring logits [.., V] fp32 (quantized when enabled)."""
+        if self._qhead is None:
+            return M.logits_at(params, h)
+        w8, scale = self._qhead
+        hf = h.astype(jnp.float32)
+        hmax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+        h8 = jnp.round(hf * (127.0 / jnp.maximum(hmax, 1e-30))).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            h8, w8, (((h8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (hmax / 127.0) * scale
 
     # ------------------------------------------------------------------
     # State allocation & prefill
@@ -193,7 +263,7 @@ class SpecEngine:
         A = gamma + 1
         b = carry.acc_tokens.shape[0]
         st = carry.state
-        rng, k_draft, k_ver = jax.random.split(carry.rng, 3)
+        rng, k_draft = jax.random.split(carry.rng)
 
         # ---- 1. draft re-encode of accepted tokens (micro-step 0) ----
         pos = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
@@ -206,7 +276,7 @@ class SpecEngine:
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
-        logits = M.logits_at(params, bonus_h)  # [B, V] fp32
+        logits = self._draft_logits(params, bonus_h)  # [B, V] fp32
 
         # ---- 2. gamma-1 more single-token draft steps ----
         spec = jnp.zeros((b, A), jnp.int32)
@@ -231,7 +301,7 @@ class SpecEngine:
                 st.kv_k[-1], st.kv_v[-1], st.cache_lens[:, None],
                 suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl)
             dcl = dcl + jnp.where(carry.done, 0, 1)
-            li = M.logits_at(params, hi[:, 0])
+            li = self._draft_logits(params, hi[:, 0])
             cur = _sample(li, jax.random.fold_in(k_draft, s_i),
                           ecfg.temperature)
             spec = spec.at[:, s_i + 1].set(cur)
@@ -248,35 +318,8 @@ class SpecEngine:
             params, cfg, spec, pos_t, cmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl)
         ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
-        tgt_out = jnp.argmax(ver_logits, -1).astype(jnp.int32)
-
-        if ecfg.temperature == 0.0:
-            ok = (tgt_out[:, :-1] == spec[:, 1:])
-            verification = jnp.cumprod(ok.astype(jnp.int32), axis=-1)
-            correct_len = jnp.sum(verification, -1) + 1  # [B] in [1, A]
-            emit = tgt_out
-        else:
-            # Reference chain T>0 semantics (llama_glide.py:715-735):
-            # accept with min(1, p/q) on the greedy draft tokens; rejected
-            # positions replaced by a sample from p.
-            q_probs = jax.nn.softmax(spec_logits[:, 1:] / ecfg.temperature, -1)
-            p_probs = jax.nn.softmax(ver_logits[:, :-1] / ecfg.temperature, -1)
-            gidx = spec[:, 1:, None]
-            q_tok = jnp.take_along_axis(q_probs, gidx, -1)[..., 0]
-            p_tok = jnp.take_along_axis(p_probs, gidx, -1)[..., 0]
-            eps = 1e-9
-            alpha = jnp.clip((p_tok + eps) / (q_tok + eps), 0.0, 1.0)
-            rng, k_acc, k_res = jax.random.split(rng, 3)
-            accept = jax.random.uniform(k_acc, alpha.shape) < alpha
-            resample = jax.random.categorical(
-                k_res, jnp.log(jnp.maximum(p_probs, 1e-38)), axis=-1).astype(jnp.int32)
-            ver_tokens = jnp.where(accept, spec[:, 1:], resample)
-            # final bonus: target sample at the last position
-            rng, k_b = jax.random.split(rng)
-            last = _sample(ver_logits[:, -1], k_b, ecfg.temperature)
-            emit = jnp.concatenate([ver_tokens, last[:, None]], axis=1)
-            verification = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
-            correct_len = jnp.sum(verification, -1) + 1
+        emit, correct_len, rng = _chain_accept(spec, spec_logits, ver_logits,
+                                               ecfg.temperature, rng)
 
         adv = jnp.where(carry.done, 0, correct_len)
         # emitted tokens = emit[:, :correct_len] (target outputs incl. bonus)
@@ -403,31 +446,8 @@ class SpecEngine:
             params, cfg, spec, pos_t, cmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl)
         ver_logits = M.logits_at(params, hv)
-        tgt_out = jnp.argmax(ver_logits, -1).astype(jnp.int32)
-
-        if ecfg.temperature == 0.0:
-            ok = (tgt_out[:, :-1] == spec[:, 1:])
-            verification = jnp.cumprod(ok.astype(jnp.int32), axis=-1)
-            correct_len = jnp.sum(verification, -1) + 1
-            emit = tgt_out
-        else:
-            q_probs = jax.nn.softmax(spec_logits[:, 1:] / ecfg.temperature, -1)
-            p_probs = jax.nn.softmax(ver_logits[:, :-1] / ecfg.temperature, -1)
-            gidx = spec[:, 1:, None]
-            q_tok = jnp.take_along_axis(q_probs, gidx, -1)[..., 0]
-            p_tok = jnp.take_along_axis(p_probs, gidx, -1)[..., 0]
-            eps = 1e-9
-            alpha = jnp.clip((p_tok + eps) / (q_tok + eps), 0.0, 1.0)
-            rng, k_acc, k_res = jax.random.split(rng, 3)
-            accept = jax.random.uniform(k_acc, alpha.shape) < alpha
-            resample = jax.random.categorical(
-                k_res, jnp.log(jnp.maximum(p_probs, 1e-38)), axis=-1).astype(jnp.int32)
-            ver_tokens = jnp.where(accept, spec[:, 1:], resample)
-            rng, k_b = jax.random.split(rng)
-            last = _sample(ver_logits[:, -1], k_b, ecfg.temperature)
-            emit = jnp.concatenate([ver_tokens, last[:, None]], axis=1)
-            verification = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
-            correct_len = jnp.sum(verification, -1) + 1
+        emit, correct_len, rng = _chain_accept(spec, spec_logits, ver_logits,
+                                               ecfg.temperature, rng)
 
         adv = jnp.where(carry.done, 0, correct_len)
         cache_lens = st.cache_lens + adv
@@ -473,7 +493,7 @@ class SpecEngine:
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         root_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
-        root_logp = jax.nn.log_softmax(M.logits_at(params, root_h), axis=-1)
+        root_logp = jax.nn.log_softmax(self._draft_logits(params, root_h), axis=-1)
 
         # ---- 2. tree expansion (beam rule) ----
         root_tok = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
@@ -487,10 +507,24 @@ class SpecEngine:
         if need_q:
             spec_logp = spec_logp.at[:, 0].set(root_logp)
 
-        # level 1: top-k of root distribution
+        # level 1: T=0 -> top-k of the root distribution (greedy beam);
+        # T>0 -> c1 i.i.d. samples from q_T at the root. i.i.d. proposals are
+        # what makes the residual verification walk (engine/verify.py)
+        # EXACTLY target-law — the reference's top-k children at T>0 are only
+        # approximate (`llama_glide.py:1177-1245`).
         c1 = shape[0]
-        logp1, ids1 = jax.lax.top_k(root_logp, c1)
-        tree_tokens = jax.lax.dynamic_update_slice(tree_tokens, ids1.astype(jnp.int32), (0, 1))
+        if need_q:
+            rng, k1 = jax.random.split(rng)
+            logq_root = jax.nn.log_softmax(root_logp / ecfg.temperature, -1)
+            ids1 = jax.random.categorical(
+                k1, jnp.broadcast_to(logq_root[:, None, :],
+                                     (b, c1, cfg.vocab_size)),
+                axis=-1).astype(jnp.int32)
+            logp1 = jnp.take_along_axis(logq_root, ids1, axis=1)
+        else:
+            logp1, ids1 = jax.lax.top_k(root_logp, c1)
+            ids1 = ids1.astype(jnp.int32)
+        tree_tokens = jax.lax.dynamic_update_slice(tree_tokens, ids1, (0, 1))
         hist_logp = jax.lax.dynamic_update_slice(hist_logp, logp1, (0, 1))
         diag_idx = jnp.arange(1, 1 + c1)
         tmask = tmask.at[:, diag_idx, diag_idx].set(True)
@@ -520,17 +554,46 @@ class SpecEngine:
                 jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
                 suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
                 suffix_kv=(tk, tv), suffix_write_offset=lo)
-            logp_l = jax.nn.log_softmax(M.logits_at(params, h_l), axis=-1)
+            logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l), axis=-1)
             if need_q:
                 spec_logp = jax.lax.dynamic_update_slice(spec_logp, logp_l, (0, lo, 0))
-            cum = hist_logp[:, lo:hi, None] + logp_l
-            # per-node top-k then flat top-k (== flat nodes x vocab top-k)
-            v_top, i_top = jax.lax.top_k(cum, c_next)        # [B, c_l, c_next]
-            v_flat = v_top.reshape(b, c_l * c_next)
-            i_flat = i_top.reshape(b, c_l * c_next)
-            sel_v, sel = jax.lax.top_k(v_flat, c_next)        # [B, c_next]
-            father_l = (sel // c_next).astype(jnp.int32) + lo
-            pred = jnp.take_along_axis(i_flat, sel, axis=1).astype(jnp.int32)
+                # ---- exact T>0 expansion ----
+                # Child counts per node are allocated from PATH weights only
+                # (largest-remainder on softmax(hist)), never from the new
+                # samples, so conditional on the tree-so-far each node's
+                # children are i.i.d. draws from its q_T — the premise under
+                # which verify_stochastic's residual walk preserves the
+                # target law exactly.
+                rng, k_tok = jax.random.split(rng)
+                logq_l = jax.nn.log_softmax(logp_l / ecfg.temperature, -1)
+                hist_lvl = hist_logp[:, lo:hi]                   # [B, c_l]
+                t_alloc = jax.nn.softmax(hist_lvl, axis=-1) * c_next
+                k_base = jnp.floor(t_alloc)
+                rem = (c_next - jnp.sum(k_base, -1)).astype(jnp.int32)  # [B]
+                frac = t_alloc - k_base
+                rank = jnp.argsort(jnp.argsort(-frac, -1), -1)   # 0 = biggest
+                k_j = k_base.astype(jnp.int32) + (rank < rem[:, None])
+                cumk = jnp.cumsum(k_j, axis=-1)                  # [B, c_l]
+                s_idx = jnp.arange(c_next)[None, None, :]
+                father_rel = jnp.sum(cumk[:, :, None] <= s_idx, axis=1)
+                father_rel = jnp.minimum(father_rel, c_l - 1).astype(jnp.int32)
+                logq_f = jnp.take_along_axis(
+                    logq_l, father_rel[:, :, None], axis=1)      # [B, c_next, V]
+                pred = jax.random.categorical(k_tok, logq_f,
+                                              axis=-1).astype(jnp.int32)
+                sel_v = (jnp.take_along_axis(hist_lvl, father_rel, 1) +
+                         jnp.take_along_axis(logq_f, pred[:, :, None], -1)[..., 0])
+                father_l = father_rel + lo
+            else:
+                # greedy beam: per-node top-k then flat top-k (== flat
+                # nodes x vocab top-k, `llama_glide.py:1064-1067`)
+                cum = hist_logp[:, lo:hi, None] + logp_l
+                v_top, i_top = jax.lax.top_k(cum, c_next)        # [B, c_l, c_next]
+                v_flat = v_top.reshape(b, c_l * c_next)
+                i_flat = i_top.reshape(b, c_l * c_next)
+                sel_v, sel = jax.lax.top_k(v_flat, c_next)        # [B, c_next]
+                father_l = (sel // c_next).astype(jnp.int32) + lo
+                pred = jnp.take_along_axis(i_flat, sel, axis=1).astype(jnp.int32)
             nlo = hi
             tree_tokens = jax.lax.dynamic_update_slice(tree_tokens, pred, (0, nlo))
             father = jax.lax.dynamic_update_slice(father, father_l, (0, nlo))
@@ -617,7 +680,11 @@ class SpecEngine:
             acc_len=jnp.ones((b,), jnp.int32),
             output_ids=output_ids, out_len=jnp.ones((b,), jnp.int32),
             done=(t0 == cfg.eos_token_id),
-            count=jnp.zeros((), jnp.int32), num=jnp.ones((), jnp.int32) * b,
+            # num counts target rounds x live rows, starting at 0 so the
+            # prefill-sampled t0 is excluded — matching the reference metric
+            # (`inference_long-bench.py:257-260`) and the vanilla path, whose
+            # `num` also excludes t0.
+            count=jnp.zeros((), jnp.int32), num=jnp.zeros((), jnp.int32),
             rounds=jnp.zeros((), jnp.int32), rng=rng)
 
     def _spec_segment(self, round_fn, params, draft_params, carry, limit):

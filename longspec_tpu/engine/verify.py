@@ -8,11 +8,16 @@ each rejection updates the residual distribution
 p <- normalize(max(p - q, 0)) before the next child is considered, and if
 no child is accepted the next token is sampled from the final residual.
 
-Because the draft proposes each node's children as *distinct* tokens
-(top-k), examining them in any fixed order with residual updates preserves
-the target distribution (same argument as multi-draft SpecInfer-style
-verification); the reference picks children in random order, which has the
-same marginal law.
+Exactness: examining children in a fixed order with residual updates
+preserves the target distribution when each node's children are i.i.d.
+samples from that node's draft distribution q (multi-draft SpecInfer-style
+recursive rejection sampling). The engine's T>0 tree expansion
+(`engine.py` _tree_round) samples children exactly that way — i.i.d. from
+q_T, with per-node child counts allocated from path weights only — so the
+end-to-end emitted law equals the target's (engine-level distribution test:
+tests/test_stochastic.py). The reference instead proposes top-k children
+and walks them in random order (`llama_glide.py:1177-1245`), which only
+approximates the target law.
 """
 from __future__ import annotations
 

@@ -26,12 +26,13 @@ def first_eos_trim(row, eos):
 
 
 def build_engine(tree_shape=(2, 3, 3), gamma=3, window=8, seed=0,
-                 temperature=0.0, vocab=211):
+                 temperature=0.0, vocab=211, draft_head="bf16"):
     cfg = tiny_test(vocab_size=vocab, num_layers=2)
     params = M.init_params(jax.random.PRNGKey(seed), cfg)
     dparams = G.init_draft_params(jax.random.PRNGKey(seed + 1), cfg)
     ecfg = EngineConfig(tree_shape=tree_shape, gamma=gamma,
-                        temperature=temperature, attn_impl="dense")
+                        temperature=temperature, attn_impl="dense",
+                        draft_head=draft_head)
     dcfg = DraftConfig(window=window)
     return SpecEngine(params, dparams, cfg, dcfg, ecfg), cfg
 
@@ -44,6 +45,29 @@ def test_lossless_greedy_random_draft(method):
     toks = rng.integers(2, cfg.vocab_size, (B, S))
     lens = np.array([S, S - 5], np.int32)
     max_gen = 24
+
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    out = getattr(eng, method)(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
+        m = min(len(v), len(s), max_gen)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
+def test_lossless_int8_draft_head(method):
+    """int8 draft scoring head: proposal ranking changes slightly but T=0
+    output must stay token-exact vs vanilla (q never affects the emitted
+    law, only the accept rate)."""
+    eng, cfg = build_engine(draft_head="int8")
+    rng = np.random.default_rng(21)
+    B, S = 2, 15
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 4], np.int32)
+    max_gen = 20
 
     van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
                                state_dtype=jnp.float32)
@@ -88,31 +112,67 @@ def test_lossless_magicdec(trunc):
         assert out["count"] > 0
 
 
-@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
-def test_lossless_greedy_strong_draft(method):
-    """Draft initialized so that acceptance > 0: copy target blocks into the
-    draft so predictions correlate (window SA + CA over real target KV)."""
-    eng, cfg = build_engine(seed=7, window=64)
-    # make the draft's cross-attn value path mimic identity-ish behavior by
-    # scaling up value/output projections (raises acceptance on the repetitive
-    # prompt below without any training)
-    rng = np.random.default_rng(3)
-    B, S = 1, 12
-    base = rng.integers(2, cfg.vocab_size, (1, 4))
-    toks = np.tile(base, (B, 6))[:, :S]  # periodic prompt -> predictable
-    lens = np.array([S] * B, np.int32)
-    max_gen = 20
+@pytest.fixture(scope="module")
+def distilled_pair():
+    """Tiny target trained on a Markov language + a distilled GLIDE draft.
 
-    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+    Real multi-token acceptance (unlike the random-draft tests above, which
+    reject almost everything) so the all-layer tree KV commit
+    (`engine/engine.py` _tree_round step 5) and the chain double-token case
+    are exercised under genuine acceptance, not just by the TPU bench.
+    """
+    from longspec_tpu.train import trainer as T
+    from longspec_tpu.train.distill import distill_draft
+    from longspec_tpu.train.synthetic import make_markov_lm, sample_corpus_fast
+
+    cfg = tiny_test(vocab_size=128, num_layers=2)
+    # mostly-deterministic language (branch_frac 0.05) so ~100 steps suffice
+    # for sharp margins (measured: accept 4.0/4 with this recipe)
+    succ, probs = make_markov_lm(cfg.vocab_size, branch_frac=0.05, seed=3,
+                                 n_states=48)
+    corpus = sample_corpus_fast(succ, probs, 64, 96, seed=4)
+
+    params = M.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    opt = T.make_adafactor(lr=1e-2, warmup_steps=10)
+    st = T.init_train_state(params, opt)
+    step_fn = T.make_lm_train_step(cfg, opt, attn_impl="dense")
+    rng = np.random.default_rng(11)
+    for i in range(100):
+        idx = rng.integers(0, corpus.shape[0], (8,))
+        st, _ = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
+    params = st.draft_params
+
+    dcfg = DraftConfig(window=32)
+    dparams, _ = distill_draft(params, cfg, dcfg, corpus, steps=80, batch=8,
+                               lr=3e-3, attn_impl="dense")
+    prompt = sample_corpus_fast(succ, probs, 2, 48, seed=77)
+    return cfg, dcfg, params, dparams, prompt
+
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
+def test_lossless_greedy_distilled_draft(method, distilled_pair):
+    """With a genuinely trained draft: token-exact at T=0 AND mean accepted
+    length >= 2, so multi-token acceptance paths (all-layer KV commit, chain
+    bonus double-feed) actually bite."""
+    cfg, dcfg, params, dparams, prompt = distilled_pair
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, temperature=0.0,
+                        attn_impl="dense")
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+    B, S = prompt.shape
+    lens = np.array([S, S - 7], np.int32)
+    max_gen = 32
+
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=max_gen,
                                state_dtype=jnp.float32)
-    out = getattr(eng, method)(toks, lens, max_gen_len=max_gen,
+    out = getattr(eng, method)(prompt, lens, max_gen_len=max_gen,
                                state_dtype=jnp.float32)
     for b in range(B):
         v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
         s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
         m = min(len(v), len(s), max_gen)
         assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
-    assert out["num"] >= 1
+    mean_accept = (out["count"] + out["num"]) / max(out["num"], 1)
+    assert mean_accept >= 2.0, f"distilled draft accept too low: {mean_accept}"
 
 
 def test_vanilla_matches_hf_generate():

@@ -3,6 +3,7 @@ whatever the draft proposes, the law of the next emitted token must equal
 the target's softmax — the losslessness guarantee of speculative sampling
 (ref verify_stochastic, `llama_glide.py:1177-1245`)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -83,3 +84,63 @@ def test_stochastic_verify_perfect_draft_accepts_often():
     """q == p: first sampled child accepts with probability >= its mass."""
     _, p, acc = run_dist(c_children=4, vocab=8, seed=5, q_like_p=True)
     assert (acc >= 2).mean() > 0.6
+
+
+def _exact_first_token_law(cfg, params, prompt, temperature):
+    """Exact law of the token after t0: sum_t0 p(t0|prompt) p(x|prompt,t0),
+    excluding eos-t0 rows (the engine marks them done and emits nothing)."""
+    from longspec_tpu.models import llama as M
+    V, S = cfg.vocab_size, prompt.shape[1]
+    rows = np.tile(prompt, (V, 1))
+    rows = np.concatenate([rows, np.arange(V, dtype=np.int32)[:, None]], 1)
+    lens = np.full((V,), S + 1, np.int32)
+    kv_k, kv_v = M.alloc_kv_cache(cfg, V, S + 2, jnp.float32)
+    h, _, _ = M.forward_prefill(params, cfg, jnp.asarray(rows), jnp.asarray(lens),
+                                kv_k, kv_v, attn_impl="dense")
+    logits0 = M.logits_at(params, h[0, S - 1])          # p(t0 | prompt)
+    logits1 = M.logits_at(params, h[:, S])              # p(x | prompt, t0)
+    p0 = np.asarray(jax.nn.softmax(logits0 / temperature))
+    p1 = np.asarray(jax.nn.softmax(logits1 / temperature, axis=-1))  # [V, V]
+    p0 = p0.copy()
+    p0[cfg.eos_token_id] = 0.0
+    p0 /= p0.sum()
+    return p0 @ p1
+
+
+@pytest.mark.parametrize("method", ["tree_spec_generate", "spec_generate"])
+def test_engine_t1_first_token_law_exact(method):
+    """ENGINE-level exactness at T>0: the full generation loop (i.i.d.-from-q
+    tree expansion / sampled chain drafts + residual verification) emits the
+    target law. The reference cannot pass this — its T>0 tree proposes top-k
+    children and resamples rejections from p (`llama_glide.py:1177-1245`),
+    both approximations."""
+    from longspec_tpu.config import DraftConfig, tiny_test
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.engine.engine import SpecEngine
+
+    cfg = tiny_test(vocab_size=13, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(9), cfg)
+    ecfg = EngineConfig(tree_shape=(2, 3), gamma=2, temperature=1.0,
+                        attn_impl="dense")
+    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg)
+
+    rng = np.random.default_rng(4)
+    S, B = 9, 16384
+    prompt1 = rng.integers(2, cfg.vocab_size, (1, S)).astype(np.int32)
+    exact = _exact_first_token_law(cfg, params, prompt1, 1.0)
+
+    toks = np.tile(prompt1, (B, 1))
+    lens = np.full((B,), S, np.int32)
+    # max_gen=2 -> exactly one speculative round per row
+    out = getattr(eng, method)(toks, lens, max_gen_len=2,
+                               state_dtype=jnp.float32, seed=123)
+    ids = out["output_ids"]
+    live = ids[:, 0] != cfg.eos_token_id
+    first = ids[live, 1]
+    emp = np.bincount(first, minlength=cfg.vocab_size) / live.sum()
+    assert out["count"] > 0  # some draft tokens actually accepted
+    # noise floor ~0.012 for V=13, B=16k; 0.035 leaves 3x margin while
+    # still catching the top-k/resample-from-p biases (both O(0.1) here)
+    assert tv(emp, exact) < 0.035, (tv(emp, exact), emp, exact)
