@@ -42,7 +42,7 @@ def main(argv=None):
     # ---- model pair ----
     if exp.get("target_path"):
         from ..models.convert import load_hf_checkpoint
-        target_params, cfg = load_hf_checkpoint(exp["target_path"],
+        cfg, target_params = load_hf_checkpoint(exp["target_path"],
                                                 jnp.bfloat16)
     else:
         cfg = ModelConfig(**exp["model"])
@@ -87,6 +87,9 @@ def main(argv=None):
             attn_impl=tr.get("attn_impl", "chunked"),
             anchor_offset=tr.get("anchor_offset", True),
             resume=tr.get("resume", True),
+            accum_steps=tr.get("accum_steps", 1),
+            lora_rank=tr.get("lora_rank", 0),
+            lora_scale=tr.get("lora_scale", 1.0),
             mesh=mesh, seed=exp.get("seed", 0))
     return 0
 

@@ -36,33 +36,54 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
           eval_fn: Optional[Callable[[dict], Dict[str, float]]] = None,
           eval_steps: int = 0, attn_impl: str = "chunked",
           anchor_offset: bool = True, resume: bool = True,
+          accum_steps: int = 1, lora_rank: int = 0, lora_scale: float = 1.0,
           mesh=None, seed: int = 0) -> dict:
     """Run draft training; returns the final draft params.
 
     `batch_iter_fn(epoch)` yields {"input_ids", "labels"} numpy batches —
     wrap `data.dataset.batches` or any custom source.
+
+    `lora_rank > 0` freezes the given draft and trains LoRA factors instead
+    (ref peft mixin `train/models/mixin.py:34-120`); checkpoints hold the
+    adapter, exports hold the MERGED deployable weights.
     """
     setup_logger(output_dir, rank=jax.process_index())
     log = get_logger("train")
     opt = T.make_optimizer(lr=lr, warmup_steps=warmup_steps,
                            total_steps=total_steps,
                            weight_decay=weight_decay)
-    state = T.init_train_state(draft_params, opt)
-    step_fn = T.make_train_step(cfg, dcfg, opt, attn_impl=attn_impl,
-                                anchor_offset=anchor_offset)
+    if lora_rank > 0:
+        from .lora import init_lora, make_lora_train_step, merge_lora
+        trainable = init_lora(jax.random.PRNGKey(seed + 17), draft_params,
+                              rank=lora_rank)
+        step_fn = make_lora_train_step(cfg, dcfg, opt, draft_params,
+                                       scale=lora_scale,
+                                       anchor_offset=anchor_offset,
+                                       attn_impl=attn_impl)
+        to_deploy = lambda tr: merge_lora(draft_params, tr, lora_scale)
+    else:
+        trainable = draft_params
+        step_fn = T.make_train_step(cfg, dcfg, opt, attn_impl=attn_impl,
+                                    anchor_offset=anchor_offset,
+                                    accum_steps=accum_steps)
+        to_deploy = lambda tr: tr
+    # the jitted step donates its state: train on a copy so the caller's
+    # draft_params stay alive (the draft is one layer — the copy is tiny)
+    trainable = jax.tree_util.tree_map(jnp.copy, trainable)
+    state = T.init_train_state(trainable, opt)
     cm = CheckpointManager(output_dir)
     start_step = 0
     if resume:
         got = cm.restore()
         if got is not None:
             flat, meta = got
-            state = T.TrainState(flat["draft_params"], state.opt_state,
+            restored = _graft(trainable, flat["draft_params"])
+            state = T.TrainState(restored, state.opt_state,
                                  jnp.asarray(meta["step"], jnp.int32))
             # optimizer state restores structurally when shapes match
             try:
-                state = state._replace(opt_state=jax.tree_util.tree_map(
-                    lambda ref, v: jnp.asarray(v).astype(ref.dtype).reshape(ref.shape),
-                    T.init_train_state(flat["draft_params"], opt).opt_state,
+                state = state._replace(opt_state=_graft(
+                    T.init_train_state(restored, opt).opt_state,
                     flat["opt_state"]))
             except Exception:
                 log.warning("optimizer state mismatch; reinitialized")
@@ -81,20 +102,26 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
     step = start_step
     t0 = time.time()
     epoch = 0
+    seen = 0  # global batch counter from the start of the data stream
     ctx = mesh if mesh is not None else _NullCtx()
     with ctx:
         while step < total_steps:
             for batch in batch_iter_fn(epoch):
                 if step >= total_steps:
                     break
-                # resume fast-forward: skip consumed batches
+                # resume fast-forward: epochs replay deterministically
+                # (per-epoch reseed), so skipping the first `start_step`
+                # batches resumes at the exact data position
                 # (ref `trainer…:244-251`)
-                if resume and step == start_step and start_step > 0:
-                    pass  # iterators are re-seeded per epoch; coarse resume
+                if seen < start_step:
+                    seen += 1
+                    continue
                 tokens = jnp.asarray(batch["input_ids"])
                 labels = jnp.asarray(batch.get("labels", batch["input_ids"]))
-                state, m = step_fn(state, target_params, tokens, labels, rng)
+                state, m = step_fn(state, target_params, tokens, labels,
+                                   jax.random.fold_in(rng, step))
                 step += 1
+                seen += 1
                 meter.update(float(m["loss"]), tokens.shape[0])
                 if step % log_steps == 0:
                     sps = log_steps / max(time.time() - t0, 1e-9)
@@ -109,7 +136,7 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
                 if save_steps and step % save_steps == 0 and \
                         jax.process_index() == 0:
                     cm.save(state._asdict(), step,
-                            draft_params=state.draft_params)
+                            draft_params=to_deploy(state.draft_params))
                 if eval_fn and eval_steps and step % eval_steps == 0:
                     res = eval_fn(state.draft_params)
                     if writer:
@@ -119,14 +146,40 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
             epoch += 1
 
     if jax.process_index() == 0:
-        cm.save(state._asdict(), step, draft_params=state.draft_params)
+        cm.save(state._asdict(), step,
+                draft_params=to_deploy(state.draft_params))
         export_draft(os.path.join(output_dir, "checkpoint-last"),
-                     state.draft_params,
+                     to_deploy(state.draft_params),
                      config_dict={"model": cfg.__dict__, "draft": dcfg.__dict__,
-                                  "steps": step})
+                                  "steps": step, "lora_rank": lora_rank})
         if writer:
             writer.close()
-    return state.draft_params
+    return to_deploy(state.draft_params)
+
+
+def _graft(ref, loaded):
+    """Copy `loaded` values onto the structure of `ref`, keeping `ref` values
+    where `loaded` has no entry (e.g. a LoRA tree's non-adapted {} leaves).
+    Handles the flat-npz checkpoint view of dicts / (Named)tuples / arrays."""
+    if isinstance(ref, dict):
+        if not isinstance(loaded, dict):
+            return ref
+        return {k: _graft(v, loaded.get(k, {})) for k, v in ref.items()}
+    if hasattr(ref, "_asdict"):  # NamedTuple (optax states)
+        if not isinstance(loaded, dict):
+            return ref
+        return type(ref)(**{k: _graft(v, loaded.get(k, {}))
+                            for k, v in ref._asdict().items()})
+    if isinstance(ref, (list, tuple)):
+        if not isinstance(loaded, dict):
+            return ref
+        return type(ref)(_graft(v, loaded.get(str(i), {}))
+                         for i, v in enumerate(ref))
+    if isinstance(loaded, dict):  # missing in checkpoint
+        return ref
+    if not hasattr(ref, "dtype"):  # python scalar leaf (e.g. optax counts)
+        return type(ref)(loaded) if not isinstance(loaded, dict) else ref
+    return jnp.asarray(loaded).astype(ref.dtype).reshape(ref.shape)
 
 
 class _NullCtx:

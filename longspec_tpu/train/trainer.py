@@ -106,25 +106,60 @@ def make_optimizer(lr: float = 5e-4, warmup_steps: int = 100,
 def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                     max_len_for_offset: Optional[int] = None,
                     anchor_offset: bool = True, compute_llm_loss: bool = False,
-                    attn_impl: str = "chunked"):
+                    attn_impl: str = "chunked", accum_steps: int = 1):
     """Returns jitted step(state, target_params, tokens, labels, rng) ->
-    (state, metrics)."""
+    (state, metrics).
+
+    `accum_steps > 1` enables gradient accumulation (ref DeepSpeed
+    grad-accum drive, `trainer_base_ds_mul_fs_tp.py:215-318`): the [B, S]
+    batch is split into `accum_steps` microbatches scanned sequentially —
+    only one microbatch's activations are live at a time — and the MEAN
+    gradient is applied once. Anchor-offset/pad randomness is drawn once per
+    optimizer step (shared by the microbatches), so batch=B and
+    batch=B/a x accum=a follow identical trajectories.
+    """
     max_len = max_len_for_offset or cfg.max_position_embeddings
 
     def step(state: TrainState, target_params, tokens, labels, rng):
         b, s = tokens.shape
         k_pos, k_pad = jax.random.split(jax.random.fold_in(rng, state.step))
-        positions = anchor_offset_positions(k_pos, b, s, max_len,
-                                            apply=anchor_offset)
         pad_size = jax.random.randint(k_pad, (), 1, 5)
 
-        def loss_fn(dp):
-            return glide_training_loss(dp, target_params, cfg, dcfg, tokens,
-                                       labels, positions, pad_size,
-                                       compute_llm_loss, attn_impl)
+        def loss_and_grad(dp, toks, labs):
+            mb = toks.shape[0]
+            positions = anchor_offset_positions(k_pos, mb, s, max_len,
+                                                apply=anchor_offset)
 
-        (loss, llm_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.draft_params)
+            def loss_fn(p):
+                return glide_training_loss(p, target_params, cfg, dcfg, toks,
+                                           labs, positions, pad_size,
+                                           compute_llm_loss, attn_impl)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(dp)
+
+        if accum_steps == 1:
+            (loss, llm_loss), grads = loss_and_grad(state.draft_params,
+                                                    tokens, labels)
+        else:
+            assert b % accum_steps == 0, (b, accum_steps)
+            mb = b // accum_steps
+            toks_m = tokens.reshape(accum_steps, mb, s)
+            labs_m = labels.reshape(accum_steps, mb, s)
+
+            def micro(carry, xs):
+                g_acc, l_acc, ll_acc = carry
+                (l, ll), g = loss_and_grad(state.draft_params, xs[0], xs[1])
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l, ll_acc + ll), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.draft_params)
+            (grads, loss, llm_loss), _ = jax.lax.scan(
+                micro, (zeros, jnp.zeros(()), jnp.zeros(())), (toks_m, labs_m))
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss, llm_loss = loss * inv, llm_loss * inv
+
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.draft_params)
         draft_params = optax.apply_updates(state.draft_params, updates)
