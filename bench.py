@@ -54,6 +54,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    if args.smoke:
+        # the remote-TPU site hook force-selects its backend regardless of
+        # env; deregister it before first backend init (see tests/conftest.py)
+        import jax._src.xla_bridge as _xb
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
     from longspec_tpu.models import llama as M
