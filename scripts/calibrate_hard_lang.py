@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Calibrate the hard (order-2) benchmark language at real scale on the TPU.
+
+Trains the bench target (2.5B, seq 4096) on an order-2 Markov language for a
+given n_states, distills the GLIDE draft, and measures tree accept /
+speedup / losslessness at ctx 8192 — the cheap proxy for the 32k north-star
+run (same language, target retrained at seq 16384). VERDICT round 1 asked
+for a configuration whose accept lands ~3.5-4 (the reference's real-task
+range) instead of the easy language's 5.89/6.
+
+Usage: python scripts/calibrate_hard_lang.py --n-states 512 \
+          [--target-steps 900] [--distill-steps 800] [--ctx 8192]
+Caches to .bench_cache/ with an n_states-specific tag.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-states", type=int, default=512)
+    ap.add_argument("--branch-frac", type=float, default=0.2)
+    ap.add_argument("--seq", type=int, default=4096)
+    ap.add_argument("--ctx", type=int, default=8192)
+    ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--target-steps", type=int, default=900)
+    ap.add_argument("--distill-steps", type=int, default=800)
+    ap.add_argument("--corpus-seqs", type=int, default=768)
+    ap.add_argument("--attn", type=str, default="chunked")
+    ap.add_argument("--no-cache", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.engine.engine import SpecEngine
+    from longspec_tpu.train import trainer as T
+    from longspec_tpu.train.distill import distill_draft
+    from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
+    from bench import flatten, unflatten
+
+    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
+                      intermediate_size=8192, num_layers=16,
+                      num_heads=32, num_kv_heads=8, head_dim=128,
+                      max_position_embeddings=65536, eos_token_id=2)
+    dcfg = DraftConfig(window=512)
+    ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16), gamma=4,
+                       temperature=0.0, attn_impl=args.attn)
+
+    cache = os.path.join(ROOT, ".bench_cache")
+    os.makedirs(cache, exist_ok=True)
+    tag = f"hard{args.n_states}_s{args.seq}"
+    tpath = os.path.join(cache, f"target_{tag}.npz")
+    dpath = os.path.join(cache, f"draft_{tag}.npz")
+
+    def save_tree(path, tree):
+        np.savez(path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
+                          for k, v in flatten(tree).items()})
+
+    def load_tree(path):
+        import ml_dtypes
+        with np.load(path) as z:
+            flat = {k: jnp.asarray(v.view(ml_dtypes.bfloat16))
+                    for k, v in z.items()}
+        return unflatten(flat)
+
+    t0 = time.time()
+    succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,
+                                    n_states=args.n_states,
+                                    branch_frac=args.branch_frac)
+    log = lambda s: (sys.stderr.write(s + "\n"), sys.stderr.flush())
+    log(f"sampling corpus: {args.corpus_seqs} x {args.seq} "
+        f"(pairs={args.n_states**2}, "
+        f"coverage~{args.corpus_seqs*args.seq/args.n_states**2:.1f}x)")
+    corpus = sample_corpus2(succ2, probs2, args.corpus_seqs, args.seq, seed=8)
+
+    if os.path.exists(tpath) and not args.no_cache:
+        params = load_tree(tpath)
+        log("loaded cached hard target")
+    else:
+        params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
+            jax.random.PRNGKey(0))
+        opt = T.make_adafactor(lr=1e-3, warmup_steps=50)
+        st = T.init_train_state(params, opt)
+        step_fn = T.make_lm_train_step(cfg, opt, attn_impl=args.attn)
+        rng_np = np.random.default_rng(3)
+        log(f"pretraining hard target ({args.target_steps} steps, seq {args.seq})...")
+        tstart = time.time()
+        for i in range(args.target_steps):
+            idx = rng_np.integers(0, corpus.shape[0], (1,))
+            st, m = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
+            if (i + 1) % 100 == 0 or i + 1 == args.target_steps:
+                log(f"  target step {i+1}: loss {float(m['loss']):.4f} "
+                    f"({(time.time()-tstart)/(i+1):.2f}s/step)")
+        params = st.draft_params
+        save_tree(tpath, params)
+
+    if os.path.exists(dpath) and not args.no_cache:
+        dparams = load_tree(dpath)
+        log("loaded cached hard draft")
+    else:
+        log(f"distilling draft ({args.distill_steps} steps)...")
+        dparams, hist = distill_draft(params, cfg, dcfg, corpus,
+                                      steps=args.distill_steps, batch=1,
+                                      attn_impl=args.attn)
+        log(f"draft loss: {hist[:2]} ... {hist[-2:]}")
+        save_tree(dpath, dparams)
+
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+    prompt = sample_corpus2(succ2, probs2, 1, args.ctx, seed=999)
+    lens = np.full((1,), args.ctx, np.int32)
+    s_max = args.ctx + args.gen + ecfg.tree_size + 16
+
+    log("vanilla decode...")
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=args.gen, s_max=s_max)
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=args.gen, s_max=s_max)
+    van_tps = van["num"] / van["elapsed"]
+    log("tree-spec decode...")
+    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=args.gen, s_max=s_max)
+    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=args.gen, s_max=s_max)
+    tree_tps = (tree["count"] + tree["num"]) / tree["elapsed"]
+    accept = (tree["count"] + tree["num"]) / max(tree["num"], 1)
+
+    n_cmp = int(min(van["num"], tree["count"] + tree["num"], args.gen - 1))
+    lossless = bool(np.array_equal(van["output_ids"][:, :n_cmp],
+                                   tree["output_ids"][:, :n_cmp]))
+    print(json.dumps({
+        "n_states": args.n_states, "branch_frac": args.branch_frac,
+        "seq": args.seq, "ctx": args.ctx,
+        "mean_accept": round(float(accept), 3),
+        "speedup": round(float(tree_tps / van_tps), 3),
+        "vanilla_tok_s": round(float(van_tps), 2),
+        "tree_tok_s": round(float(tree_tps), 2),
+        "lossless": lossless, "setup_s": round(time.time() - t0, 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -208,3 +208,25 @@ def test_phase_timer():
         pass
     rep = pt.report()
     assert rep["a"]["count"] == 2 and rep["a"]["total_s"] >= 0
+
+
+def test_markov2_language():
+    """Order-2 hard-bench language: every transition follows the pair table,
+    branching states emit each allowed successor, deterministic states only
+    their single one."""
+    from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
+    ns = 16
+    succ2, probs2 = make_markov2_lm(64, n_states=ns, branch_frac=0.5, seed=0)
+    assert succ2.shape == (ns, ns, 4) and probs2.shape == (ns, ns, 4)
+    assert succ2.min() >= 2 and succ2.max() < 2 + ns
+    seqs = sample_corpus2(succ2, probs2, 8, 400, seed=1)
+    assert seqs.min() >= 2 and seqs.max() < 2 + ns
+    seen = {}
+    for row in seqs:
+        for t in range(2, len(row)):
+            pi, ci = row[t - 2] - 2, row[t - 1] - 2
+            allowed = set(succ2[pi, ci][probs2[pi, ci] > 0].tolist())
+            assert row[t] in allowed, (t, row[t], allowed)
+            seen.setdefault((pi, ci), set()).add(int(row[t]))
+    # some branching pair visited often enough emitted >1 distinct successor
+    assert any(len(v) > 1 for v in seen.values())
