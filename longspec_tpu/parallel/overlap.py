@@ -1,0 +1,184 @@
+"""Verify-collective / draft-compute overlap primitives (SURVEY §7.1.7/§7.3).
+
+The reference scales with NCCL all-reduce inside DeepSpeed/fairscale and has
+no collective/compute overlap story. The TPU-native design replicates the
+one-layer GLIDE draft over `tp` (its gamma micro-steps are collective-free)
+and tensor-shards the target — so the target verify step's collectives can
+hide behind draft compute. Two primitives implement that:
+
+* `sharded_topk` — beam scoring over the VOCAB-SHARDED lm_head without ever
+  materializing full `[rows, V]` logits on one device: each shard computes
+  logits for its vocab slice, takes a local top-k, and only the tiny
+  `[rows, k]` per-shard winners (plus two scalars/row for the exact
+  log-softmax normalizer) cross the ICI. The reference's equivalent is a
+  full-vocab flat top-k on one GPU (`llama_glide.py:1064-1067`).
+
+* `ring_allgather_overlap` — an EXPLICIT ppermute ring all-gather that
+  invokes caller-supplied independent compute between hops. Each hop's
+  ppermute has no data dependence on the interleaved compute, so XLA's
+  async collective scheduler can overlap the wire time with it. This is the
+  schedule for pipelining a verify-side gather with the next draft
+  micro-step on multi-host meshes; on the CPU test mesh we can only assert
+  legality (bit-exact results), speed is a real-multichip measurement.
+
+Both run under `shard_map` over an existing (dp, tp) mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def _local_topk_stage(logits_loc: jnp.ndarray, k: int, axis_name: str):
+    """Local [rows, V/tp] fp32 logits -> (winners [rows, k] vals/global ids,
+    global logsumexp [rows]). Only O(rows*k) + O(rows) crosses the ICI."""
+    tp = jax.lax.axis_size(axis_name)
+    shard = jax.lax.axis_index(axis_name)
+    v_loc = logits_loc.shape[-1]
+    # exact global logsumexp from two tiny collectives (max + sum-exp)
+    m_loc = jnp.max(logits_loc, axis=-1)
+    m = jax.lax.pmax(m_loc, axis_name)                          # [rows]
+    s = jax.lax.psum(jnp.sum(jnp.exp(logits_loc - m[:, None]), -1), axis_name)
+    lse = m + jnp.log(s)                                        # [rows]
+    vals_loc, ids_loc = jax.lax.top_k(logits_loc, k)            # [rows, k]
+    ids_loc = ids_loc + shard * v_loc                           # global vocab ids
+    # gather the per-shard winners: [tp, rows, k] -> flat [rows, tp*k]
+    vals_all = jax.lax.all_gather(vals_loc, axis_name)
+    ids_all = jax.lax.all_gather(ids_loc, axis_name)
+    rows = logits_loc.shape[0]
+    vals_flat = vals_all.transpose(1, 0, 2).reshape(rows, tp * k)
+    ids_flat = ids_all.transpose(1, 0, 2).reshape(rows, tp * k)
+    vals, sel = jax.lax.top_k(vals_flat, k)
+    ids = jnp.take_along_axis(ids_flat, sel, axis=1)
+    return vals, ids.astype(jnp.int32), lse
+
+
+def sharded_topk(mesh: Mesh, h: jnp.ndarray, w: jnp.ndarray, k: int,
+                 axis_name: str = "tp"):
+    """Top-k of `h @ w` over the vocab axis of a vocab-sharded head.
+
+    h: [rows, H] (replicated); w: [H, V] sharded P(None, axis_name).
+    Returns (log_probs [rows, k], ids [rows, k]): the top-k LOG-SOFTMAX
+    scores (exact — normalized by the true global logsumexp) and their
+    global vocab indices. Equivalent to
+    `top_k(log_softmax(h @ w), k)` with only winner-sized collectives.
+    """
+
+    def f(h, w_loc):
+        logits = h.astype(jnp.float32) @ w_loc.astype(jnp.float32)
+        vals, ids, lse = _local_topk_stage(logits, k, axis_name)
+        return vals - lse[:, None], ids
+
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(P(None, None), P(None, axis_name)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(h, w)
+
+
+def ring_allgather_overlap(mesh: Mesh, x: jnp.ndarray,
+                           compute_steps: Sequence[Callable[[], jnp.ndarray]],
+                           axis_name: str = "tp"):
+    """All-gather `x` (sharded on axis 0 over `axis_name`) with an explicit
+    ppermute ring, running one caller compute step between consecutive hops.
+
+    `compute_steps` are thunks with NO data dependence on the gather; there
+    must be exactly `axis_size - 1` of them (one per hop) — pad with
+    `lambda: ()` if the draft has fewer micro-steps than hops. Returns
+    (gathered [n*chunk, ...] in global order, list of compute results).
+
+    This expresses the §7.3 north-star schedule as data flow: hop i's
+    ppermute and compute_steps[i] are independent ops in the same program,
+    which is what allows the compiler to run the DMA and the MXU work
+    concurrently on real hardware.
+    """
+    n = mesh.shape[axis_name]
+    assert len(compute_steps) == n - 1, (len(compute_steps), n)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def f(x_loc):
+        idx = jax.lax.axis_index(axis_name)
+        chunks = [x_loc]      # chunks[j] originated at shard (idx - j) mod n
+        outs = []
+        cur = x_loc
+        for j in range(n - 1):
+            cur = jax.lax.ppermute(cur, axis_name, perm)
+            outs.append(compute_steps[j]())
+            chunks.append(cur)
+        stacked = jnp.stack(chunks)                    # [n, chunk, ...]
+        # reorder so position o holds the chunk that originated at shard o
+        order = (idx - jnp.arange(n)) % n              # origin of chunks[j]
+        inv = jnp.argsort(order)                       # position o -> j
+        gathered = jnp.take(stacked, inv, axis=0)
+        gathered = gathered.reshape((-1,) + x_loc.shape[1:])
+        return (gathered, *outs)
+
+    out = shard_map(
+        f, mesh=mesh,
+        in_specs=(P(axis_name),),
+        out_specs=(P(None),) * (1 + len(compute_steps)),
+        check_vma=False,
+    )(x)
+    return out[0], list(out[1:])
+
+
+def verify_winners_with_draft_overlap(mesh: Mesh, h: jnp.ndarray,
+                                      w: jnp.ndarray, k: int,
+                                      draft_steps: Sequence[Callable[[], jnp.ndarray]],
+                                      axis_name: str = "tp"):
+    """North-star composition: the verify step's winner gather rides the ring
+    while replicated-draft micro-steps compute between hops.
+
+    h: verify hidden rows [rows, H] (replicated); w: vocab-sharded lm_head.
+    `draft_steps`: `tp - 1` collective-free thunks (e.g. the next tree
+    level's draft dispatch on already-known speculated tokens).
+    Returns ((log_probs, ids) as in `sharded_topk`, draft results).
+    """
+    n = mesh.shape[axis_name]
+    assert len(draft_steps) == n - 1, (len(draft_steps), n)
+
+    def f(h, w_loc):
+        logits = h.astype(jnp.float32) @ w_loc.astype(jnp.float32)
+        tp = jax.lax.axis_size(axis_name)
+        shard = jax.lax.axis_index(axis_name)
+        v_loc = logits.shape[-1]
+        m_loc = jnp.max(logits, axis=-1)
+        m = jax.lax.pmax(m_loc, axis_name)
+        s = jax.lax.psum(jnp.sum(jnp.exp(logits - m[:, None]), -1), axis_name)
+        lse = m + jnp.log(s)
+        vals_loc, ids_loc = jax.lax.top_k(logits, k)
+        ids_loc = ids_loc + shard * v_loc
+        pair = jnp.concatenate([vals_loc, ids_loc.astype(jnp.float32)], -1)
+        # ring-gather the [rows, 2k] winner pairs, draft computing per hop
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        idx = jax.lax.axis_index(axis_name)
+        chunks = [pair]
+        outs = []
+        cur = pair
+        for j in range(n - 1):
+            cur = jax.lax.ppermute(cur, axis_name, perm)
+            outs.append(draft_steps[j]())
+            chunks.append(cur)
+        stacked = jnp.stack(chunks)                    # [tp, rows, 2k]
+        order = (idx - jnp.arange(tp)) % tp
+        stacked = jnp.take(stacked, jnp.argsort(order), axis=0)
+        rows = logits.shape[0]
+        vals_flat = stacked[:, :, :k].transpose(1, 0, 2).reshape(rows, tp * k)
+        ids_flat = stacked[:, :, k:].transpose(1, 0, 2).reshape(rows, tp * k)
+        vals, sel = jax.lax.top_k(vals_flat, k)
+        ids = jnp.take_along_axis(ids_flat, sel, axis=1).astype(jnp.int32)
+        return (vals - lse[:, None], ids, *outs)
+
+    out = shard_map(
+        f, mesh=mesh,
+        in_specs=(P(None, None), P(None, axis_name)),
+        out_specs=(P(None, None),) * (2 + len(draft_steps)),
+        check_vma=False,
+    )(h, w)
+    return (out[0], out[1]), list(out[2:])
