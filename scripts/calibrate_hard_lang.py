@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--corpus-seqs", type=int, default=768)
     ap.add_argument("--attn", type=str, default="chunked")
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--probe", action="store_true", help="train only, no cache write, for lr/n_states probing")
     args = ap.parse_args()
 
     import jax
@@ -92,7 +94,7 @@ def main():
     else:
         params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
             jax.random.PRNGKey(0))
-        opt = T.make_adafactor(lr=1e-3, warmup_steps=50)
+        opt = T.make_adafactor(lr=args.lr, warmup_steps=50)
         st = T.init_train_state(params, opt)
         step_fn = T.make_lm_train_step(cfg, opt, attn_impl=args.attn)
         rng_np = np.random.default_rng(3)
@@ -105,6 +107,9 @@ def main():
                 log(f"  target step {i+1}: loss {float(m['loss']):.4f} "
                     f"({(time.time()-tstart)/(i+1):.2f}s/step)")
         params = st.draft_params
+        if args.probe:
+            log("probe mode: stopping after target training")
+            return
         save_tree(tpath, params)
 
     if os.path.exists(dpath) and not args.no_cache:
