@@ -81,6 +81,15 @@ class EngineConfig:
     # verification q are the same quantized distribution). Target
     # VERIFICATION logits always stay full precision.
     draft_head: str = "bf16"  # "bf16" | "int8"
+    # DRAFT-layer matmul precision for decode-time proposal compute. "int8"
+    # stores every 2-D draft kernel as per-output-channel-scaled int8 and
+    # runs the projections as native int8 MXU matmuls with dynamic per-row
+    # activation scales — halving the draft weight bytes re-read at every
+    # tree level / chain micro-step. Proposal quality shifts slightly;
+    # emitted tokens cannot (q only selects proposals; at T>0 sampling and
+    # verification share the same quantized q). Training always uses the
+    # full-precision params.
+    draft_compute: str = "bf16"  # "bf16" | "int8"
 
     @property
     def tree_size(self) -> int:

@@ -147,6 +147,15 @@ class SpecEngine:
                 return w8.astype(jnp.int8), scale
 
             self._qhead = quantize(w)
+        # int8 draft-layer compute: decode-time proposal micro-steps read a
+        # per-channel int8 copy of every 2-D draft kernel (half the weight
+        # bytes per tree level). Prefill and training keep the bf16 params;
+        # q only shapes proposals so T=0 losslessness is structural and at
+        # T>0 sampling and verification share the same quantized q.
+        self._decode_draft_params = draft_params
+        if ecfg.draft_compute == "int8":
+            self._decode_draft_params = jax.jit(G.quantize_draft_params)(
+                draft_params)
 
     def _draft_logits(self, params, h):
         """Draft-side scoring logits [.., V] fp32 (quantized when enabled)."""
@@ -767,7 +776,7 @@ class SpecEngine:
                             functools.partial(self._spec_segment, round_fn))
 
         def run_seg(carry, limit):
-            return seg(self.params, self.draft_params, carry, limit)
+            return seg(self.params, self._decode_draft_params, carry, limit)
 
         carry, elapsed = self._drive(run_seg, carry, max_gen_len)
         count, num = int(carry.count), int(carry.num)

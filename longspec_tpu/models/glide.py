@@ -64,18 +64,51 @@ def init_draft_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
     }
 
 
+def qdot(x, w):
+    """Matmul that dispatches on the weight leaf: a plain array runs in the
+    ambient dtype; a `{"w8", "scale"}` dict (from `quantize_draft_params`)
+    runs as a native int8 MXU matmul — per-row dynamic activation scales x
+    per-output-channel weight scales — reading half the weight bytes."""
+    if not isinstance(w, dict):
+        return jnp.dot(x, w)
+    xf = x.astype(jnp.float32)
+    xmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    x8 = jnp.round(xf * (127.0 / jnp.maximum(xmax, 1e-30))).astype(jnp.int8)
+    acc = jax.lax.dot_general(x8, w["w8"],
+                              (((x8.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (xmax / 127.0) * w["scale"]
+    return out.astype(x.dtype)
+
+
+def quantize_draft_params(draft_params):
+    """Per-output-channel absmax int8 copies of every 2-D draft kernel
+    (biases/norms untouched). Feed the result anywhere draft params are
+    accepted at decode time — `qdot` dispatches on the leaf shape."""
+
+    def one(w):
+        if getattr(w, "ndim", 0) != 2:
+            return w
+        wf = w.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
+        w8 = jnp.round(wf / jnp.maximum(scale, 1e-30)[None, :]).astype(jnp.int8)
+        return {"w8": w8, "scale": scale}
+
+    return jax.tree.map(one, draft_params)
+
+
 def _proj_qkv(x, ap, cfg: ModelConfig):
     b, t, _ = x.shape
     hd = cfg.head_dim_
-    q = (jnp.dot(x, ap["wq"]) + ap["bq"]).reshape(b, t, cfg.num_heads, hd)
-    k = (jnp.dot(x, ap["wk"]) + ap["bk"]).reshape(b, t, cfg.num_kv_heads, hd)
-    v = (jnp.dot(x, ap["wv"]) + ap["bv"]).reshape(b, t, cfg.num_kv_heads, hd)
+    q = (qdot(x, ap["wq"]) + ap["bq"]).reshape(b, t, cfg.num_heads, hd)
+    k = (qdot(x, ap["wk"]) + ap["bk"]).reshape(b, t, cfg.num_kv_heads, hd)
+    v = (qdot(x, ap["wv"]) + ap["bv"]).reshape(b, t, cfg.num_kv_heads, hd)
     return q, k, v
 
 
 def _mlp(x, p):
-    return jnp.dot(jax.nn.silu(jnp.dot(x, p["w_gate"])) * jnp.dot(x, p["w_up"]),
-                   p["w_down"])
+    return qdot(jax.nn.silu(qdot(x, p["w_gate"])) * qdot(x, p["w_up"]),
+                p["w_down"])
 
 
 def glide_forward(
@@ -148,7 +181,7 @@ def glide_forward(
                                          attn_impl)
     o_s, lse_s = att.attend_masked(q, sk, sv, suffix_mask)
     o = att.merge_attention(o_p, lse_p, o_s, lse_s)
-    o = jnp.dot(o.astype(hidden.dtype).reshape(b, t, -1), draft_params["sa"]["wo"])
+    o = qdot(o.astype(hidden.dtype).reshape(b, t, -1), draft_params["sa"]["wo"])
     hidden = hidden + o
 
     # --- cross-attention over target last-layer KV ---
@@ -157,7 +190,7 @@ def glide_forward(
     qc = apply_rope(qc, cos, sin)
     o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi, positions,
                                      None, 0, attn_impl)
-    o_c = jnp.dot(o_c.astype(hidden.dtype).reshape(b, t, -1),
+    o_c = qdot(o_c.astype(hidden.dtype).reshape(b, t, -1),
                   draft_params["ca"]["wo"])
     hidden = hidden + o_c
 
@@ -196,8 +229,8 @@ def glide_prefill(
     d_kv_v = d_kv_v.at[:, :, :s].set(vt.astype(d_kv_v.dtype))
     o, _ = causal_self_attention(q, kt, vt, lengths, dcfg.window, dcfg.anchors,
                                  attn_impl)
-    hidden = hidden + jnp.dot(o.astype(hidden.dtype).reshape(b, s, -1),
-                              draft_params["sa"]["wo"])
+    hidden = hidden + qdot(o.astype(hidden.dtype).reshape(b, s, -1),
+                           draft_params["sa"]["wo"])
 
     x = rms_norm(hidden, draft_params["post_sa_norm"], cfg.rms_norm_eps)
     qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
@@ -206,8 +239,8 @@ def glide_prefill(
     # external keys (query i attends llm rows [0, i+1)); q-blocked for memory.
     o_c, _ = causal_self_attention(qc, llm_k[:, :, :s], llm_v[:, :, :s],
                                    lengths, None, 0, attn_impl)
-    hidden = hidden + jnp.dot(o_c.astype(hidden.dtype).reshape(b, s, -1),
-                              draft_params["ca"]["wo"])
+    hidden = hidden + qdot(o_c.astype(hidden.dtype).reshape(b, s, -1),
+                           draft_params["ca"]["wo"])
 
     x = rms_norm(hidden, draft_params["post_ca_norm"], cfg.rms_norm_eps)
     return hidden + _mlp(x, draft_params), d_kv_k, d_kv_v

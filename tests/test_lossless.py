@@ -26,13 +26,14 @@ def first_eos_trim(row, eos):
 
 
 def build_engine(tree_shape=(2, 3, 3), gamma=3, window=8, seed=0,
-                 temperature=0.0, vocab=211, draft_head="bf16"):
+                 temperature=0.0, vocab=211, draft_head="bf16",
+                 draft_compute="bf16"):
     cfg = tiny_test(vocab_size=vocab, num_layers=2)
     params = M.init_params(jax.random.PRNGKey(seed), cfg)
     dparams = G.init_draft_params(jax.random.PRNGKey(seed + 1), cfg)
     ecfg = EngineConfig(tree_shape=tree_shape, gamma=gamma,
                         temperature=temperature, attn_impl="dense",
-                        draft_head=draft_head)
+                        draft_head=draft_head, draft_compute=draft_compute)
     dcfg = DraftConfig(window=window)
     return SpecEngine(params, dparams, cfg, dcfg, ecfg), cfg
 
@@ -64,6 +65,30 @@ def test_lossless_int8_draft_head(method):
     law, only the accept rate)."""
     eng, cfg = build_engine(draft_head="int8")
     rng = np.random.default_rng(21)
+    B, S = 2, 15
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 4], np.int32)
+    max_gen = 20
+
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    out = getattr(eng, method)(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
+        m = min(len(v), len(s), max_gen)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
+def test_lossless_int8_draft_compute(method):
+    """int8 draft-layer compute (`EngineConfig.draft_compute`): every decode
+    micro-step matmul of the GLIDE layer runs as a native int8 dot. Proposals
+    shift slightly; the T=0 emitted stream must stay token-exact vs vanilla
+    (draft output only selects candidates, never the accepted law)."""
+    eng, cfg = build_engine(draft_compute="int8")
+    rng = np.random.default_rng(33)
     B, S = 2, 15
     toks = rng.integers(2, cfg.vocab_size, (B, S))
     lens = np.array([S, S - 4], np.int32)
