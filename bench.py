@@ -6,7 +6,7 @@ speedup of tree speculative decoding over vanilla autoregressive decoding at
 long context, lossless at temperature 0, plus mean accepted tokens per round.
 
 Pipeline (all on-device; nothing fetched over the network — a zero-egress
-box cannot download checkpoints, so the benchmark target is TRAINED here):
+box cannot download checkpoints, so each benchmark target is TRAINED here):
   1. Pretrain the target on a synthetic Markov language (sharp next-token
      margins, like a real LLM; a random-weight target has 1/V near-uniform
      logits whose argmax flips under benign fp reorderings, which would make
@@ -17,12 +17,25 @@ box cannot download checkpoints, so the benchmark target is TRAINED here):
   4. Verify token-exact equality (losslessness gate).
   5. Print ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-vs_baseline compares against the reference's published best long-context
-speedup on its own hardware (2.67x, `index.html:289`).
+Three configurations ("rows"), hardest last:
+  * easy_8k  — order-1 Markov language, ctx 8192. Near-ceiling acceptance
+    (~5.9 of max 6); upper-bounds the engine's mechanical overhead.
+  * hard_8k  — ORDER-2 language (successor depends on the (prev, cur) pair):
+    the one-layer draft must compose state pairs internally, so acceptance
+    decays with speculation depth like on real text (reference real-task
+    range ~3.5-4, `index.html:289-290`).
+  * hard_32k — the same hard language at 32k context with a target trained
+    at seq 16384: the north-star long-context configuration (BASELINE.md).
 
-Usage: python bench.py [--smoke] [--ctx 8192] [--gen 256]
+The headline metric/value/vs_baseline come from the LAST row that ran
+(hard_32k by default); all rows are reported under "rows". vs_baseline
+compares against the reference's published best long-context speedup on its
+own hardware (2.67x, `index.html:289`).
+
+Usage: python bench.py [--smoke] [--rows hard_32k] [--gen 256]
 """
 import argparse
+import gc
 import json
 import os
 import sys
@@ -37,166 +50,9 @@ os.environ.setdefault("HF_HUB_OFFLINE", "1")
 import numpy as np  # noqa: E402
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
-    ap.add_argument("--ctx", type=int, default=8192)
-    ap.add_argument("--gen", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--distill-steps", type=int, default=400)
-    ap.add_argument("--target-steps", type=int, default=600)
-    ap.add_argument("--attn", type=str, default="chunked")
-    ap.add_argument("--no-cache", action="store_true")
-    args = ap.parse_args()
-
-    if args.smoke:
-        os.environ["JAX_PLATFORMS"] = "cpu"  # override ambient axon setting
-
-    import jax
-    import jax.numpy as jnp
-    if args.smoke:
-        # the remote-TPU site hook force-selects its backend regardless of
-        # env; deregister it before first backend init (see tests/conftest.py)
-        import jax._src.xla_bridge as _xb
-        _xb._backend_factories.pop("axon", None)
-        jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
-    from longspec_tpu.models import llama as M
-    from longspec_tpu.models import glide as G
-    from longspec_tpu.engine.engine import SpecEngine
-    from longspec_tpu.train import trainer as T
-    from longspec_tpu.train.distill import distill_draft
-    from longspec_tpu.train.synthetic import make_markov_lm, sample_corpus_fast
-
-    if args.smoke:
-        cfg = ModelConfig(vocab_size=503, hidden_size=128, intermediate_size=256,
-                          num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
-                          max_position_embeddings=4096, eos_token_id=1)
-        ctx, gen = 192, 48
-        distill_steps = args.distill_steps if args.distill_steps != 400 else 30
-        target_steps = args.target_steps if args.target_steps != 600 else 40
-        corpus_seqs, corpus_len, train_bsz = 32, 96, 4
-        tree_shape, window = (2, 3, 3), 64
-    else:
-        # largest Llama-like geometry whose FULL-PARAM training at seq 4096
-        # fits one 16GB v5e chip (params+grads bf16 ~10GB + remat
-        # activations): ~2.5B params. (The reference benches 7B-13B
-        # inference on one 80GB A100.)
-        cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                          intermediate_size=8192, num_layers=16,
-                          num_heads=32, num_kv_heads=8, head_dim=128,
-                          max_position_embeddings=32768, eos_token_id=2)
-        ctx, gen, distill_steps = args.ctx, args.gen, args.distill_steps
-        target_steps = args.target_steps
-        # train at seq 4096: relative attention distances up to the train
-        # length generalize ~2x beyond it (measured: a 512-trained target's
-        # teacher-forced acc collapses at 8x length), so 4096 covers the 8k
-        # bench context; batch 1 fits the 3.6B model + grads on one v5e chip
-        corpus_seqs, corpus_len, train_bsz = 64, 4096, 1
-        tree_shape, window = (4, 16, 16, 16, 16), 512
-
-    dcfg = DraftConfig(window=window)
-    ecfg = EngineConfig(tree_shape=tree_shape, gamma=4, temperature=0.0,
-                        attn_impl=args.attn)
-
-    t0 = time.time()
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    tag = (f"v5_{'smoke' if args.smoke else 'tpu'}"
-           f"_{cfg.num_layers}x{cfg.hidden_size}x{cfg.intermediate_size}")
-    target_path = os.path.join(cache_dir, f"target_{tag}.npz")
-    draft_path = os.path.join(cache_dir, f"draft_{tag}.npz")
-
-    def save_tree(path, tree):
-        np.savez(path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
-                          for k, v in flatten(tree).items()})
-
-    def load_tree(path):
-        import ml_dtypes
-        with np.load(path) as z:
-            flat = {k: jnp.asarray(v.view(ml_dtypes.bfloat16))
-                    for k, v in z.items()}
-        return unflatten(flat)
-
-    # ---- synthetic language + corpus ----
-    succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
-                                 n_states=min(1024, cfg.vocab_size - 2))
-    corpus = sample_corpus_fast(succ, probs, corpus_seqs, corpus_len, seed=8)
-
-    # ---- stage 0: pretrain the target on the corpus ----
-    if os.path.exists(target_path) and not args.no_cache:
-        params = load_tree(target_path)
-        sys.stderr.write("loaded cached target\n")
-    else:
-        params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
-            jax.random.PRNGKey(0))
-        opt = T.make_adafactor(lr=1e-3, warmup_steps=min(50, target_steps // 4))
-        st = T.init_train_state(params, opt)
-        step_fn = T.make_lm_train_step(cfg, opt, attn_impl=args.attn)
-        rng_np = np.random.default_rng(3)
-        sys.stderr.write(f"pretraining target ({target_steps} steps)...\n")
-        for i in range(target_steps):
-            idx = rng_np.integers(0, corpus.shape[0], (train_bsz,))
-            st, m = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
-            if (i + 1) % 100 == 0 or i + 1 == target_steps:
-                sys.stderr.write(f"  target step {i+1}: loss {float(m['loss']):.4f}\n")
-        params = st.draft_params
-        save_tree(target_path, params)
-
-    # ---- stage 1: train the GLIDE draft against the frozen target ----
-    if os.path.exists(draft_path) and not args.no_cache:
-        dparams = load_tree(draft_path)
-        sys.stderr.write("loaded cached draft\n")
-    else:
-        sys.stderr.write(f"training draft ({distill_steps} steps)...\n")
-        dparams, hist = distill_draft(params, cfg, dcfg, corpus,
-                                      steps=distill_steps, batch=train_bsz,
-                                      attn_impl=args.attn)
-        sys.stderr.write(f"draft loss: {hist[:2]} ... {hist[-2:]}\n")
-        save_tree(draft_path, dparams)
-
-    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
-
-    # ---- held-out long prompts from the same language ----
-    b = args.batch
-    prompt = sample_corpus_fast(succ, probs, b, ctx, seed=999)
-    lens = np.full((b,), ctx, np.int32)
-    s_max = ctx + gen + ecfg.tree_size + 16
-
-    sys.stderr.write("vanilla decode...\n")
-    van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
-    van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
-    van_tps = van["num"] / van["elapsed"]
-
-    sys.stderr.write("tree-spec decode...\n")
-    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
-    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
-    tree_tps = (tree["count"] + tree["num"]) / tree["elapsed"]
-    accept = (tree["count"] + tree["num"]) / tree["num"]
-
-    # losslessness gate
-    n_cmp = min(van["num"], tree["count"] + tree["num"], gen - 1)
-    lossless = bool(np.array_equal(van["output_ids"][:, :n_cmp],
-                                   tree["output_ids"][:, :n_cmp]))
-
-    speedup = tree_tps / van_tps
-    result = {
-        "metric": "tree_spec_speedup_vs_vanilla",
-        "value": round(float(speedup), 4),
-        "unit": "x",
-        "vs_baseline": round(float(speedup) / 2.67, 4),
-        "mean_accept": round(float(accept), 4),
-        "vanilla_tok_s": round(float(van_tps), 2),
-        "tree_tok_s": round(float(tree_tps), 2),
-        "lossless": lossless,
-        "ctx": ctx,
-        "gen": gen,
-        "model": f"llama-{cfg.num_layers}L-{cfg.hidden_size}h",
-        "setup_s": round(time.time() - t0, 1),
-    }
-    print(json.dumps(result))
+def log(msg):
+    sys.stderr.write(msg + "\n")
+    sys.stderr.flush()
 
 
 def flatten(tree, prefix=""):
@@ -219,6 +75,234 @@ def unflatten(flat):
             d = d.setdefault(p, {})
         d[parts[-1]] = v
     return out
+
+
+def save_tree(path, tree):
+    import jax.numpy as jnp
+    np.savez(path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
+                      for k, v in flatten(tree).items()})
+
+
+def load_tree(path):
+    import jax.numpy as jnp
+    import ml_dtypes
+    with np.load(path) as z:
+        flat = {k: jnp.asarray(v.view(ml_dtypes.bfloat16))
+                for k, v in z.items()}
+    return unflatten(flat)
+
+
+def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
+               distill_steps, lr, train_bsz, attn, no_cache=False):
+    """Train-or-load the (target, draft) pair for one benchmark row."""
+    import jax
+    import jax.numpy as jnp
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.train import trainer as T
+    from longspec_tpu.train.distill import distill_draft
+
+    tpath = os.path.join(cache_dir, f"target_{tag}.npz")
+    dpath = os.path.join(cache_dir, f"draft_{tag}.npz")
+
+    if os.path.exists(tpath) and not no_cache:
+        params = load_tree(tpath)
+        log(f"[{tag}] loaded cached target")
+    else:
+        params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
+            jax.random.PRNGKey(0))
+        opt = T.make_adafactor(lr=lr, warmup_steps=min(50, target_steps // 4))
+        st = T.init_train_state(params, opt)
+        step_fn = T.make_lm_train_step(cfg, opt, attn_impl=attn)
+        rng_np = np.random.default_rng(3)
+        log(f"[{tag}] pretraining target ({target_steps} steps, "
+            f"seq {corpus.shape[1]})...")
+        tstart = time.time()
+        for i in range(target_steps):
+            idx = rng_np.integers(0, corpus.shape[0], (train_bsz,))
+            st, m = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
+            if (i + 1) % 100 == 0 or i + 1 == target_steps:
+                log(f"  target step {i+1}: loss {float(m['loss']):.4f} "
+                    f"({(time.time()-tstart)/(i+1):.2f}s/step)")
+        params = st.draft_params
+        del st, step_fn
+        save_tree(tpath, params)
+
+    if os.path.exists(dpath) and not no_cache:
+        dparams = load_tree(dpath)
+        log(f"[{tag}] loaded cached draft")
+    else:
+        log(f"[{tag}] training draft ({distill_steps} steps)...")
+        dparams, hist = distill_draft(params, cfg, dcfg, corpus,
+                                      steps=distill_steps, batch=train_bsz,
+                                      attn_impl=attn)
+        log(f"  draft loss: {hist[:2]} ... {hist[-2:]}")
+        save_tree(dpath, dparams)
+    return params, dparams
+
+
+def measure_row(name, eng, prompt, lens, gen, s_max):
+    """Vanilla vs tree-spec on one engine; returns the row dict.
+
+    Metric definitions match the reference harness
+    (`inference_long-bench.py:257-260`): num counts target forward rounds
+    (excluding the prefill-sampled token), count the extra draft-originated
+    accepted tokens, so tok/s numerators are (count+num) for tree and num for
+    vanilla — both the number of tokens emitted by the timed loop.
+    """
+    log(f"[{name}] vanilla decode...")
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    van_tps = van["num"] / van["elapsed"]
+
+    log(f"[{name}] tree-spec decode...")
+    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    tree_tps = (tree["count"] + tree["num"]) / tree["elapsed"]
+    accept = (tree["count"] + tree["num"]) / max(tree["num"], 1)
+
+    n_cmp = int(min(van["num"], tree["count"] + tree["num"], gen - 1))
+    lossless = bool(np.array_equal(van["output_ids"][:, :n_cmp],
+                                   tree["output_ids"][:, :n_cmp]))
+    row = {
+        "name": name,
+        "ctx": int(lens.max()),
+        "gen": gen,
+        "speedup": round(float(tree_tps / van_tps), 4),
+        "mean_accept": round(float(accept), 4),
+        "vanilla_tok_s": round(float(van_tps), 2),
+        "tree_tok_s": round(float(tree_tps), 2),
+        "lossless": lossless,
+    }
+    log(f"[{name}] {json.dumps(row)}")
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
+    ap.add_argument("--rows", type=str, default="easy_8k,hard_8k,hard_32k",
+                    help="comma-separated subset of easy_8k,hard_8k,hard_32k")
+    ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--attn", type=str, default="chunked")
+    ap.add_argument("--no-cache", action="store_true")
+    args = ap.parse_args()
+
+    if args.smoke:
+        os.environ["JAX_PLATFORMS"] = "cpu"  # override ambient axon setting
+
+    import jax
+    import jax.numpy as jnp
+    if args.smoke:
+        # the remote-TPU site hook force-selects its backend regardless of
+        # env; deregister it before first backend init (see tests/conftest.py)
+        import jax._src.xla_bridge as _xb
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
+    from longspec_tpu.engine.engine import SpecEngine
+    from longspec_tpu.train.synthetic import (make_markov_lm, make_markov2_lm,
+                                              sample_corpus_fast, sample_corpus2)
+
+    t0 = time.time()
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+
+    if args.smoke:
+        cfg = ModelConfig(vocab_size=503, hidden_size=128, intermediate_size=256,
+                          num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                          max_position_embeddings=4096, eos_token_id=1)
+        dcfg = DraftConfig(window=64)
+        ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=4, temperature=0.0,
+                            attn_impl=args.attn)
+        succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
+                                     n_states=cfg.vocab_size - 2)
+        corpus = sample_corpus_fast(succ, probs, 32, 96, seed=8)
+        params, dparams = get_models(
+            cfg, dcfg, corpus, cache_dir, "v5_smoke_2x128x256",
+            target_steps=40, distill_steps=30, lr=1e-3, train_bsz=4,
+            attn=args.attn, no_cache=args.no_cache)
+        eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+        prompt = sample_corpus_fast(succ, probs, args.batch, 192, seed=999)
+        lens = np.full((args.batch,), 192, np.int32)
+        gen = min(args.gen, 48)
+        rows = [measure_row("smoke", eng, prompt, lens, gen,
+                            192 + gen + ecfg.tree_size + 16)]
+    else:
+        # largest Llama-like geometry whose FULL-PARAM training at seq 4096+
+        # fits one 16GB v5e chip (params+grads bf16 ~10GB + remat
+        # activations): ~2.5B params. (The reference benches 7B-13B
+        # inference on one 80GB A100.)
+        cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
+                          intermediate_size=8192, num_layers=16,
+                          num_heads=32, num_kv_heads=8, head_dim=128,
+                          max_position_embeddings=65536, eos_token_id=2)
+        dcfg = DraftConfig(window=512)
+        ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16), gamma=4,
+                            temperature=0.0, attn_impl=args.attn)
+
+        # row table: (language, n_states, train seq, ctx, target_steps,
+        # distill_steps, lr). Training at seq L generalizes to ~2L context
+        # (measured round 1: teacher-forced accuracy of a 512-trained target
+        # collapses at 8x its training length; 2x holds).
+        specs = {
+            "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3),
+            "hard_8k": ("hard", 256, 4096, 8192, 1000, 800, 3e-3),
+            "hard_32k": ("hard", 256, 16384, 32768, 500, 600, 3e-3),
+        }
+        rows = []
+        for name in args.rows.split(","):
+            lang, n_states, seq, ctx, tsteps, dsteps, lr = specs[name]
+            if lang == "easy":
+                succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
+                                             n_states=n_states)
+                sample = lambda n, s, seed: sample_corpus_fast(
+                    succ, probs, n, s, seed=seed)
+                # keep the round-1 cache tag so the 5GB target is reused
+                tag = f"v5_tpu_{cfg.num_layers}x{cfg.hidden_size}x{cfg.intermediate_size}"
+            else:
+                succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,
+                                                n_states=n_states,
+                                                branch_frac=0.2)
+                sample = lambda n, s, seed: sample_corpus2(
+                    succ2, probs2, n, s, seed=seed)
+                tag = f"hard{n_states}_s{seq}"
+            n_seqs = max(96, min(768, (48 * n_states * n_states) // seq))
+            log(f"[{name}] sampling corpus ({n_seqs} x {seq})...")
+            corpus = sample(n_seqs, seq, 8)
+            params, dparams = get_models(
+                cfg, dcfg, corpus, cache_dir, tag, target_steps=tsteps,
+                distill_steps=dsteps, lr=lr, train_bsz=1, attn=args.attn,
+                no_cache=args.no_cache)
+            eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+            prompt = sample(args.batch, ctx, 999)
+            lens = np.full((args.batch,), ctx, np.int32)
+            rows.append(measure_row(name, eng, prompt, lens, args.gen,
+                                    ctx + args.gen + ecfg.tree_size + 16))
+            # drop this row's 5GB of device buffers before the next row loads
+            del eng, params, dparams, corpus
+            gc.collect()
+
+    head = rows[-1]
+    result = {
+        "metric": "tree_spec_speedup_vs_vanilla",
+        "value": head["speedup"],
+        "unit": "x",
+        "vs_baseline": round(head["speedup"] / 2.67, 4),
+        "mean_accept": head["mean_accept"],
+        "vanilla_tok_s": head["vanilla_tok_s"],
+        "tree_tok_s": head["tree_tok_s"],
+        "lossless": head["lossless"],
+        "ctx": head["ctx"],
+        "gen": head["gen"],
+        "headline_row": head["name"],
+        "rows": rows,
+        "model": f"llama-{cfg.num_layers}L-{cfg.hidden_size}h",
+        "setup_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
