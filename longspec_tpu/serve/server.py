@@ -1,0 +1,262 @@
+"""Continuous-batching speculative-decoding server.
+
+TPU-native serving loop over the SpecEngine: a fixed batch of decode SLOTS
+(static shapes — XLA compiles the decode segment once), a FIFO admission
+queue, and prefill-and-insert admission: a newly admitted request is
+prefetched through the target+draft prefill as a batch-1 call, then its KV
+rows, cache lengths, and carry rows are scattered into the live batch at the
+free slot index inside one jitted insert. Finished rows (eos / token budget)
+are harvested between decode segments and their slots immediately rehost the
+next queued request, so the batch stays full under load — the reference has
+no serving layer at all (its CLIs decode one fixed batch end-to-end,
+`longspec/test/inference_long-bench.py:228-247`); this is the production
+counterpart built the way TPU serving stacks structure it (decoupled
+prefill/insert/generate on static-shape slot state).
+
+Design notes
+  * Slot = KV page. Each slot owns `s_max` rows of target KV + the draft
+    ring; admission reuses the slot's buffers in place (no allocation after
+    server construction). Per-row `cache_lens` makes the batch ragged.
+  * Prefill lengths are bucketed (`prefill_buckets`) so only a handful of
+    prefill programs ever compile; prompts pad up to the bucket.
+  * The decode segment is the engine's own jitted tree/chain round while-loop
+    (`SpecEngine._spec_segment`) — serving adds zero per-round host work.
+  * T=0 output streams are token-exact vs a standalone
+    `tree_spec_generate` call for the same prompt (test_serve.py): continuous
+    batching changes scheduling, never the emitted law.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..engine.engine import SpecEngine, GenCarry, DecodeState
+
+
+@dataclass
+class Request:
+    uid: int
+    tokens: np.ndarray          # [l] int32 prompt
+    max_new_tokens: int
+    enqueued_s: float = field(default_factory=time.perf_counter)
+
+
+@dataclass
+class Completion:
+    uid: int
+    tokens: List[int]           # generated tokens (incl. first sampled)
+    prompt_len: int
+    latency_s: float            # enqueue -> harvest
+
+
+class SpecServer:
+    """Continuous batching over `n_slots` concurrent sequences.
+
+    Usage:
+        srv = SpecServer(engine, n_slots=4, s_max=2048)
+        srv.submit(prompt_tokens, max_new_tokens=128)
+        completions = srv.run()       # drain queue + slots
+    or incrementally: `srv.step()` inside a service loop.
+    """
+
+    def __init__(self, engine: SpecEngine, n_slots: int, s_max: int,
+                 max_new_cap: int = 512, method: str = "tree",
+                 prefill_buckets=(128, 512, 2048, 8192),
+                 state_dtype=jnp.bfloat16, seed: int = 0):
+        if method == "tree":
+            self._round_fn = engine._tree_round
+            a_max = engine.ecfg.tree_depth + 1
+        elif method == "chain":
+            self._round_fn = engine._chain_round
+            a_max = engine.ecfg.gamma + 1
+        else:
+            raise ValueError(f"unknown method {method}")
+        self.engine = engine
+        self.cfg: ModelConfig = engine.cfg
+        self.n_slots = n_slots
+        self.s_max = s_max
+        self.max_new_cap = max_new_cap
+        self.method = method
+        self.a_max = a_max
+        self.prefill_buckets = tuple(sorted(prefill_buckets))
+        self.state_dtype = state_dtype
+
+        state = engine.init_state(n_slots, s_max, state_dtype)
+        eos = jnp.full((n_slots,), self.cfg.eos_token_id, jnp.int32)
+        self._carry: GenCarry = engine._spec_carry(
+            state, eos, max_new_cap, jax.random.PRNGKey(seed), a_max)
+        self._seg = engine._get_jit((method, "seg"), self._segment_fn())
+
+        # host-side slot table: uid or None per slot
+        self._slot_uid: List[Optional[int]] = [None] * n_slots
+        self._slot_max_new = np.zeros((n_slots,), np.int64)
+        self._requests: Dict[int, Request] = {}
+        self._queue: List[int] = []
+        self._next_uid = 0
+        self._t_serve_start: Optional[float] = None
+        self.tokens_served = 0
+        self.completions_served = 0
+
+    # -- jitted helpers -------------------------------------------------
+
+    def _segment_fn(self):
+        import functools
+        return functools.partial(self.engine._spec_segment, self._round_fn)
+
+    def _insert(self, carry: GenCarry, pst: DecodeState, t0, slot):
+        """Scatter a batch-1 prefill into slot `slot` of the live carry."""
+        if not hasattr(self, "_insert_jit"):
+            eos = self.cfg.eos_token_id
+
+            def impl(carry, pst, t0, slot):
+                st = carry.state
+                upd = jax.lax.dynamic_update_index_in_dim
+                state = DecodeState(
+                    kv_k=upd(st.kv_k, pst.kv_k[:, 0], slot, 1),
+                    kv_v=upd(st.kv_v, pst.kv_v[:, 0], slot, 1),
+                    d_kv_k=upd(st.d_kv_k, pst.d_kv_k[0], slot, 0),
+                    d_kv_v=upd(st.d_kv_v, pst.d_kv_v[0], slot, 0),
+                    cache_lens=st.cache_lens.at[slot].set(pst.cache_lens[0]),
+                    d_cache_lens=st.d_cache_lens.at[slot].set(
+                        pst.d_cache_lens[0]),
+                )
+                t = t0[0]
+                acc_row = jnp.zeros((carry.acc_tokens.shape[1],),
+                                    jnp.int32).at[0].set(t)
+                out_row = jnp.full((carry.output_ids.shape[1],), eos,
+                                   jnp.int32).at[0].set(t)
+                return carry._replace(
+                    state=state,
+                    acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
+                    acc_len=carry.acc_len.at[slot].set(1),
+                    output_ids=carry.output_ids.at[slot].set(out_row),
+                    out_len=carry.out_len.at[slot].set(1),
+                    done=carry.done.at[slot].set(t == eos),
+                )
+
+            self._insert_jit = jax.jit(impl, donate_argnums=(0,))
+        return self._insert_jit(carry, pst, t0, jnp.int32(slot))
+
+    def _finish_slot(self, carry: GenCarry, slot):
+        if not hasattr(self, "_finish_jit"):
+            self._finish_jit = jax.jit(
+                lambda c, s: c._replace(done=c.done.at[s].set(True)),
+                donate_argnums=(0,))
+        return self._finish_jit(carry, jnp.int32(slot))
+
+    # -- public API -----------------------------------------------------
+
+    def submit(self, tokens, max_new_tokens: int = 128) -> int:
+        tokens = np.asarray(tokens, np.int32).reshape(-1)
+        if len(tokens) + max_new_tokens + self.a_max + 8 > self.s_max:
+            raise ValueError(f"prompt {len(tokens)} + max_new {max_new_tokens}"
+                             f" exceeds slot capacity {self.s_max}")
+        uid = self._next_uid
+        self._next_uid += 1
+        req = Request(uid=uid, tokens=tokens,
+                      max_new_tokens=min(max_new_tokens, self.max_new_cap))
+        self._requests[uid] = req
+        self._queue.append(uid)
+        return uid
+
+    @property
+    def active_slots(self) -> int:
+        return sum(u is not None for u in self._slot_uid)
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue)
+
+    def _admit(self):
+        """Fill free slots from the queue (prefill + insert per request)."""
+        eng = self.engine
+        for slot in range(self.n_slots):
+            if self._slot_uid[slot] is not None or not self._queue:
+                continue
+            uid = self._queue.pop(0)
+            req = self._requests[uid]
+            l = len(req.tokens)
+            bucket = next((b for b in self.prefill_buckets if b >= l),
+                          self.prefill_buckets[-1])
+            if bucket < l:
+                bucket = l  # oversize prompt: dedicated compile
+            padded = np.zeros((1, bucket), np.int32)
+            padded[0, :l] = req.tokens
+            pstate = eng.init_state(1, self.s_max, self.state_dtype)
+            prefill = eng._get_jit("prefill", eng._prefill_impl)
+            rng = jax.random.fold_in(jax.random.PRNGKey(17), uid)
+            pstate, t0, _ = prefill(eng.params, eng.draft_params,
+                                    jnp.asarray(padded),
+                                    jnp.asarray([l], jnp.int32), pstate, rng)
+            self._carry = self._insert(self._carry, pstate, t0, slot)
+            self._slot_uid[slot] = uid
+            self._slot_max_new[slot] = req.max_new_tokens
+            del pstate
+
+    def _harvest(self) -> List[Completion]:
+        """Collect finished rows; free their slots."""
+        done = np.asarray(self._carry.done)
+        out_len = np.asarray(self._carry.out_len)
+        finished = []
+        for slot in range(self.n_slots):
+            uid = self._slot_uid[slot]
+            if uid is None:
+                continue
+            n_emit = int(out_len[slot])
+            hit_budget = n_emit >= self._slot_max_new[slot]
+            if not (done[slot] or hit_budget):
+                continue
+            if not done[slot]:
+                self._carry = self._finish_slot(self._carry, slot)
+            row = np.asarray(self._carry.output_ids[slot])[:n_emit]
+            eos_pos = np.nonzero(row == self.cfg.eos_token_id)[0]
+            stop = eos_pos[0] if len(eos_pos) else n_emit
+            # budget bound: max_new generated tokens total (t0 counts)
+            row = row[:min(stop, self._slot_max_new[slot])].tolist()
+            req = self._requests.pop(uid)
+            finished.append(Completion(
+                uid=uid, tokens=row, prompt_len=len(req.tokens),
+                latency_s=time.perf_counter() - req.enqueued_s))
+            self._slot_uid[slot] = None
+            self.tokens_served += len(row)
+            self.completions_served += 1
+        return finished
+
+    def step(self, rounds: int = 16) -> List[Completion]:
+        """One scheduler tick: admit, decode up to `rounds` spec rounds,
+        harvest. Returns completions that finished this tick."""
+        if self._t_serve_start is None:
+            self._t_serve_start = time.perf_counter()
+        self._admit()
+        if self.active_slots:
+            limit = self._carry.rounds + rounds
+            self._carry, status = self._seg(
+                self.engine.params, self.engine._decode_draft_params,
+                self._carry, limit)
+            int(status)  # host readback barrier
+        return self._harvest()
+
+    def run(self, rounds_per_step: int = 16) -> List[Completion]:
+        """Drain the queue and all active slots; returns all completions."""
+        out = []
+        while self._queue or self.active_slots:
+            out.extend(self.step(rounds_per_step))
+        return out
+
+    def stats(self) -> dict:
+        elapsed = (time.perf_counter() - self._t_serve_start
+                   if self._t_serve_start else 0.0)
+        return {
+            "tokens_served": self.tokens_served,
+            "completions": self.completions_served,
+            "elapsed_s": round(elapsed, 3),
+            "tok_s": round(self.tokens_served / elapsed, 2) if elapsed else 0.0,
+            "pending": self.pending,
+            "active_slots": self.active_slots,
+        }
