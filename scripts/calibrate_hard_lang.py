@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--attn", type=str, default="chunked")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--distill-lr", type=float, default=1e-3)
+    ap.add_argument("--extend-distill", type=int, default=0,
+                    help="continue training the CACHED draft this many extra "
+                         "steps (draft is the accept bottleneck; target reused)")
     ap.add_argument("--probe", action="store_true", help="train only, no cache write, for lr/n_states probing")
     args = ap.parse_args()
 
@@ -115,10 +119,21 @@ def main():
     if os.path.exists(dpath) and not args.no_cache:
         dparams = load_tree(dpath)
         log("loaded cached hard draft")
+        if args.extend_distill:
+            log(f"extending distillation ({args.extend_distill} steps, "
+                f"lr {args.distill_lr})...")
+            dparams, hist = distill_draft(params, cfg, dcfg, corpus,
+                                          steps=args.extend_distill, batch=1,
+                                          lr=args.distill_lr, seed=11,
+                                          attn_impl=args.attn,
+                                          draft_params=dparams)
+            log(f"draft loss: {hist[:2]} ... {hist[-2:]}")
+            save_tree(dpath, dparams)
     else:
         log(f"distilling draft ({args.distill_steps} steps)...")
         dparams, hist = distill_draft(params, cfg, dcfg, corpus,
                                       steps=args.distill_steps, batch=1,
+                                      lr=args.distill_lr,
                                       attn_impl=args.attn)
         log(f"draft loss: {hist[:2]} ... {hist[-2:]}")
         save_tree(dpath, dparams)
