@@ -157,6 +157,31 @@ class SpecEngine:
             self._decode_draft_params = jax.jit(G.quantize_draft_params)(
                 draft_params)
 
+    def _beam_topk(self, params, h, k: int):
+        """Per-row top-k (log-softmax value, vocab id) of the draft scoring
+        head over the LAST axis of `h` [..., H] -> ([..., k], [..., k]).
+
+        Under a mesh with a vocab-sharded lm_head this runs shard-local
+        (parallel.overlap.sharded_topk): each tp shard scores only its vocab
+        slice and only the [rows, k] winners plus the logsumexp scalars cross
+        the ICI — never full logits (SURVEY §7.1.7; the reference's
+        equivalent is a one-GPU flat nodes x vocab top-k,
+        `llama_glide.py:1064-1067`).
+        """
+        if self.mesh is not None and self._qhead is None:
+            from ..parallel.overlap import sharded_topk
+            lead = h.shape[:-1]
+            rows = int(np.prod(lead)) if lead else 1
+            dp = self.mesh.shape.get("dp", 1)
+            rows_axis = "dp" if (dp > 1 and rows % dp == 0) else None
+            vals, ids = sharded_topk(self.mesh, h.reshape(rows, h.shape[-1]),
+                                     M.lm_head_weight(params), k,
+                                     rows_axis=rows_axis)
+            return vals.reshape(*lead, k), ids.reshape(*lead, k)
+        logp = jax.nn.log_softmax(self._draft_logits(params, h), axis=-1)
+        vals, ids = jax.lax.top_k(logp, k)
+        return vals, ids.astype(jnp.int32)
+
     def _draft_logits(self, params, h):
         """Draft-side scoring logits [.., V] fp32 (quantized when enabled)."""
         if self._qhead is None:
@@ -502,7 +527,6 @@ class SpecEngine:
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         root_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
-        root_logp = jax.nn.log_softmax(self._draft_logits(params, root_h), axis=-1)
 
         # ---- 2. tree expansion (beam rule) ----
         root_tok = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
@@ -514,6 +538,8 @@ class SpecEngine:
         spec_logp = (jnp.zeros((b, N, cfg.vocab_size), jnp.float32)
                      if need_q else None)
         if need_q:
+            root_logp = jax.nn.log_softmax(self._draft_logits(params, root_h),
+                                           axis=-1)
             spec_logp = spec_logp.at[:, 0].set(root_logp)
 
         # level 1: T=0 -> top-k of the root distribution (greedy beam);
@@ -531,8 +557,7 @@ class SpecEngine:
                 axis=-1).astype(jnp.int32)
             logp1 = jnp.take_along_axis(logq_root, ids1, axis=1)
         else:
-            logp1, ids1 = jax.lax.top_k(root_logp, c1)
-            ids1 = ids1.astype(jnp.int32)
+            logp1, ids1 = self._beam_topk(params, root_h, c1)
         tree_tokens = jax.lax.dynamic_update_slice(tree_tokens, ids1, (0, 1))
         hist_logp = jax.lax.dynamic_update_slice(hist_logp, logp1, (0, 1))
         diag_idx = jnp.arange(1, 1 + c1)
@@ -563,8 +588,9 @@ class SpecEngine:
                 jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
                 suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
                 suffix_kv=(tk, tv), suffix_write_offset=lo)
-            logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l), axis=-1)
             if need_q:
+                logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l),
+                                            axis=-1)
                 spec_logp = jax.lax.dynamic_update_slice(spec_logp, logp_l, (0, lo, 0))
                 # ---- exact T>0 expansion ----
                 # Child counts per node are allocated from PATH weights only
@@ -595,9 +621,13 @@ class SpecEngine:
                 father_l = father_rel + lo
             else:
                 # greedy beam: per-node top-k then flat top-k (== flat
-                # nodes x vocab top-k, `llama_glide.py:1064-1067`)
-                cum = hist_logp[:, lo:hi, None] + logp_l
-                v_top, i_top = jax.lax.top_k(cum, c_next)        # [B, c_l, c_next]
+                # nodes x vocab top-k, `llama_glide.py:1064-1067`; the
+                # per-node stage is shard-local under a vocab-sharded head
+                # since hist is constant per node: top_k(hist + logp) =
+                # hist + top_k(logp))
+                vals_l, ids_l = self._beam_topk(params, h_l, c_next)
+                v_top = hist_logp[:, lo:hi, None] + vals_l       # [B, c_l, c_next]
+                i_top = ids_l
                 v_flat = v_top.reshape(b, c_l * c_next)
                 i_flat = i_top.reshape(b, c_l * c_next)
                 sel_v, sel = jax.lax.top_k(v_flat, c_next)        # [B, c_next]

@@ -26,7 +26,7 @@ Both run under `shard_map` over an existing (dp, tp) mesh.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -59,10 +59,11 @@ def _local_topk_stage(logits_loc: jnp.ndarray, k: int, axis_name: str):
 
 
 def sharded_topk(mesh: Mesh, h: jnp.ndarray, w: jnp.ndarray, k: int,
-                 axis_name: str = "tp"):
+                 axis_name: str = "tp", rows_axis: Optional[str] = None):
     """Top-k of `h @ w` over the vocab axis of a vocab-sharded head.
 
-    h: [rows, H] (replicated); w: [H, V] sharded P(None, axis_name).
+    h: [rows, H]; w: [H, V] sharded P(None, axis_name). `rows_axis` names a
+    mesh axis the rows are sharded over (e.g. "dp"; None = replicated rows).
     Returns (log_probs [rows, k], ids [rows, k]): the top-k LOG-SOFTMAX
     scores (exact — normalized by the true global logsumexp) and their
     global vocab indices. Equivalent to
@@ -76,8 +77,8 @@ def sharded_topk(mesh: Mesh, h: jnp.ndarray, w: jnp.ndarray, k: int,
 
     return shard_map(
         f, mesh=mesh,
-        in_specs=(P(None, None), P(None, axis_name)),
-        out_specs=(P(None, None), P(None, None)),
+        in_specs=(P(rows_axis, None), P(None, axis_name)),
+        out_specs=(P(rows_axis, None), P(rows_axis, None)),
         check_vma=False,
     )(h, w)
 
