@@ -247,6 +247,11 @@ def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
     m0 = jnp.full((b, hkv, groups, tq), att.NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, hkv, groups, tq), jnp.float32)
     a0 = jnp.zeros((b, hkv, groups, tq, d), jnp.float32)
+    # checkpoint per KV chunk: under grad, the scan's linearization would
+    # otherwise stack every chunk's probability matrix p ([B,Hkv,G,Tq,chunk]
+    # fp32 x n_chunks ~ 1GB/query-block at seq 16k) as saved residuals;
+    # recomputing p in the backward keeps only the O(chunk) carries live.
+    body = jax.checkpoint(body, prevent_cse=False)
     (m_f, l_f, acc_f), _ = jax.lax.scan(body, (m0, l0, a0),
                                         (kc, vc, jnp.arange(n_chunks)))
     valid = l_f > 0
@@ -366,12 +371,20 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
 def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
                   positions: Optional[jnp.ndarray] = None,
                   return_last_kv: bool = False, attn_impl: str = "dense",
-                  lengths: Optional[jnp.ndarray] = None, remat: bool = True):
+                  lengths: Optional[jnp.ndarray] = None, remat: bool = True,
+                  unroll_layers: bool = False):
     """Training-mode causal forward (no cache).
 
     With ``return_last_kv`` also returns the last layer's post-RoPE (K, V)
     for GLIDE draft training (ref ``glide_training``, `llama.py:295-302` —
     the cache stores roped keys, so the draft cross-attends roped keys).
+
+    ``unroll_layers`` replaces the layer ``lax.scan`` with a Python loop.
+    Under ``grad``, the scan's stacked-parameter gradient is a single
+    contiguous [L, ...] while-loop carry that XLA double-buffers (two ~1GB
+    blocks per large weight at 2.5B scale) and that fragments HBM badly; the
+    unrolled form accumulates per-layer slices instead, which is what lets
+    full-param seq-16384 training fit one 16GB chip.
     """
     b, s = tokens.shape
     hd = cfg.head_dim_
@@ -396,6 +409,26 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + mlp(x, lp)
         return h, (k, v)
 
+    if unroll_layers:
+        # remat boundary every 2 layers (not 1): halves the saved boundary
+        # activations (128MB x L at 16k seq) for one extra layer recompute
+        # per pair in the backward.
+        def pair(h, lps):
+            kv = None
+            for lp in lps:
+                h, kv = layer(h, lp)
+            return h, kv
+        if remat:
+            pair = jax.checkpoint(pair)
+        kv = None
+        for i in range(0, cfg.num_layers, 2):
+            lps = [jax.tree_util.tree_map(lambda x, j=j: x[j], params["layers"])
+                   for j in range(i, min(i + 2, cfg.num_layers))]
+            h, kv = pair(h, lps)
+        out = _final(params, cfg, h)
+        if return_last_kv:
+            return out, kv
+        return out
     if remat:
         layer = jax.checkpoint(layer)
     h, (ks, vs) = jax.lax.scan(layer, h, params["layers"])

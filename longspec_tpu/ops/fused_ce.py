@@ -51,6 +51,10 @@ def fused_linear_ce(hidden, lm_head_w, labels, valid_mask=None,
         nll = jnp.where(v_c, lse - tgt, 0.0)
         return (tot + jnp.sum(nll), cnt + jnp.sum(v_c)), None
 
+    # checkpoint per chunk: under grad, the scan's linearization would
+    # otherwise stack every chunk's fp32 logits ([n_chunks, chunk, V] ~ 2GB
+    # at seq 16k, V=32k) as saved residuals; recompute them in the backward.
+    body = jax.checkpoint(body, prevent_cse=False)
     (tot, cnt), _ = jax.lax.scan(body, (jnp.zeros((), jnp.float32),
                                         jnp.zeros((), jnp.int32)), (hs, ls, vs))
     return tot / jnp.maximum(cnt, 1).astype(jnp.float32)

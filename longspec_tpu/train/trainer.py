@@ -181,7 +181,8 @@ def init_train_state(draft_params, optimizer) -> TrainState:
 # ---------------------------------------------------------------------------
 
 def make_lm_train_step(cfg: ModelConfig, optimizer, attn_impl: str = "chunked",
-                       anchor_offset: bool = True):
+                       anchor_offset: bool = True,
+                       unroll_layers: bool = False):
     """Jitted step(state, tokens, rng) -> (state, metrics) training ALL target
     params with the chunked fused CE. Use a factored optimizer (adafactor)
     for large models — AdamW moments for multi-B params exceed one chip.
@@ -201,7 +202,8 @@ def make_lm_train_step(cfg: ModelConfig, optimizer, attn_impl: str = "chunked",
 
         def loss_fn(p):
             hidden = M.forward_train(p, cfg, tokens, positions=positions,
-                                     attn_impl=attn_impl)
+                                     attn_impl=attn_impl,
+                                     unroll_layers=unroll_layers)
             w = M.lm_head_weight(p)
             return fused_linear_ce(hidden[:, :-1], w, tokens[:, 1:])
 

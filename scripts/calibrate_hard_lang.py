@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=800)
     ap.add_argument("--corpus-seqs", type=int, default=768)
     ap.add_argument("--attn", type=str, default="chunked")
+    ap.add_argument("--draft-head", type=str, default="bf16")
+    ap.add_argument("--draft-compute", type=str, default="bf16")
+    ap.add_argument("--tree-shape", type=str, default="4,16,16,16,16")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--distill-lr", type=float, default=1e-3)
@@ -62,8 +65,11 @@ def main():
                       num_heads=32, num_kv_heads=8, head_dim=128,
                       max_position_embeddings=65536, eos_token_id=2)
     dcfg = DraftConfig(window=512)
-    ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16), gamma=4,
-                       temperature=0.0, attn_impl=args.attn)
+    ecfg = EngineConfig(tree_shape=tuple(int(x) for x in
+                                         args.tree_shape.split(",")),
+                        gamma=4, temperature=0.0, attn_impl=args.attn,
+                        draft_head=args.draft_head,
+                        draft_compute=args.draft_compute)
 
     cache = os.path.join(ROOT, ".bench_cache")
     os.makedirs(cache, exist_ok=True)
@@ -100,7 +106,8 @@ def main():
             jax.random.PRNGKey(0))
         opt = T.make_adafactor(lr=args.lr, warmup_steps=50)
         st = T.init_train_state(params, opt)
-        step_fn = T.make_lm_train_step(cfg, opt, attn_impl=args.attn)
+        step_fn = T.make_lm_train_step(cfg, opt, attn_impl=args.attn,
+                                       unroll_layers=args.seq >= 8192)
         rng_np = np.random.default_rng(3)
         log(f"pretraining hard target ({args.target_steps} steps, seq {args.seq})...")
         tstart = time.time()

@@ -143,3 +143,37 @@ def test_lora_draft_finetune(tiny_models, tmp_path):
     res = eng.tree_spec_generate(np.asarray(toks[:1]), np.array([32], np.int32),
                                  max_gen_len=6, state_dtype=jnp.float32)
     assert res["num"] >= 1
+
+
+def test_unroll_layers_matches_scan(tiny_models):
+    """forward_train(unroll_layers=True) — the HBM-friendly form used for
+    seq>=8k full-param pretraining (per-layer grad slices instead of one
+    stacked while-loop carry) — matches the scan form in both the forward
+    hidden states and the parameter gradients."""
+    cfg, _, tparams, _ = tiny_models
+    rng = np.random.default_rng(3)
+    toks = jnp.asarray(rng.integers(2, cfg.vocab_size, (2, 24)).astype(np.int32))
+
+    def loss(p, unroll):
+        h = M.forward_train(p, cfg, toks, attn_impl="chunked",
+                            unroll_layers=unroll)
+        return jnp.sum(h.astype(jnp.float32) ** 2) / h.size
+
+    for unroll in (False, True):
+        hs = M.forward_train(tparams, cfg, toks, attn_impl="chunked",
+                             unroll_layers=unroll, return_last_kv=True)
+        if unroll:
+            h_u, kv_u = hs
+        else:
+            h_s, kv_s = hs
+    np.testing.assert_allclose(np.asarray(h_u), np.asarray(h_s),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(kv_u, kv_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    g_s = jax.grad(loss)(tparams, False)
+    g_u = jax.grad(loss)(tparams, True)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
