@@ -90,6 +90,12 @@ class EngineConfig:
     # verification share the same quantized q). Training always uses the
     # full-precision params.
     draft_compute: str = "bf16"  # "bf16" | "int8"
+    # Beam top-k over the draft scoring logits at T=0. "approx" uses the
+    # TPU-native approx_max_k (recall ~0.95, several x faster than the exact
+    # sort-based TopK over V=32k+). Losslessness is structural either way —
+    # the beam only chooses which tokens get PROPOSED; a missed top child
+    # can only lower the accept rate, never change emitted tokens.
+    beam_topk: str = "exact"  # "exact" | "approx"
 
     @property
     def tree_size(self) -> int:

@@ -179,7 +179,10 @@ class SpecEngine:
                                      rows_axis=rows_axis)
             return vals.reshape(*lead, k), ids.reshape(*lead, k)
         logp = jax.nn.log_softmax(self._draft_logits(params, h), axis=-1)
-        vals, ids = jax.lax.top_k(logp, k)
+        if self.ecfg.beam_topk == "approx":
+            vals, ids = jax.lax.approx_max_k(logp, k, recall_target=0.95)
+        else:
+            vals, ids = jax.lax.top_k(logp, k)
         return vals, ids.astype(jnp.int32)
 
     def _draft_logits(self, params, h):

@@ -27,13 +27,14 @@ def first_eos_trim(row, eos):
 
 def build_engine(tree_shape=(2, 3, 3), gamma=3, window=8, seed=0,
                  temperature=0.0, vocab=211, draft_head="bf16",
-                 draft_compute="bf16"):
+                 draft_compute="bf16", beam_topk="exact"):
     cfg = tiny_test(vocab_size=vocab, num_layers=2)
     params = M.init_params(jax.random.PRNGKey(seed), cfg)
     dparams = G.init_draft_params(jax.random.PRNGKey(seed + 1), cfg)
     ecfg = EngineConfig(tree_shape=tree_shape, gamma=gamma,
                         temperature=temperature, attn_impl="dense",
-                        draft_head=draft_head, draft_compute=draft_compute)
+                        draft_head=draft_head, draft_compute=draft_compute,
+                        beam_topk=beam_topk)
     dcfg = DraftConfig(window=window)
     return SpecEngine(params, dparams, cfg, dcfg, ecfg), cfg
 
@@ -98,6 +99,29 @@ def test_lossless_int8_draft_compute(method):
                                state_dtype=jnp.float32)
     out = getattr(eng, method)(toks, lens, max_gen_len=max_gen,
                                state_dtype=jnp.float32)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
+        m = min(len(v), len(s), max_gen)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+def test_lossless_approx_beam_topk():
+    """`EngineConfig.beam_topk="approx"` (TPU approx_max_k for tree beam
+    expansion): the beam only picks which tokens are proposed, so T=0 output
+    must stay token-exact vs vanilla even with ~0.95-recall candidate
+    selection."""
+    eng, cfg = build_engine(beam_topk="approx")
+    rng = np.random.default_rng(44)
+    B, S = 2, 15
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 4], np.int32)
+    max_gen = 20
+
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    out = eng.tree_spec_generate(toks, lens, max_gen_len=max_gen,
+                                 state_dtype=jnp.float32)
     for b in range(B):
         v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
         s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
