@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--draft-head", type=str, default="bf16")
     ap.add_argument("--draft-compute", type=str, default="bf16")
     ap.add_argument("--tree-shape", type=str, default="4,16,16,16,16")
+    ap.add_argument("--beam-topk", type=str, default="exact")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--distill-lr", type=float, default=1e-3)
@@ -69,7 +70,8 @@ def main():
                                          args.tree_shape.split(",")),
                         gamma=4, temperature=0.0, attn_impl=args.attn,
                         draft_head=args.draft_head,
-                        draft_compute=args.draft_compute)
+                        draft_compute=args.draft_compute,
+                        beam_topk=args.beam_topk)
 
     cache = os.path.join(ROOT, ".bench_cache")
     os.makedirs(cache, exist_ok=True)

@@ -1,0 +1,142 @@
+"""Paged KV: the paged flash-decode kernel must match the contiguous-cache
+kernel/oracle exactly for any page placement, and the allocator must account
+pages correctly across alloc/extend/free cycles."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from longspec_tpu.ops.pallas_decode import flash_decode
+from longspec_tpu.ops.pallas_paged import paged_flash_decode, write_paged_rows
+from longspec_tpu.serve.paging import PagePool
+
+
+def scatter_to_pool(dense_k, pool_shape, tables, lens, page):
+    """Place dense [B, Hkv, S, D] rows into a randomized page pool."""
+    b, hkv, s, d = dense_k.shape
+    pool = np.zeros(pool_shape, dense_k.dtype)
+    for i in range(b):
+        for chunk in range(-(-int(lens[i]) // page)):
+            lo = chunk * page
+            hi = min(lo + page, int(lens[i]))
+            pool[tables[i, chunk], :, :hi - lo] = dense_k[i, :, lo:hi]
+    return pool
+
+
+@pytest.mark.parametrize("window,anchors", [(None, 0), (12, 2)])
+def test_paged_matches_contiguous(window, anchors):
+    rng = np.random.default_rng(0)
+    B, T, H, Hkv, D, page = 3, 2, 4, 2, 32, 16
+    lens = np.array([40, 17, 64], np.int32)
+    S = 64
+    n_chunks = S // page
+    q = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    q_pos = np.stack([lens + t for t in range(T)], 1).astype(np.int32)
+
+    # randomized page placement
+    n_pages = 16
+    pool = PagePool(n_pages, page)
+    order = rng.permutation(B)
+    for uid in order:          # allocation order shuffled across sequences
+        pool.alloc(int(uid), int(lens[uid]))
+    tables = pool.batch_table(range(B), n_chunks)
+    k_pool = scatter_to_pool(k, (n_pages, Hkv, page, D), tables, lens, page)
+    v_pool = scatter_to_pool(v, (n_pages, Hkv, page, D), tables, lens, page)
+
+    o_ref, lse_ref = flash_decode(jnp.asarray(q), jnp.asarray(k),
+                                  jnp.asarray(v), jnp.asarray(lens),
+                                  jnp.asarray(q_pos), window=window,
+                                  anchors=anchors, chunk=page)
+    o_p, lse_p = paged_flash_decode(jnp.asarray(q), jnp.asarray(k_pool),
+                                    jnp.asarray(v_pool), jnp.asarray(tables),
+                                    jnp.asarray(lens), jnp.asarray(q_pos),
+                                    window=window, anchors=anchors)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_write_paged_rows_roundtrip():
+    rng = np.random.default_rng(1)
+    B, T, Hkv, D, page = 2, 5, 2, 16, 8
+    n_pages, n_chunks = 8, 4
+    pool = PagePool(n_pages, page)
+    starts = np.array([6, 13], np.int32)
+    for uid in range(B):
+        pool.alloc(uid, int(starts[uid]) + T)
+    tables = jnp.asarray(pool.batch_table(range(B), n_chunks))
+    new = rng.normal(size=(B, T, Hkv, D)).astype(np.float32)
+    k_pool = jnp.zeros((n_pages, Hkv, page, D), jnp.float32)
+    k_pool = write_paged_rows(k_pool, jnp.asarray(new), tables,
+                              jnp.asarray(starts))
+    # read back through the logical mapping
+    kp = np.asarray(k_pool)
+    tb = np.asarray(tables)
+    for b in range(B):
+        for t in range(T):
+            pos = int(starts[b]) + t
+            got = kp[tb[b, pos // page], :, pos % page]
+            np.testing.assert_array_equal(got, new[b, t])
+
+
+def test_paged_decode_after_write():
+    """End-to-end: prefill rows written page-wise, then decode reads them."""
+    rng = np.random.default_rng(2)
+    B, Hkv, H, D, page = 2, 2, 4, 32, 16
+    lens = np.array([23, 37], np.int32)
+    n_chunks, n_pages = 4, 10
+    pool = PagePool(n_pages, page)
+    for uid in range(B):
+        pool.alloc(uid, int(lens[uid]))
+    tables = jnp.asarray(pool.batch_table(range(B), n_chunks))
+
+    S = int(lens.max())
+    k = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    v = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    k_pool = jnp.zeros((n_pages, Hkv, page, D), jnp.float32)
+    v_pool = jnp.zeros((n_pages, Hkv, page, D), jnp.float32)
+    # write per-sequence (ragged) as prefill would: all rows at offset 0
+    for b in range(B):
+        rows_k = k[b, :, :lens[b]].transpose(1, 0, 2)[None]   # [1, T, Hkv, D]
+        rows_v = v[b, :, :lens[b]].transpose(1, 0, 2)[None]
+        k_pool = write_paged_rows(k_pool, jnp.asarray(rows_k),
+                                  tables[b:b + 1], jnp.zeros((1,), jnp.int32))
+        v_pool = write_paged_rows(v_pool, jnp.asarray(rows_v),
+                                  tables[b:b + 1], jnp.zeros((1,), jnp.int32))
+
+    q = rng.normal(size=(B, 1, H, D)).astype(np.float32)
+    # mask dense cache beyond each row's len (flash_decode bounds by lens)
+    o_ref, _ = flash_decode(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            jnp.asarray(lens), chunk=page)
+    o_p, _ = paged_flash_decode(jnp.asarray(q), k_pool, v_pool, tables,
+                                jnp.asarray(lens))
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_page_pool_accounting():
+    pool = PagePool(6, 8)
+    a = pool.alloc(0, 17)           # 3 pages
+    assert len(a) == 3 and pool.free_pages == 3
+    b = pool.alloc(1, 1)            # 1 page
+    assert pool.free_pages == 2
+    fresh = pool.extend(0, 7)       # 17 -> 24: still 3 pages
+    assert fresh == [] and pool.free_pages == 2
+    fresh = pool.extend(0, 1)       # 25 tokens -> 4 pages
+    assert len(fresh) == 1 and pool.free_pages == 1
+    assert not pool.can_alloc(9)    # needs 2 pages, 1 free
+    with pytest.raises(MemoryError):
+        pool.alloc(2, 9)
+    pool.free(0)
+    assert pool.free_pages == 5
+    assert pool.can_alloc(33)
+    tab = pool.table(1, 4)
+    assert tab.shape == (4,) and tab.dtype == np.int32
+    assert (tab == tab[0]).all()    # 1 page + clamp padding
+    pool.free(1)
+    assert pool.free_pages == 6
+    with pytest.raises(KeyError):
+        pool.alloc(5, 8), pool.alloc(5, 8)
