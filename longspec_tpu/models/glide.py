@@ -256,6 +256,7 @@ def glide_train_forward(
     llm_v: jnp.ndarray,
     pad_size: jnp.ndarray,    # scalar int32 in [1, 4]
     lengths: Optional[jnp.ndarray] = None,
+    attn_impl: str = "dense",
 ):
     """Training forward (ref `llama_glide.py:181-204` + `:105-145`).
 
@@ -263,6 +264,10 @@ def glide_train_forward(
     teacher rows [0, i - pad_size] — i.e. the teacher cache truncated by
     `pad_size` tokens, with the first `pad_size` outputs zeroed, exactly the
     reference's pad-shift construction (`llama_glide.py:123-140`).
+
+    ``attn_impl="chunked"`` routes both attentions through the online-softmax
+    chunked machinery — mandatory at long seq: the dense masks are [B, S, S]
+    and the dense score matrices [B, H, S, S] (tens of GB at seq 16k).
     """
     b, s, _ = hidden.shape
     hd = cfg.head_dim_
@@ -275,8 +280,14 @@ def glide_train_forward(
     q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    sa_mask = att.prefill_mask(s, lengths, window=dcfg.window, anchors=dcfg.anchors)
-    o, _ = att.attend_masked(q, k, v, sa_mask)
+    if attn_impl == "dense":
+        sa_mask = att.prefill_mask(s, lengths, window=dcfg.window,
+                                   anchors=dcfg.anchors)
+        o, _ = att.attend_masked(q, k, v, sa_mask)
+    else:
+        o, _ = causal_self_attention(q, k.transpose(0, 2, 1, 3),
+                                       v.transpose(0, 2, 1, 3), lengths,
+                                       dcfg.window, dcfg.anchors, attn_impl)
     o = jnp.dot(o.astype(hidden.dtype).reshape(b, s, -1), draft_params["sa"]["wo"])
     hidden = hidden + o
 
@@ -284,11 +295,43 @@ def glide_train_forward(
     x = rms_norm(hidden, draft_params["post_sa_norm"], cfg.rms_norm_eps)
     qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
     qc = apply_rope(qc, cos, sin)
-    qi = jnp.arange(s)[:, None]
-    kj = jnp.arange(s)[None, :]
-    ca_mask = (kj <= qi - pad_size)[None] & (kj[None] < lengths[:, None, None])
-    o_c, _ = att.attend_masked(qc, llm_k, llm_v, ca_mask)
-    # rows i < pad_size have no visible key -> attend_masked returns 0 there,
+    if attn_impl == "dense":
+        qi = jnp.arange(s)[:, None]
+        kj = jnp.arange(s)[None, :]
+        ca_mask = ((kj <= qi - pad_size)[None]
+                   & (kj[None] < lengths[:, None, None]))
+        o_c, _ = att.attend_masked(qc, llm_k, llm_v, ca_mask)
+    else:
+        # per-query exclusive bound: query i sees teacher rows [0, i-pad+1)
+        k_hi2 = jnp.minimum(
+            jnp.clip(jnp.arange(s)[None, :] - pad_size + 1, 0, None),
+            lengths[:, None]).astype(jnp.int32)
+        kc = llm_k.transpose(0, 2, 1, 3)
+        vc = llm_v.transpose(0, 2, 1, 3)
+        # scan over query blocks (same memory plan as causal_self_attention:
+        # one block's online-softmax state live at a time, checkpointed so
+        # the backward recomputes instead of stacking per-block probs)
+        qb_size = min(512, s)
+        n_blocks = -(-s // qb_size)
+        pad_q = n_blocks * qb_size - s
+        qc_p = jnp.pad(qc, ((0, 0), (0, pad_q), (0, 0), (0, 0))) if pad_q else qc
+        khi_p = jnp.pad(k_hi2, ((0, 0), (0, pad_q))) if pad_q else k_hi2
+        qb = qc_p.reshape(b, n_blocks, qb_size, *qc.shape[2:]).transpose(
+            1, 0, 2, 3, 4)
+        khi_b = khi_p.reshape(b, n_blocks, qb_size).transpose(1, 0, 2)
+
+        def ca_body(_, inp):
+            q_blk, khi_blk = inp
+            o_blk, _ = sliced_prefix_attention(
+                q_blk, kc, vc, khi_blk,
+                jnp.zeros((b, qb_size), jnp.int32), None, 0, attn_impl)
+            return None, o_blk
+
+        ca_body = jax.checkpoint(ca_body, prevent_cse=False)
+        _, o_c = jax.lax.scan(ca_body, None, (qb, khi_b))
+        o_c = o_c.transpose(1, 0, 2, 3, 4).reshape(
+            b, n_blocks * qb_size, *o_c.shape[3:])[:, :s]
+    # rows i < pad_size have no visible key -> both impls return 0 there,
     # matching the reference's zero left-padding of the CA output.
     o_c = jnp.dot(o_c.astype(hidden.dtype).reshape(b, s, -1),
                   draft_params["ca"]["wo"])

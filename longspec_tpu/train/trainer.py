@@ -64,7 +64,8 @@ def glide_training_loss(draft_params, target_params, cfg: ModelConfig,
 
     emb = M.embed(target_params, tokens)
     hidden_d = G.glide_train_forward(draft_params, cfg, dcfg, emb, positions,
-                                     llm_k, llm_v, pad_size)
+                                     llm_k, llm_v, pad_size,
+                                     attn_impl=attn_impl)
     w = M.lm_head_weight(target_params)
     # shift: predict token t+1 from position t (ref compute_fused_loss,
     # llama_glide.py:493-502)

@@ -177,3 +177,29 @@ def test_unroll_layers_matches_scan(tiny_models):
                     jax.tree_util.tree_leaves(g_u)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_glide_train_forward_chunked_matches_dense(tiny_models):
+    """The memory-safe chunked draft-training attention (mandatory at long
+    seq: dense CA scores are [B, H, S, S]) must match the dense-mask oracle,
+    including the pad-truncated cross-attention bound and ragged lengths."""
+    cfg, dcfg, tparams, dparams = tiny_models
+    rng = np.random.default_rng(7)
+    B, S = 2, 40
+    toks = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, S)).astype(np.int32))
+    lengths = jnp.asarray(np.array([S, S - 13], np.int32))
+    positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    emb = M.forward_train.__globals__["embed"](tparams, toks)
+    _, (llm_k, llm_v) = M.forward_train(tparams, cfg, toks,
+                                        positions=positions,
+                                        return_last_kv=True,
+                                        attn_impl="dense")
+    for pad in (1, 4):
+        outs = {}
+        for impl in ("dense", "chunked"):
+            outs[impl] = G.glide_train_forward(
+                dparams, cfg, dcfg, emb, positions, llm_k, llm_v,
+                jnp.int32(pad), lengths=lengths, attn_impl=impl)
+        np.testing.assert_allclose(np.asarray(outs["chunked"]),
+                                   np.asarray(outs["dense"]),
+                                   rtol=2e-4, atol=2e-4)
