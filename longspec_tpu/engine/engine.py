@@ -106,10 +106,10 @@ def _chain_accept(spec, spec_logits, ver_logits, temperature: float, rng):
     accept = jax.random.uniform(k_acc, alpha.shape) < alpha
     residual = jnp.maximum(p_probs - q_probs, 0.0)
     denom = jnp.sum(residual, -1, keepdims=True)
-    residual = jnp.where(denom > 0, residual / jnp.maximum(denom, 1e-38),
+    residual = jnp.where(denom > 0, residual / jnp.maximum(denom, 1e-30),
                          p_probs)
     resample = jax.random.categorical(
-        k_res, jnp.log(jnp.maximum(residual, 1e-38)), axis=-1).astype(jnp.int32)
+        k_res, jnp.log(jnp.maximum(residual, 1e-30)), axis=-1).astype(jnp.int32)
     ver_tokens = jnp.where(accept, spec[:, 1:], resample)
     # final bonus: target sample at the last position
     last = _sample(ver_logits[:, -1], k_b, temperature)

@@ -83,7 +83,7 @@ def verify_stochastic(tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
             # residual update on rejection: p <- norm(max(p - q, 0))
             p_new = jnp.maximum(p_res - q_cur, 0.0)
             denom = jnp.sum(p_new, axis=-1, keepdims=True)
-            p_new = jnp.where(denom > 0, p_new / jnp.maximum(denom, 1e-38), p_res)
+            p_new = jnp.where(denom > 0, p_new / jnp.maximum(denom, 1e-30), p_res)
             p_res = jnp.where(rej_now[:, None], p_new, p_res)
             acc_node = jnp.where(acc_now, lo + j, acc_node)
             acc_tok = jnp.where(acc_now, tok, acc_tok)
@@ -112,7 +112,7 @@ def verify_stochastic(tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
                         final_p)
     rng, k_f = jax.random.split(rng)
     bonus = jax.random.categorical(
-        k_f, jnp.log(jnp.maximum(p_final, 1e-38)), axis=-1).astype(jnp.int32)
+        k_f, jnp.log(jnp.maximum(p_final, 1e-30)), axis=-1).astype(jnp.int32)
     # place bonus at position acc_num-1 in emit
     emit = jax.vmap(lambda e, i, t: e.at[i].set(t))(emit, acc_num - 1, bonus)
     return emit, acc_num, path_idx

@@ -255,9 +255,9 @@ def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
     (m_f, l_f, acc_f), _ = jax.lax.scan(body, (m0, l0, a0),
                                         (kc, vc, jnp.arange(n_chunks)))
     valid = l_f > 0
-    o = jnp.where(valid[..., None], acc_f / jnp.maximum(l_f, 1e-38)[..., None], 0.0)
+    o = jnp.where(valid[..., None], acc_f / jnp.maximum(l_f, 1e-30)[..., None], 0.0)
     lse = jnp.where(valid, jnp.where(m_f > att.NEG_INF / 2, m_f, 0.0)
-                    + jnp.log(jnp.maximum(l_f, 1e-38)), -jnp.inf)
+                    + jnp.log(jnp.maximum(l_f, 1e-30)), -jnp.inf)
     o = o.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
     lse = lse.reshape(b, h, tq).transpose(0, 2, 1)
     return o, lse

@@ -59,9 +59,9 @@ def attend_masked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     p = jnp.where(mask, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
-    o = o / jnp.maximum(l, 1e-38).transpose(0, 2, 1, 3)
+    o = o / jnp.maximum(l, 1e-30).transpose(0, 2, 1, 3)
     o = jnp.where(valid.transpose(0, 2, 1, 3), o, 0.0)
-    lse = jnp.where(valid[..., 0], m_safe[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-38)),
+    lse = jnp.where(valid[..., 0], m_safe[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-30)),
                     -jnp.inf)
     return o, lse.transpose(0, 2, 1)  # [B, Tq, H]
 
@@ -198,8 +198,8 @@ def attend_prefix_chunked(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.nda
          jnp.arange(n_chunks)))
 
     valid = l_f > 0
-    o = acc_f / jnp.maximum(l_f, 1e-38)[..., None]
+    o = acc_f / jnp.maximum(l_f, 1e-30)[..., None]
     o = jnp.where(valid[..., None], o, 0.0)
     lse = jnp.where(valid, jnp.where(m_f > NEG_INF / 2, m_f, 0.0)
-                    + jnp.log(jnp.maximum(l_f, 1e-38)), -jnp.inf)
+                    + jnp.log(jnp.maximum(l_f, 1e-30)), -jnp.inf)
     return o.transpose(0, 2, 1, 3), lse.transpose(0, 2, 1)
