@@ -44,8 +44,14 @@ def make_eval_step(cfg: ModelConfig, dcfg: DraftConfig,
 def evaluate(draft_params, target_params, cfg: ModelConfig, dcfg: DraftConfig,
              batches: Iterable[Dict], attn_impl: str = "chunked",
              output_dir: Optional[str] = None,
-             prefix: str = "eval") -> Dict[str, float]:
-    """-> {"eval/loss": mean} over the dev iterator (ref `evaluator.py:21`)."""
+             prefix: str = "eval",
+             post_processor=None) -> Dict[str, float]:
+    """-> {"eval/loss": mean} over the dev iterator (ref `evaluator.py:21`).
+
+    `post_processor` (a `train.postproc.PostProcessor`) is fed
+    `(meta, {"loss": ...})` per batch and reduced at the end; its metrics are
+    merged into the result under `{prefix}/{k}` (ref `evaluator.py:96-137`,
+    the post-processor leg of the reference eval loop)."""
     log = get_logger("eval")
     step = make_eval_step(cfg, dcfg, attn_impl)
     meter = AverageMeter()
@@ -56,6 +62,11 @@ def evaluate(draft_params, target_params, cfg: ModelConfig, dcfg: DraftConfig,
         loss = float(step(draft_params, target_params, tokens, labels))
         meter.update(loss, n=tokens.shape[0])
         rows.append({"batch": i, "loss": loss})
+        if post_processor is not None:
+            meta = {k: v for k, v in batch.items()
+                    if k not in ("input_ids", "labels")}
+            meta.setdefault("index", [i])
+            post_processor(meta, {"loss": loss})
     mean = meter.gather()
     log.info("%s: loss %.4f over %d examples", prefix, mean, meter.count)
     if output_dir and jax.process_index() == 0:
