@@ -1,0 +1,184 @@
+"""Sequence-parallel (SP) long-context attention: ring prefill + SP decode.
+
+The reference has no sequence-parallel story at all — its context ceiling is
+one GPU's HBM (SURVEY §5 "Long-context SP: absent"). On TPU the natural
+scale-out for 262k-class contexts is to shard the SEQUENCE over a mesh axis
+and let the KV cache live distributed:
+
+* `ring_flash_prefill` — causal (window/anchor-aware) flash attention with
+  queries AND keys/values sequence-sharded over `sp`. KV blocks rotate
+  around the ring via `ppermute` (one hop per device) while each device
+  updates its queries' online-softmax state against the resident block —
+  the TPU-native form of RingAttention: ICI wire time hides behind the MXU
+  attention math of the co-scheduled block, and no device ever materializes
+  more than S/n of the KV.
+
+* `sp_flash_decode` — decode/verify attention over a sequence-sharded KV
+  cache: each shard attends its cache slice (clamped per-query bounds),
+  then the exact global softmax is reconstructed from per-shard (o, lse)
+  partials with two tiny collectives (pmax + psum). This is the multi-chip
+  form of the hybrid prefix+suffix LSE merge already used on one chip
+  (`ops/attention.py:69-81`), so tree verification over a distributed cache
+  stays EXACT, not approximate.
+
+Both run under `shard_map` over any mesh with an `sp` axis and compose with
+the (dp, tp) shardings in `parallel/shardings.py`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import attention as att
+
+
+def _block_update(carry, qf, kch, vch, k_offset, q_pos, k_hi, window, anchors):
+    """One online-softmax update of queries against a KV block at global
+    sequence offset `k_offset`. qf: [B,Hkv,G,Tq,D] pre-scaled fp32;
+    kch/vch: [B,Hkv,Tk,D]; q_pos/k_hi: [B,Tq] global positions / exclusive
+    visibility bounds. Returns the updated (m, l, acc) carry."""
+    m_run, l_run, acc = carry
+    tk = kch.shape[2]
+    kj = k_offset + jnp.arange(tk)                      # global key positions
+    mask = kj[None, None, :] < k_hi[:, :, None]         # [B, Tq, Tk]
+    if window is not None:
+        vis = kj[None, None, :] >= q_pos[:, :, None] - window
+        if anchors > 0:
+            vis = vis | (kj[None, None, :] < anchors)
+        mask = mask & vis
+    mask = mask[:, None, None]                          # [B, 1, 1, Tq, Tk]
+    sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32))
+    sco = jnp.where(mask, sco, att.NEG_INF)
+    m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
+    p = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
+    alpha = jnp.exp(m_run - m_new)
+    l_new = l_run * alpha + jnp.sum(p, axis=-1)
+    acc_new = acc * alpha[..., None] + jnp.einsum(
+        "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32))
+    return m_new, l_new, acc_new
+
+
+def _finish(m_f, l_f, acc_f, b, h, tq, d):
+    valid = l_f > 0
+    o = jnp.where(valid[..., None],
+                  acc_f / jnp.maximum(l_f, 1e-30)[..., None], 0.0)
+    lse = jnp.where(valid, jnp.where(m_f > att.NEG_INF / 2, m_f, 0.0)
+                    + jnp.log(jnp.maximum(l_f, 1e-30)), -jnp.inf)
+    o = o.reshape(b, h, tq, d).transpose(0, 2, 1, 3)
+    lse = lse.reshape(b, h, tq).transpose(0, 2, 1)
+    return o, lse
+
+
+def ring_flash_prefill(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
+                       v: jnp.ndarray, lengths: jnp.ndarray,
+                       window: Optional[int] = None, anchors: int = 0,
+                       axis_name: str = "sp"):
+    """Causal flash prefill with Q and KV sharded over the sequence axis.
+
+    q: [B, S, H, D] sharded P(None, sp); k, v: [B, S, Hkv, D] same sharding;
+    lengths: [B] replicated. Returns (o [B,S,H,D] seq-sharded fp32,
+    lse [B,S,H] fp32). Equals `causal_self_attention` over the first
+    `lengths[b]` tokens; queries beyond lengths get o=0.
+
+    Ring schedule: device i starts with its own KV block and, at hop j,
+    receives the block that originated at shard (i - j) mod n. The ppermute
+    send of hop j+1 has no data dependence on hop j's attention math, so
+    XLA overlaps wire and compute (same legality argument as
+    `overlap.ring_allgather_overlap`).
+    """
+    n = mesh.shape[axis_name]
+
+    def f(q_loc, k_loc, v_loc, lengths):
+        b, s_loc, h, d = q_loc.shape
+        hkv = k_loc.shape[2]
+        groups = h // hkv
+        shard = jax.lax.axis_index(axis_name)
+        q_pos = (shard * s_loc + jnp.arange(s_loc))[None, :]
+        q_pos = jnp.broadcast_to(q_pos, (b, s_loc))
+        # causal bound: query at global position p sees keys [0, p+1),
+        # clamped by the row's true length
+        k_hi = jnp.minimum(q_pos + 1, lengths[:, None]).astype(jnp.int32)
+        qf = (q_loc.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
+        qf = qf.reshape(b, hkv, groups, s_loc, d)
+        kc = k_loc.transpose(0, 2, 1, 3)                # [B, Hkv, S_loc, D]
+        vc = v_loc.transpose(0, 2, 1, 3)
+
+        m = jnp.full((b, hkv, groups, s_loc), att.NEG_INF, jnp.float32)
+        l = jnp.zeros((b, hkv, groups, s_loc), jnp.float32)
+        acc = jnp.zeros((b, hkv, groups, s_loc, d), jnp.float32)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        cur_k, cur_v = kc, vc
+        for j in range(n):
+            origin = (shard - j) % n                    # block's home shard
+            m, l, acc = _block_update((m, l, acc), qf, cur_k, cur_v,
+                                      origin * s_loc, q_pos, k_hi,
+                                      window, anchors)
+            if j < n - 1:
+                cur_k = jax.lax.ppermute(cur_k, axis_name, perm)
+                cur_v = jax.lax.ppermute(cur_v, axis_name, perm)
+        return _finish(m, l, acc, b, h, s_loc, d)
+
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name),
+                  P(None, axis_name), P(None)),
+        out_specs=(P(None, axis_name), P(None, axis_name)),
+        check_vma=False,
+    )(q, k, v, lengths)
+
+
+def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache: jnp.ndarray,
+                    v_cache: jnp.ndarray, k_hi: jnp.ndarray,
+                    q_pos: jnp.ndarray, window: Optional[int] = None,
+                    anchors: int = 0, axis_name: str = "sp"):
+    """Decode/verify attention over a SEQUENCE-SHARDED KV cache, exact.
+
+    q: [B, Tq, H, D] replicated; k_cache/v_cache: [B, Hkv, S, D] sharded
+    P(None, None, sp); k_hi: [B] or [B, Tq] global exclusive bounds;
+    q_pos: [B, Tq] global query positions (for the sliding window).
+    Returns (o [B,Tq,H,D] fp32, lse [B,Tq,H] fp32) — identical to
+    `sliced_prefix_attention` over the unsharded cache.
+
+    Each shard computes its slice's (o_i, lse_i); the global softmax is
+    o = sum_i o_i * exp(lse_i - LSE) with LSE = logsumexp_i lse_i,
+    reconstructed with one pmax + two psums of [B,Tq,H](+D) partials —
+    the same exact-merge law as the single-chip prefix+suffix combiner
+    (`ops/attention.py:69-81`), applied across the ICI.
+    """
+    b, tq, h, d = q.shape
+    if k_hi.ndim == 1:
+        k_hi = jnp.broadcast_to(k_hi[:, None], (b, tq))
+
+    def f(q, k_loc, v_loc, k_hi, q_pos):
+        hkv, s_loc = k_loc.shape[1], k_loc.shape[2]
+        groups = h // hkv
+        shard = jax.lax.axis_index(axis_name)
+        start = shard * s_loc
+        qf = (q.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
+        qf = qf.reshape(b, hkv, groups, tq, d)
+        m0 = jnp.full((b, hkv, groups, tq), att.NEG_INF, jnp.float32)
+        l0 = jnp.zeros((b, hkv, groups, tq), jnp.float32)
+        a0 = jnp.zeros((b, hkv, groups, tq, d), jnp.float32)
+        m_f, l_f, acc_f = _block_update(
+            (m0, l0, a0), qf, k_loc, v_loc, start, q_pos, k_hi,
+            window, anchors)
+        # exact cross-shard merge; all in the pre-normalized (m, l, acc)
+        # domain so empty shards (l=0, m=NEG_INF) contribute nothing
+        m_glob = jax.lax.pmax(m_f, axis_name)
+        m_safe = jnp.maximum(m_glob, att.NEG_INF)       # all-empty guard
+        w = jnp.exp(m_f - m_safe)                       # 0 for empty shards
+        l_glob = jax.lax.psum(l_f * w, axis_name)
+        acc_glob = jax.lax.psum(acc_f * w[..., None], axis_name)
+        return _finish(m_glob, l_glob, acc_glob, b, h, tq, d)
+
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(P(None), P(None, None, axis_name), P(None, None, axis_name),
+                  P(None), P(None)),
+        out_specs=(P(None), P(None)),
+        check_vma=False,
+    )(q, k_cache, v_cache, k_hi, q_pos)

@@ -29,9 +29,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import ModelConfig
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
+def make_mesh(dp: int = 1, tp: int = 1, devices=None, sp: int = 1) -> Mesh:
+    """(dp, tp) mesh; pass sp>1 for a (dp, sp, tp) mesh with a sequence-
+    parallel axis (used by `parallel.ring` for long-context SP)."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= dp * tp, (len(devices), dp, tp)
+    assert len(devices) >= dp * sp * tp, (len(devices), dp, sp, tp)
+    if sp > 1:
+        arr = np.asarray(devices[: dp * sp * tp]).reshape(dp, sp, tp)
+        return Mesh(arr, ("dp", "sp", "tp"))
     arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
 
