@@ -93,7 +93,8 @@ def load_tree(path):
 
 
 def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
-               distill_steps, lr, train_bsz, attn, no_cache=False):
+               distill_steps, lr, train_bsz, attn, no_cache=False,
+               offset_cap=30000):
     """Train-or-load the (target, draft) pair for one benchmark row."""
     import jax
     import jax.numpy as jnp
@@ -115,7 +116,8 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
         # at seq >= 8k the scanned-layer backward's stacked-grad carries
         # double-buffer ~1GB blocks and fragment HBM past the chip; unroll
         step_fn = T.make_lm_train_step(cfg, opt, attn_impl=attn,
-                                       unroll_layers=corpus.shape[1] >= 8192)
+                                       unroll_layers=corpus.shape[1] >= 8192,
+                                       offset_cap=offset_cap)
         rng_np = np.random.default_rng(3)
         log(f"[{tag}] pretraining target ({target_steps} steps, "
             f"seq {corpus.shape[1]})...")
@@ -137,7 +139,7 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
         log(f"[{tag}] training draft ({distill_steps} steps)...")
         dparams, hist = distill_draft(params, cfg, dcfg, corpus,
                                       steps=distill_steps, batch=train_bsz,
-                                      attn_impl=attn)
+                                      attn_impl=attn, offset_cap=offset_cap)
         log(f"  draft loss: {hist[:2]} ... {hist[-2:]}")
         save_tree(dpath, dparams)
     return params, dparams
@@ -260,14 +262,17 @@ def main():
         # distill_steps, lr). Training at seq L generalizes to ~2L context
         # (measured round 1: teacher-forced accuracy of a 512-trained target
         # collapses at 8x its training length; 2x holds).
+        # last column: anchor-offset cap — training must cover the decode
+        # context's rope phases (round-2 measurement: cap 30000 -> accuracy
+        # 0.25 at position 30k; the 32k row needs phases to ~49k)
         specs = {
-            "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3),
-            "hard_8k": ("hard", 256, 4096, 8192, 1000, 800, 3e-3),
-            "hard_32k": ("hard", 256, 16384, 32768, 500, 600, 3e-3),
+            "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3, 30000),
+            "hard_8k": ("hard", 256, 4096, 8192, 1000, 800, 3e-3, 30000),
+            "hard_32k": ("hard", 256, 16384, 32768, 700, 700, 3e-3, 49152),
         }
         rows = []
         for name in args.rows.split(","):
-            lang, n_states, seq, ctx, tsteps, dsteps, lr = specs[name]
+            lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap = specs[name]
             if lang == "easy":
                 succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
                                              n_states=n_states)
@@ -282,13 +287,15 @@ def main():
                 sample = lambda n, s, seed: sample_corpus2(
                     succ2, probs2, n, s, seed=seed)
                 tag = f"hard{n_states}_s{seq}"
+                if ocap != 30000:   # cap changes the trained phase range
+                    tag += f"_cap{ocap // 1024}k"
             n_seqs = max(96, min(768, (48 * n_states * n_states) // seq))
             log(f"[{name}] sampling corpus ({n_seqs} x {seq})...")
             corpus = sample(n_seqs, seq, 8)
             params, dparams = get_models(
                 cfg, dcfg, corpus, cache_dir, tag, target_steps=tsteps,
                 distill_steps=dsteps, lr=lr, train_bsz=1, attn=args.attn,
-                no_cache=args.no_cache)
+                no_cache=args.no_cache, offset_cap=ocap)
             eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
             prompt = sample(args.batch, ctx, 999)
             lens = np.full((args.batch,), ctx, np.int32)

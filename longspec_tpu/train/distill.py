@@ -40,8 +40,14 @@ def distill_draft(target_params, cfg: ModelConfig, dcfg: DraftConfig,
                   corpus: np.ndarray, steps: int = 300, batch: int = 8,
                   lr: float = 1e-3, seed: int = 0, log_every: int = 50,
                   attn_impl: str = "chunked", anchor_offset: bool = True,
-                  draft_params: Optional[dict] = None):
-    """Train a draft layer on (tokens -> same tokens shifted) sequences."""
+                  draft_params: Optional[dict] = None,
+                  offset_cap: int = 30000):
+    """Train a draft layer on (tokens -> same tokens shifted) sequences.
+
+    `offset_cap` must cover the intended decode context (see
+    `trainer.anchor_offset_positions`): the draft's cross-attention reads
+    roped teacher keys, so phases past the cap are as OOD for the draft as
+    they are for the target."""
     if draft_params is None:
         draft_params = jax.jit(
             lambda k: G.init_draft_params(k, cfg, jnp.bfloat16)
@@ -50,7 +56,7 @@ def distill_draft(target_params, cfg: ModelConfig, dcfg: DraftConfig,
                            total_steps=steps)
     state = T.init_train_state(draft_params, opt)
     step_fn = T.make_train_step(cfg, dcfg, opt, anchor_offset=anchor_offset,
-                                attn_impl=attn_impl)
+                                attn_impl=attn_impl, offset_cap=offset_cap)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed + 1)
     n = corpus.shape[0]

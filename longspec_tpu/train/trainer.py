@@ -33,19 +33,26 @@ from ..ops.fused_ce import fused_linear_ce
 
 
 def anchor_offset_positions(rng, batch: int, seq_len: int, max_len: int,
-                            apply: bool = True):
+                            apply: bool = True, offset_cap: int = 30000):
     """Randomized position ids (ref `llama_glide.py:518-528`).
 
     Returns [B, S] int32. When `apply` is False (long sequences), plain
     arange. A single (sink, offset) pair is drawn per batch like the
     reference (which randomizes per step, not per row).
+
+    `offset_cap` bounds the highest position ever seen in training
+    (~offset_cap itself). The reference hardcodes 30000 (serves its <=32k
+    evals); a model meant to decode at context C must be trained with
+    offset_cap comfortably above C or its logits go near-random past the
+    trained-phase range (measured round 2: seq-16384 target, cap 30000 ->
+    teacher-forced accuracy 0.83 at position 16k, 0.25 at 30k).
     """
     pos = jnp.broadcast_to(jnp.arange(seq_len)[None], (batch, seq_len))
     if not apply:
         return pos
     k1, k2 = jax.random.split(rng)
     sink = jax.random.randint(k1, (), 0, 5)
-    hi = jnp.maximum(jnp.minimum(30000, max_len - 1000) - seq_len, 0)
+    hi = jnp.maximum(jnp.minimum(offset_cap, max_len - 1000) - seq_len, 0)
     offset = jax.random.randint(k2, (), 0, hi + 1)
     return pos + jnp.where(jnp.arange(seq_len)[None] >= sink, offset, 0)
 
@@ -107,7 +114,8 @@ def make_optimizer(lr: float = 5e-4, warmup_steps: int = 100,
 def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                     max_len_for_offset: Optional[int] = None,
                     anchor_offset: bool = True, compute_llm_loss: bool = False,
-                    attn_impl: str = "chunked", accum_steps: int = 1):
+                    attn_impl: str = "chunked", accum_steps: int = 1,
+                    offset_cap: int = 30000):
     """Returns jitted step(state, target_params, tokens, labels, rng) ->
     (state, metrics).
 
@@ -129,7 +137,8 @@ def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
         def loss_and_grad(dp, toks, labs):
             mb = toks.shape[0]
             positions = anchor_offset_positions(k_pos, mb, s, max_len,
-                                                apply=anchor_offset)
+                                                apply=anchor_offset,
+                                                offset_cap=offset_cap)
 
             def loss_fn(p):
                 return glide_training_loss(p, target_params, cfg, dcfg, toks,
@@ -183,7 +192,7 @@ def init_train_state(draft_params, optimizer) -> TrainState:
 
 def make_lm_train_step(cfg: ModelConfig, optimizer, attn_impl: str = "chunked",
                        anchor_offset: bool = True,
-                       unroll_layers: bool = False):
+                       unroll_layers: bool = False, offset_cap: int = 30000):
     """Jitted step(state, tokens, rng) -> (state, metrics) training ALL target
     params with the chunked fused CE. Use a factored optimizer (adafactor)
     for large models — AdamW moments for multi-B params exceed one chip.
@@ -199,7 +208,8 @@ def make_lm_train_step(cfg: ModelConfig, optimizer, attn_impl: str = "chunked",
         b, s = tokens.shape
         positions = anchor_offset_positions(
             jax.random.fold_in(rng, state.step), b, s,
-            cfg.max_position_embeddings, apply=anchor_offset)
+            cfg.max_position_embeddings, apply=anchor_offset,
+            offset_cap=offset_cap)
 
         def loss_fn(p):
             hidden = M.forward_train(p, cfg, tokens, positions=positions,

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Teacher-forced accuracy of a cached bench target by position band.
+
+Diagnoses the hard_32k accept collapse (round-2): if the seq-16384-trained
+target's next-token accuracy drops past position ~16384, the failure is
+position generalization of the TARGET, not the draft or the engine.
+
+Usage: python scripts/probe_position_gen.py [--tag hard256_s16384]
+           [--ctx 32768] [--bands 4096]
+Prints one JSON line: {"band_start": acc, ...}.
+"""
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tag", type=str, default="hard256_s16384")
+    ap.add_argument("--n-states", type=int, default=256)
+    ap.add_argument("--ctx", type=int, default=32768)
+    ap.add_argument("--band", type=int, default=4096)
+    ap.add_argument("--rows", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from longspec_tpu.config import ModelConfig
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
+    from bench import load_tree
+
+    cfg = ModelConfig(vocab_size=32768, hidden_size=4096,
+                      intermediate_size=8192, num_layers=16,
+                      num_heads=32, num_kv_heads=8, head_dim=128,
+                      max_position_embeddings=65536, eos_token_id=2)
+    params = load_tree(os.path.join(ROOT, ".bench_cache",
+                                    f"target_{args.tag}.npz"))
+    succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,
+                                    n_states=args.n_states, branch_frac=0.2)
+    toks = sample_corpus2(succ2, probs2, args.rows, args.ctx, seed=999)
+    toks_j = jnp.asarray(toks)
+
+    @jax.jit
+    def hidden_fn(params, tokens):
+        h = M.forward_train(params, cfg, tokens, attn_impl="chunked",
+                            remat=True)
+        return h
+
+    h = hidden_fn(params, toks_j)          # [rows, ctx, H] bf16
+    accs = {}
+    for start in range(0, args.ctx - args.band + 1, args.band):
+        sl = h[:, start:start + args.band - 1]
+        logits = M.logits_at(params, sl)   # [rows, band-1, V]
+        pred = np.asarray(jnp.argmax(logits, -1))
+        gold = toks[:, start + 1:start + args.band]
+        accs[str(start)] = round(float((pred == gold).mean()), 4)
+        print(f"band {start:>6}: acc {accs[str(start)]}", file=sys.stderr)
+    print(json.dumps(accs))
+
+
+if __name__ == "__main__":
+    main()
