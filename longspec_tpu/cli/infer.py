@@ -84,7 +84,10 @@ def get_args(argv=None):
     p.add_argument("--tree-shape", nargs="+", type=int,
                    default=[4, 16, 16, 16, 16])
     p.add_argument("--window", default=512, type=int)
-    p.add_argument("--attn-impl", default="pallas",
+    p.add_argument("--rope-scaling", default=None,
+                   help="override rope scaling for context extension, "
+                        "'type:factor' (e.g. linear:4, yarn:4, dynamic:2)")
+    p.add_argument("--attn-impl", default="chunked",
                    choices=["dense", "chunked", "pallas"])
     p.add_argument("--batch", default=1, type=int)
     p.add_argument("--out-dir", default="longbench_results")
@@ -102,6 +105,16 @@ def load_engine(args):
 
     tokenizer = AutoTokenizer.from_pretrained(args.target_path)
     cfg, params = load_hf_checkpoint(args.target_path, jnp.bfloat16)
+    if args.rope_scaling:
+        import dataclasses
+        from ..config import RopeScaling
+        rtype, _, fac = args.rope_scaling.partition(":")
+        cfg = dataclasses.replace(
+            cfg, rope_scaling=RopeScaling(
+                rope_type=rtype, factor=float(fac or 1.0),
+                original_max_position_embeddings=cfg.max_position_embeddings),
+            max_position_embeddings=int(cfg.max_position_embeddings
+                                        * float(fac or 1.0)))
     if os.path.isdir(args.draft_path) and not os.path.exists(
             os.path.join(args.draft_path, "draft_model_weights.npz")):
         from ..models.convert import load_safetensors_dir, \

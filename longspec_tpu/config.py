@@ -14,6 +14,26 @@ import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """RoPE scaling spec, matching HF `config.rope_scaling` semantics
+    (`transformers/modeling_rope_utils.py`): "linear" (position
+    interpolation), "dynamic" (NTK-by-parts base stretch), "yarn", and
+    "llama3" (frequency-band remap used by Llama-3.1+ long-context
+    checkpoints — the reference's north-star model class)."""
+
+    rope_type: str = "linear"
+    factor: float = 1.0
+    # llama3
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+    # yarn
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    attention_factor: Optional[float] = None
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Architecture of a Llama/Qwen2-family decoder-only transformer."""
 
@@ -26,6 +46,7 @@ class ModelConfig:
     head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    rope_scaling: Optional[RopeScaling] = None
     # Qwen2 uses attention bias on q/k/v; Llama does not
     # (reference: test/llama.py:79-82, test/qwen2.py).
     attention_bias: bool = False

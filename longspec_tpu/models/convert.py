@@ -30,6 +30,25 @@ def config_from_hf(hf_cfg) -> ModelConfig:
     pad = get("pad_token_id", 0)
     if isinstance(pad, (list, tuple)):
         pad = pad[0] if pad else 0
+    rs = get("rope_scaling", None)
+    scaling = None
+    if rs:
+        from ..config import RopeScaling
+        # HF spells the discriminator "rope_type" (new) or "type" (legacy)
+        rtype = rs.get("rope_type", rs.get("type", "linear"))
+        if rtype not in ("default", "none"):
+            scaling = RopeScaling(
+                rope_type=rtype,
+                factor=float(rs.get("factor", 1.0)),
+                low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+                high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+                original_max_position_embeddings=int(
+                    rs.get("original_max_position_embeddings",
+                           get("max_position_embeddings", 8192))),
+                beta_fast=float(rs.get("beta_fast", 32.0)),
+                beta_slow=float(rs.get("beta_slow", 1.0)),
+                attention_factor=rs.get("attention_factor", None),
+            )
     return ModelConfig(
         vocab_size=hf_cfg.vocab_size,
         hidden_size=hf_cfg.hidden_size,
@@ -40,6 +59,7 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         head_dim=get("head_dim", None),
         rms_norm_eps=get("rms_norm_eps", 1e-5),
         rope_theta=get("rope_theta", 10000.0),
+        rope_scaling=scaling,
         attention_bias=bool(get("attention_bias", False)) or is_qwen,
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         max_position_embeddings=get("max_position_embeddings", 16384),

@@ -151,7 +151,7 @@ def glide_forward(
     hd = cfg.head_dim_
     if write_at is None:
         write_at = d_cache_lens
-    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
     if suffix_mask is None:
         cm = att.causal_mask(t, t)
         if dcfg.window is not None:
@@ -217,7 +217,7 @@ def glide_prefill(
     ca_prefill `:263-265`): window-causal SA over the prompt, lag-0 causal CA
     over the target's last-layer KV. Writes draft KV rows [0:S)."""
     b, s, _ = hidden.shape
-    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim_, cfg.rope_theta, scaling=cfg.rope_scaling)
 
     x = rms_norm(hidden, draft_params["input_norm"], cfg.rms_norm_eps)
     q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
@@ -273,7 +273,7 @@ def glide_train_forward(
     hd = cfg.head_dim_
     if lengths is None:
         lengths = jnp.full((b,), s, jnp.int32)
-    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
 
     # self-attention (window + causal + per-row lengths)
     x = rms_norm(hidden, draft_params["input_norm"], cfg.rms_norm_eps)

@@ -287,7 +287,7 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
     hd = cfg.head_dim_
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
-    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
     h = embed(params, tokens)
 
     def layer(h, lp_kv):
@@ -338,7 +338,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     hd = cfg.head_dim_
     if write_at is None:
         write_at = cache_lens
-    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
     h = embed(params, tokens)
 
     def layer(h, lp_kv):
@@ -392,7 +392,7 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
         positions = jnp.broadcast_to(jnp.arange(s)[None], (b, s))
     if lengths is None:
         lengths = jnp.full((b,), s, jnp.int32)
-    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
     h = embed(params, tokens)
 
     def layer(h, lp):

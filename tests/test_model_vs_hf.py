@@ -111,3 +111,71 @@ def test_ragged_prefill_lengths():
                                       jnp.asarray([short], jnp.int32), kv_k1, kv_v1)
     np.testing.assert_allclose(np.asarray(h[1, :short]), np.asarray(h_short[0]),
                                atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("rope_scaling", [
+    {"rope_type": "linear", "factor": 4.0},
+
+    {"rope_type": "yarn", "factor": 4.0,
+     "original_max_position_embeddings": 128},
+    {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 128},
+])
+def test_scaled_rope_matches_hf(rope_scaling):
+    """RoPE scaling parity (linear/dynamic/yarn/llama3) vs transformers —
+    the llama3 variant is what Llama-3.1+ long-context checkpoints ship."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(7)
+    hf_cfg = LlamaConfig(
+        vocab_size=211, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rope_theta=10000.0,
+        rope_scaling=dict(rope_scaling),
+    )
+    hf_model = LlamaForCausalLM(hf_cfg).eval().to(torch.float32)
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.rope_scaling is not None
+    assert cfg.rope_scaling.rope_type == rope_scaling["rope_type"]
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg, jnp.float32)
+
+    rng = np.random.default_rng(3)
+    B, S = 1, 40
+    tokens = rng.integers(0, cfg.vocab_size, (B, S))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(tokens)).logits.numpy()
+    kv_k, kv_v = M.alloc_kv_cache(cfg, B, 64, jnp.float32)
+    hidden, _, _ = M.forward_prefill(params, cfg, jnp.asarray(tokens),
+                                     jnp.full((B,), S, jnp.int32), kv_k, kv_v)
+    logits = M.logits_at(params, hidden)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=3e-4, rtol=2e-3)
+
+
+def test_dynamic_ntk_matches_hf_at_design_length():
+    """Static-graph dynamic NTK bakes the base for the fully-extended length
+    factor*original_max; HF recomputes per-length and coincides exactly
+    there (seq_len = factor * max_position_embeddings)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    torch.manual_seed(9)
+    hf_cfg = LlamaConfig(
+        vocab_size=211, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10000.0,
+        rope_scaling={"rope_type": "dynamic", "factor": 2.0},
+    )
+    hf_model = LlamaForCausalLM(hf_cfg).eval().to(torch.float32)
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_hf_state_dict(hf_model.state_dict(), cfg, jnp.float32)
+    rng = np.random.default_rng(4)
+    B, S = 1, 256   # = factor * max_position_embeddings
+    tokens = rng.integers(0, cfg.vocab_size, (B, S))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor(tokens)).logits.numpy()
+    kv_k, kv_v = M.alloc_kv_cache(cfg, B, 256, jnp.float32)
+    hidden, _, _ = M.forward_prefill(params, cfg, jnp.asarray(tokens),
+                                     jnp.full((B,), S, jnp.int32), kv_k, kv_v)
+    logits = M.logits_at(params, hidden)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=4e-4, rtol=3e-3)
