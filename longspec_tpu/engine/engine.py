@@ -124,13 +124,26 @@ class SpecEngine:
 
     def __init__(self, params, draft_params, cfg: ModelConfig,
                  dcfg: DraftConfig = DraftConfig(),
-                 ecfg: EngineConfig = EngineConfig()):
+                 ecfg: EngineConfig = EngineConfig(), mesh=None):
         self.params = params
         self.draft_params = draft_params
         self.cfg = cfg
         self.dcfg = dcfg
         self.ecfg = ecfg
-        self.mesh = None  # set to a Mesh to shard DecodeState (parallel/)
+        self.mesh = mesh  # set to a Mesh to shard DecodeState (parallel/)
+        # attn_impl="sp": sequence-parallel attention over a mesh with an
+        # `sp` axis — the KV caches live sequence-sharded, prefill runs as a
+        # ppermute ring, decode/verify as per-shard partials + exact LSE
+        # merge (parallel/ring.py). The marker string carries the mesh.
+        if ecfg.attn_impl == "sp":
+            from ..parallel.ring import SPAttn
+            if not isinstance(ecfg.attn_impl, SPAttn):
+                if mesh is None or "sp" not in mesh.shape:
+                    raise ValueError("attn_impl='sp' needs mesh= with an "
+                                     "'sp' axis (parallel.shardings.make_mesh)")
+                import dataclasses
+                self.ecfg = ecfg = dataclasses.replace(
+                    ecfg, attn_impl=SPAttn(mesh))
         self._jit_cache = {}
         # int8 draft scoring head: per-vocab-column absmax scales; the int8
         # copy is read instead of the bf16 lm_head during draft micro-steps
@@ -168,7 +181,8 @@ class SpecEngine:
         equivalent is a one-GPU flat nodes x vocab top-k,
         `llama_glide.py:1064-1067`).
         """
-        if self.mesh is not None and self._qhead is None:
+        if (self.mesh is not None and self._qhead is None
+                and self.mesh.shape.get("tp", 1) > 1):
             from ..parallel.overlap import sharded_topk
             lead = h.shape[:-1]
             rows = int(np.prod(lead)) if lead else 1
@@ -202,7 +216,16 @@ class SpecEngine:
     # State allocation & prefill
     # ------------------------------------------------------------------
 
+    @property
+    def _sp_n(self) -> int:
+        """Size of the sequence-parallel axis (1 = SP off)."""
+        if self.ecfg.attn_impl == "sp":
+            return self.ecfg.attn_impl.mesh.shape[self.ecfg.attn_impl.axis]
+        return 1
+
     def init_state(self, batch: int, s_max: int, dtype=jnp.bfloat16) -> DecodeState:
+        n_sp = self._sp_n
+        s_max = -(-s_max // n_sp) * n_sp  # sp shards need equal slices
         kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch, s_max, dtype)
         hd = self.cfg.head_dim_
         d_shape = (batch, self.cfg.num_kv_heads, s_max, hd)
@@ -214,7 +237,7 @@ class SpecEngine:
         )
         if self.mesh is not None:
             from ..parallel import shardings as sh
-            sp = sh.state_pspecs()
+            sp = sh.state_pspecs(sp=n_sp > 1)
             state = DecodeState(*[
                 jax.device_put(x, jax.sharding.NamedSharding(self.mesh, sp[f]))
                 for f, x in zip(DecodeState._fields, state)])
@@ -679,9 +702,16 @@ class SpecEngine:
         # ---- 5. commit accepted KV rows for ALL layers ----
         sel_k = jnp.take_along_axis(new_k, path_idx_c[None, :, :, None, None], axis=2)
         sel_v = jnp.take_along_axis(new_v, path_idx_c[None, :, :, None, None], axis=2)
-        wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
-        kv_k = wr(st.kv_k, sel_k, st.cache_lens)
-        kv_v = wr(st.kv_v, sel_v, st.cache_lens)
+        if ecfg.attn_impl == "sp":
+            from ..parallel.ring import sp_write_cache_rows
+            kv_k = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_k, sel_k,
+                                       st.cache_lens, ecfg.attn_impl.axis)
+            kv_v = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_v, sel_v,
+                                       st.cache_lens, ecfg.attn_impl.axis)
+        else:
+            wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
+            kv_k = wr(st.kv_k, sel_k, st.cache_lens)
+            kv_v = wr(st.kv_v, sel_v, st.cache_lens)
 
         adv = jnp.where(carry.done, 0, acc_num)
         cache_lens = st.cache_lens + adv
@@ -751,6 +781,20 @@ class SpecEngine:
         input_ids = jnp.asarray(input_ids, jnp.int32)
         b, s = input_ids.shape
         prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+        n_sp = self._sp_n
+        if n_sp > 1:
+            if method == "magicdec":
+                raise NotImplementedError(
+                    "magicdec's sink+recent stream cache is tiny; it is not "
+                    "sequence-sharded — run it without attn_impl='sp'")
+            # ring prefill needs equal per-shard query slices; pad the prompt
+            # buffer (lengths bound what is attended, so pad rows are inert
+            # and later cache appends overwrite them)
+            pad = (-s) % n_sp
+            if pad:
+                input_ids = jnp.pad(input_ids, ((0, 0), (0, pad)),
+                                    constant_values=cfg.eos_token_id)
+                s += pad
         if s_max is None:
             s_max = s + max_gen_len + ecfg.tree_size + 8
         if method == "magicdec":

@@ -166,8 +166,15 @@ def glide_forward(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     if suffix_kv is None:
-        d_kv_k = write_cache_rows(d_kv_k, k, write_at)
-        d_kv_v = write_cache_rows(d_kv_v, v, write_at)
+        if attn_impl == "sp":
+            from ..parallel.ring import sp_write_cache_rows
+            d_kv_k = sp_write_cache_rows(attn_impl.mesh, d_kv_k, k, write_at,
+                                         attn_impl.axis)
+            d_kv_v = sp_write_cache_rows(attn_impl.mesh, d_kv_v, v, write_at,
+                                         attn_impl.axis)
+        else:
+            d_kv_k = write_cache_rows(d_kv_k, k, write_at)
+            d_kv_v = write_cache_rows(d_kv_v, v, write_at)
         sk, sv = k, v
     else:
         tk, tv = suffix_kv

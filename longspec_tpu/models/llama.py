@@ -143,6 +143,15 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
     if attn_impl == "pallas":
         from ..ops.pallas_prefill import flash_prefill
         return flash_prefill(q, k, v, lengths, window=window, anchors=anchors)
+    if attn_impl == "sp":
+        # sequence-parallel ring prefill: Q and KV sharded over the sequence
+        # axis of attn_impl.mesh; KV blocks rotate via ppermute
+        from ..parallel.ring import ring_flash_prefill
+        assert k.shape[2] == s, (k.shape, s)
+        return ring_flash_prefill(attn_impl.mesh, q, k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3), lengths,
+                                  window=window, anchors=anchors,
+                                  axis_name=attn_impl.axis)
     n_blocks = -(-s // q_chunk)
     pad = n_blocks * q_chunk - s
     if pad:
@@ -200,6 +209,11 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
     elif attn_impl == "pallas":
         from ..ops.pallas_decode import flash_decode
         return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window, anchors)
+    elif attn_impl == "sp":
+        # exact decode/verify attention over a sequence-sharded cache
+        from ..parallel.ring import sp_flash_decode
+        return sp_flash_decode(attn_impl.mesh, q, k_cache, v_cache, k_hi2,
+                               q_pos, window, anchors, axis_name=attn_impl.axis)
     raise ValueError(f"unknown attn_impl {attn_impl}")
 
 
@@ -341,6 +355,13 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
     h = embed(params, tokens)
 
+    def write_rows(c, new):
+        if attn_impl == "sp":
+            from ..parallel.ring import sp_write_cache_rows
+            return sp_write_cache_rows(attn_impl.mesh, c, new, write_at,
+                                       attn_impl.axis)
+        return write_cache_rows(c, new, write_at)
+
     def layer(h, lp_kv):
         lp, (ck, cv) = lp_kv
         x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
@@ -348,8 +369,8 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if not collect_kv:
-            ck = write_cache_rows(ck, k, write_at)
-            cv = write_cache_rows(cv, v, write_at)
+            ck = write_rows(ck, k)
+            cv = write_rows(cv, v)
         o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens, positions,
                                              None, 0, attn_impl)
         o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)

@@ -23,6 +23,12 @@ and let the KV cache live distributed:
 
 Both run under `shard_map` over any mesh with an `sp` axis and compose with
 the (dp, tp) shardings in `parallel/shardings.py`.
+
+`SPAttn` + `sp_write_cache_rows` wire these primitives into the engine as a
+first-class `attn_impl`: construct `SpecEngine(..., EngineConfig(
+attn_impl="sp"), mesh=make_mesh(sp=n))` and the whole decode loop — target
+prefill, hybrid append/verify attention, draft SA/CA, KV writes — runs over
+a sequence-sharded cache (see `tests/test_sp.py`).
 """
 from __future__ import annotations
 
@@ -34,6 +40,63 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops import attention as att
+
+
+class SPAttn(str):
+    """`attn_impl` marker for sequence-parallel attention.
+
+    Behaves as the string ``"sp"`` through every existing dispatch
+    (``attn_impl == "sp"`` comparisons, error messages, cache keys) while
+    carrying the mesh + axis name the shard_map'd SP attention needs — so the
+    SP path threads through `models.llama` / `models.glide` without changing
+    any signature. Never traced: attn_impl is always a static Python value.
+    """
+
+    def __new__(cls, mesh: Mesh, axis_name: str = "sp"):
+        self = super().__new__(cls, "sp")
+        self.mesh = mesh
+        self.axis = axis_name
+        return self
+
+
+def sp_write_cache_rows(mesh: Mesh, cache: jnp.ndarray, new: jnp.ndarray,
+                        starts: jnp.ndarray, axis_name: str = "sp"):
+    """Write T new rows per batch at dynamic offsets into a SEQUENCE-SHARDED
+    KV cache — the SP form of `models.llama.write_cache_rows`.
+
+    cache: [B, Hkv, S, D] (or [L, B, Hkv, S, D]) sharded on S over
+    `axis_name`; new: [B, T, Hkv, D] (resp. [L, B, T, Hkv, D]) replicated;
+    starts: [B]. Each shard scatters only the rows that land in its slice
+    (out-of-slice indices drop), so the write is local — no collective, no
+    gather of the cache.
+    """
+    rank5 = cache.ndim == 5
+    t = new.shape[2 if rank5 else 1]
+
+    def f(c_loc, new, starts):
+        s_loc = c_loc.shape[-2]
+        off = jax.lax.axis_index(axis_name) * s_loc
+        li = starts[:, None] + jnp.arange(t)[None, :] - off       # [B, T]
+        # negative local indices would wrap; remap to an always-OOB positive
+        li = jnp.where(li < 0, s_loc, li)
+
+        def one(c_b, n_b, li_b):
+            # c_b [Hkv, s_loc, D]; n_b [Hkv, T, D]; li_b [T]
+            return c_b.at[:, li_b, :].set(n_b.astype(c_b.dtype), mode="drop")
+
+        nt = jnp.swapaxes(new, -3, -2)                # [.., Hkv, T, D]
+        if c_loc.ndim == 4:
+            return jax.vmap(one)(c_loc, nt, li)
+        return jax.vmap(jax.vmap(one), in_axes=(0, 0, None))(c_loc, nt, li)
+
+    seq_spec = (P(None, None, None, axis_name, None) if rank5
+                else P(None, None, axis_name, None))
+    return shard_map(
+        f, mesh=mesh,
+        in_specs=(seq_spec, P(None), P(None)),
+        out_specs=seq_spec,
+        check_vma=False,
+    )(cache, new, starts)
 
 
 def _block_update(carry, qf, kch, vch, k_offset, q_pos, k_hi, window, anchors):

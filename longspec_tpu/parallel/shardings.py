@@ -80,13 +80,17 @@ def draft_pspecs() -> dict:
     }
 
 
-def state_pspecs() -> dict:
-    """PartitionSpecs for engine.DecodeState (as a dict by field name)."""
+def state_pspecs(sp: bool = False) -> dict:
+    """PartitionSpecs for engine.DecodeState (as a dict by field name).
+
+    With ``sp=True`` the caches are additionally sharded on the SEQUENCE axis
+    over the mesh's `sp` axis (engine attn_impl="sp"; parallel/ring.py)."""
+    seq = "sp" if sp else None
     return {
-        "kv_k": P(None, "dp", "tp", None, None),
-        "kv_v": P(None, "dp", "tp", None, None),
-        "d_kv_k": P("dp", None, None, None),
-        "d_kv_v": P("dp", None, None, None),
+        "kv_k": P(None, "dp", "tp", seq, None),
+        "kv_v": P(None, "dp", "tp", seq, None),
+        "d_kv_k": P("dp", None, seq, None),
+        "d_kv_v": P("dp", None, seq, None),
         "cache_lens": P("dp"),
         "d_cache_lens": P("dp"),
     }
