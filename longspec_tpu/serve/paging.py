@@ -42,12 +42,49 @@ class PagePool:
         self._free: List[int] = list(range(n_pages - 1, -1, -1))
         self._seqs: Dict[int, List[int]] = {}
         self._lens: Dict[int, int] = {}
+        # lifetime counters (serving observability; `stats()`)
+        self._allocs = 0          # alloc() calls
+        self._extends = 0         # extend() calls that took >=1 page
+        self._frees = 0           # free() calls
+        self._pages_cycled = 0    # pages handed out over the pool lifetime
+        self._peak_used = 0       # high-water mark of in-use pages
 
     # -- accounting -----------------------------------------------------
 
     @property
     def free_pages(self) -> int:
         return len(self._free)
+
+    @property
+    def used_pages(self) -> int:
+        return self.n_pages - len(self._free)
+
+    def stats(self) -> dict:
+        """Pool observability: utilization, reuse, and churn.
+
+        `reuse_factor` = pages handed out over the pool lifetime / pool size
+        — how many times the average physical page has been recycled; the
+        pool has no external fragmentation by construction (pages are fully
+        fungible), so `waste_tokens` (allocated-but-unused token slots from
+        ceil-division, i.e. internal fragmentation) is the only padding
+        metric that matters."""
+        waste = sum(len(p) * self.page - l
+                    for p, l in ((self._seqs[u], self._lens[u])
+                                 for u in self._seqs))
+        return {
+            "n_pages": self.n_pages,
+            "used_pages": self.used_pages,
+            "free_pages": self.free_pages,
+            "utilization": round(self.used_pages / self.n_pages, 4),
+            "peak_used_pages": self._peak_used,
+            "live_seqs": len(self._seqs),
+            "allocs": self._allocs,
+            "extends": self._extends,
+            "frees": self._frees,
+            "pages_cycled": self._pages_cycled,
+            "reuse_factor": round(self._pages_cycled / self.n_pages, 4),
+            "waste_tokens": waste,
+        }
 
     def pages_of(self, uid: int) -> List[int]:
         return list(self._seqs[uid])
@@ -73,6 +110,9 @@ class PagePool:
         pages = [self._free.pop() for _ in range(need)]
         self._seqs[uid] = pages
         self._lens[uid] = n_tokens
+        self._allocs += 1
+        self._pages_cycled += need
+        self._peak_used = max(self._peak_used, self.used_pages)
         return list(pages)
 
     def extend(self, uid: int, n_tokens: int) -> List[int]:
@@ -87,11 +127,16 @@ class PagePool:
         fresh = [self._free.pop() for _ in range(need)]
         self._seqs[uid].extend(fresh)
         self._lens[uid] = new_len
+        if fresh:
+            self._extends += 1
+            self._pages_cycled += len(fresh)
+            self._peak_used = max(self._peak_used, self.used_pages)
         return fresh
 
     def free(self, uid: int) -> None:
         self._free.extend(reversed(self._seqs.pop(uid)))
         self._lens.pop(uid)
+        self._frees += 1
 
     # -- kernel-facing views -------------------------------------------
 

@@ -1,8 +1,9 @@
 """Continuous-batching speculative-decoding server.
 
 TPU-native serving loop over the SpecEngine: a fixed batch of decode SLOTS
-(static shapes — XLA compiles the decode segment once), a FIFO admission
-queue, and prefill-and-insert admission: a newly admitted request is
+(static shapes — XLA compiles the decode segment once), a pluggable
+admission queue (fifo / priority / shortest-job-first / bucket-packed —
+see `SpecServer._pop_next`), and prefill-and-insert admission: a newly admitted request is
 prefetched through the target+draft prefill as a batch-1 call, then its KV
 rows, cache lengths, and carry rows are scattered into the live batch at the
 free slot index inside one jitted insert. Finished rows (eos / token budget)
@@ -44,6 +45,7 @@ class Request:
     uid: int
     tokens: np.ndarray          # [l] int32 prompt
     max_new_tokens: int
+    priority: int = 0           # higher = admitted first (policy="priority")
     enqueued_s: float = field(default_factory=time.perf_counter)
 
 
@@ -68,7 +70,8 @@ class SpecServer:
     def __init__(self, engine: SpecEngine, n_slots: int, s_max: int,
                  max_new_cap: int = 512, method: str = "tree",
                  prefill_buckets=(128, 512, 2048, 8192),
-                 state_dtype=jnp.bfloat16, seed: int = 0):
+                 state_dtype=jnp.bfloat16, seed: int = 0,
+                 policy: str = "fifo"):
         if method == "tree":
             self._round_fn = engine._tree_round
             a_max = engine.ecfg.tree_depth + 1
@@ -86,6 +89,9 @@ class SpecServer:
         self.a_max = a_max
         self.prefill_buckets = tuple(sorted(prefill_buckets))
         self.state_dtype = state_dtype
+        if policy not in ("fifo", "priority", "sjf", "packed"):
+            raise ValueError(f"unknown admission policy {policy!r}")
+        self.policy = policy
 
         state = engine.init_state(n_slots, s_max, state_dtype)
         eos = jnp.full((n_slots,), self.cfg.eos_token_id, jnp.int32)
@@ -152,17 +158,48 @@ class SpecServer:
 
     # -- public API -----------------------------------------------------
 
-    def submit(self, tokens, max_new_tokens: int = 128) -> int:
+    def submit(self, tokens, max_new_tokens: int = 128,
+               priority: int = 0) -> int:
         tokens = np.asarray(tokens, np.int32).reshape(-1)
         if len(tokens) + max_new_tokens + self.a_max + 8 > self.s_max:
             raise ValueError(f"prompt {len(tokens)} + max_new {max_new_tokens}"
                              f" exceeds slot capacity {self.s_max}")
         uid = self._next_uid
         self._next_uid += 1
-        req = Request(uid=uid, tokens=tokens,
+        req = Request(uid=uid, tokens=tokens, priority=priority,
                       max_new_tokens=min(max_new_tokens, self.max_new_cap))
         self._requests[uid] = req
         self._queue.append(uid)
+        return uid
+
+    def _pop_next(self) -> int:
+        """Pick the next queued uid under the admission policy.
+
+        * ``fifo``     — arrival order (default).
+        * ``priority`` — highest `priority=` first; FIFO within a level.
+        * ``sjf``      — shortest prompt first (minimizes head-of-line
+          blocking and mean latency under mixed lengths).
+        * ``packed``   — context-length-aware packing: prefer the LONGEST
+          queued prompt that still fits the smallest already-compiled
+          prefill bucket among queued prompts, so admissions reuse compiled
+          programs and pad the least (falls back to sjf ordering when all
+          candidates share a bucket).
+        """
+        q = self._queue
+        if self.policy == "fifo":
+            return q.pop(0)
+        reqs = self._requests
+        if self.policy == "priority":
+            # max priority; earliest submit breaks ties (uid is monotone)
+            uid = max(q, key=lambda u: (reqs[u].priority, -u))
+        elif self.policy == "sjf":
+            uid = min(q, key=lambda u: (len(reqs[u].tokens), u))
+        else:  # packed
+            def bucket_of(l):
+                return next((b for b in self.prefill_buckets if b >= l), l)
+            uid = min(q, key=lambda u: (bucket_of(len(reqs[u].tokens)),
+                                        -len(reqs[u].tokens), u))
+        q.remove(uid)
         return uid
 
     @property
@@ -179,7 +216,7 @@ class SpecServer:
         for slot in range(self.n_slots):
             if self._slot_uid[slot] is not None or not self._queue:
                 continue
-            uid = self._queue.pop(0)
+            uid = self._pop_next()
             req = self._requests[uid]
             l = len(req.tokens)
             bucket = next((b for b in self.prefill_buckets if b >= l),

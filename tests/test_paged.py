@@ -140,3 +140,25 @@ def test_page_pool_accounting():
     assert pool.free_pages == 6
     with pytest.raises(KeyError):
         pool.alloc(5, 8), pool.alloc(5, 8)
+
+
+def test_pool_stats_lifecycle():
+    from longspec_tpu.serve.paging import PagePool
+    pool = PagePool(n_pages=8, page=4)
+    pool.alloc(1, 10)          # 3 pages
+    pool.alloc(2, 4)           # 1 page
+    s = pool.stats()
+    assert s["used_pages"] == 4 and s["live_seqs"] == 2
+    assert s["peak_used_pages"] == 4 and s["allocs"] == 2
+    assert s["waste_tokens"] == (12 - 10) + 0
+    pool.extend(1, 3)          # 13 tokens -> 4 pages (one fresh)
+    assert pool.stats()["extends"] == 1
+    pool.free(1)
+    s = pool.stats()
+    assert s["used_pages"] == 1 and s["frees"] == 1
+    assert s["pages_cycled"] == 5 and s["reuse_factor"] == round(5 / 8, 4)
+    # pages are recycled: a new alloc reuses the freed ids
+    pool.alloc(3, 28)          # 7 pages == everything free
+    s = pool.stats()
+    assert s["used_pages"] == 8 and s["utilization"] == 1.0
+    assert s["pages_cycled"] == 12 and s["peak_used_pages"] == 8

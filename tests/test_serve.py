@@ -80,3 +80,52 @@ def test_slots_reused_and_interleaved(engine):
     assert uids == set(first) | {late}
     for c in got:
         assert 1 <= len(c.tokens) <= 9
+
+
+def test_admission_policies(engine):
+    """Admission order follows the configured policy (n_slots=1 serializes
+    admissions, so completion order IS admission order)."""
+    rng = np.random.default_rng(11)
+
+    def run(policy, submits):
+        srv = SpecServer(engine, n_slots=1, s_max=96, max_new_cap=8,
+                         prefill_buckets=(16, 32), state_dtype=jnp.float32,
+                         policy=policy)
+        uids = [srv.submit(rng.integers(2, 211, (l,)).tolist(), 4, priority=p)
+                for l, p in submits]
+        comps = srv.run(rounds_per_step=2)
+        order = [c.uid for c in comps]
+        # run() returns per-step harvests in completion order
+        return uids, order
+
+    # priority: highest first, FIFO within a level
+    uids, order = run("priority", [(10, 0), (10, 5), (10, 5), (10, 9)])
+    assert order == [uids[3], uids[1], uids[2], uids[0]], (uids, order)
+
+    # sjf: shortest prompt first
+    uids, order = run("sjf", [(20, 0), (6, 0), (13, 0)])
+    assert order == [uids[1], uids[2], uids[0]], (uids, order)
+
+    # packed: smallest prefill bucket first, longest-within-bucket
+    uids, order = run("packed", [(20, 0), (9, 0), (14, 0), (30, 0)])
+    # buckets (16, 32): lens 9,14 -> bucket 16; 20,30 -> bucket 32
+    assert order == [uids[2], uids[1], uids[3], uids[0]], (uids, order)
+
+    # fifo stays arrival-ordered
+    uids, order = run("fifo", [(20, 3), (6, 9), (13, 0)])
+    assert order == uids, (uids, order)
+
+
+def test_policy_token_exactness(engine):
+    """Scheduling policy never changes emitted tokens, only order."""
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(2, 211, (l,)).tolist() for l in (18, 7, 12)]
+    outs = {}
+    for policy in ("fifo", "sjf"):
+        srv = SpecServer(engine, n_slots=2, s_max=96, max_new_cap=8,
+                         prefill_buckets=(32,), state_dtype=jnp.float32,
+                         policy=policy)
+        uids = [srv.submit(p, 6) for p in prompts]
+        comps = {c.uid: c.tokens for c in srv.run(rounds_per_step=2)}
+        outs[policy] = [comps[u] for u in uids]
+    assert outs["fifo"] == outs["sjf"]
