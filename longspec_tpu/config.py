@@ -101,7 +101,7 @@ class EngineConfig:
     # unaffected — q only selects proposals (and at T>0 the sampling and
     # verification q are the same quantized distribution). Target
     # VERIFICATION logits always stay full precision.
-    draft_head: str = "bf16"  # "bf16" | "int8"
+    draft_head: str = "bf16"  # "bf16" | "int8" | "int4"
     # DRAFT-layer matmul precision for decode-time proposal compute. "int8"
     # stores every 2-D draft kernel as per-output-channel-scaled int8 and
     # runs the projections as native int8 MXU matmuls with dynamic per-row
@@ -110,7 +110,7 @@ class EngineConfig:
     # emitted tokens cannot (q only selects proposals; at T>0 sampling and
     # verification share the same quantized q). Training always uses the
     # full-precision params.
-    draft_compute: str = "bf16"  # "bf16" | "int8"
+    draft_compute: str = "bf16"  # "bf16" | "int8" | "int4"
     # Beam top-k over the draft scoring logits at T=0. "approx" uses the
     # TPU-native approx_max_k (recall ~0.95, several x faster than the exact
     # sort-based TopK over V=32k+). Losslessness is structural either way —

@@ -149,15 +149,17 @@ class SpecEngine:
         # copy is read instead of the bf16 lm_head during draft micro-steps
         # (ROADMAP: ~40% of tree-round time was lm_head re-reads)
         self._qhead = None
-        if ecfg.draft_head == "int8":
+        if ecfg.draft_head in ("int8", "int4"):
             w = M.lm_head_weight(params)
+            qmax = 127.0 if ecfg.draft_head == "int8" else 7.0
+            qdtype = jnp.int8 if ecfg.draft_head == "int8" else jnp.int4
 
             @jax.jit
             def quantize(w):
-                scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / 127.0
+                scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0) / qmax
                 w8 = jnp.round(w.astype(jnp.float32) /
                                jnp.maximum(scale, 1e-30)[None, :])
-                return w8.astype(jnp.int8), scale
+                return w8.astype(qdtype), scale
 
             self._qhead = quantize(w)
         # int8 draft-layer compute: decode-time proposal micro-steps read a
@@ -166,8 +168,10 @@ class SpecEngine:
         # q only shapes proposals so T=0 losslessness is structural and at
         # T>0 sampling and verification share the same quantized q.
         self._decode_draft_params = draft_params
-        if ecfg.draft_compute == "int8":
-            self._decode_draft_params = jax.jit(G.quantize_draft_params)(
+        if ecfg.draft_compute in ("int8", "int4"):
+            bits = 8 if ecfg.draft_compute == "int8" else 4
+            self._decode_draft_params = jax.jit(
+                functools.partial(G.quantize_draft_params, bits=bits))(
                 draft_params)
 
     def _beam_topk(self, params, h, k: int):
@@ -204,6 +208,8 @@ class SpecEngine:
         if self._qhead is None:
             return M.logits_at(params, h)
         w8, scale = self._qhead
+        if w8.dtype != jnp.int8:
+            w8 = w8.astype(jnp.int8)   # int4 HBM read, int8 MXU compute
         hf = h.astype(jnp.float32)
         hmax = jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
         h8 = jnp.round(hf * (127.0 / jnp.maximum(hmax, 1e-30))).astype(jnp.int8)

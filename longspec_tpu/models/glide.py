@@ -66,33 +66,44 @@ def init_draft_params(rng: jax.Array, cfg: ModelConfig, dtype=jnp.float32):
 
 def qdot(x, w):
     """Matmul that dispatches on the weight leaf: a plain array runs in the
-    ambient dtype; a `{"w8", "scale"}` dict (from `quantize_draft_params`)
-    runs as a native int8 MXU matmul — per-row dynamic activation scales x
-    per-output-channel weight scales — reading half the weight bytes."""
+    ambient dtype; a `{"w8"|"w4", "scale"}` dict (from
+    `quantize_draft_params`) runs as a native int8 MXU matmul — per-row
+    dynamic activation scales x per-output-channel weight scales — reading
+    half (int8) or a quarter (int4, stored packed; converted to int8 in
+    VMEM) of the bf16 weight bytes."""
     if not isinstance(w, dict):
         return jnp.dot(x, w)
     xf = x.astype(jnp.float32)
     xmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     x8 = jnp.round(xf * (127.0 / jnp.maximum(xmax, 1e-30))).astype(jnp.int8)
-    acc = jax.lax.dot_general(x8, w["w8"],
+    wq = w["w4"].astype(jnp.int8) if "w4" in w else w["w8"]
+    acc = jax.lax.dot_general(x8, wq,
                               (((x8.ndim - 1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * (xmax / 127.0) * w["scale"]
     return out.astype(x.dtype)
 
 
-def quantize_draft_params(draft_params):
-    """Per-output-channel absmax int8 copies of every 2-D draft kernel
+def quantize_draft_params(draft_params, bits: int = 8):
+    """Per-output-channel absmax int8/int4 copies of every 2-D draft kernel
     (biases/norms untouched). Feed the result anywhere draft params are
-    accepted at decode time — `qdot` dispatches on the leaf shape."""
+    accepted at decode time — `qdot` dispatches on the leaf shape. int4
+    stores `jnp.int4` (XLA packs two nibbles per byte in HBM), quartering
+    the weight bytes each tree level re-reads; proposal quality shifts a
+    little more than int8, emitted tokens cannot (verification is full
+    precision)."""
+    assert bits in (8, 4), bits
+    qmax = 127.0 if bits == 8 else 7.0
 
     def one(w):
         if getattr(w, "ndim", 0) != 2:
             return w
         wf = w.astype(jnp.float32)
-        scale = jnp.max(jnp.abs(wf), axis=0) / 127.0
-        w8 = jnp.round(wf / jnp.maximum(scale, 1e-30)[None, :]).astype(jnp.int8)
-        return {"w8": w8, "scale": scale}
+        scale = jnp.max(jnp.abs(wf), axis=0) / qmax
+        wq = jnp.round(wf / jnp.maximum(scale, 1e-30)[None, :])
+        if bits == 8:
+            return {"w8": wq.astype(jnp.int8), "scale": scale}
+        return {"w4": wq.astype(jnp.int4), "scale": scale}
 
     return jax.tree.map(one, draft_params)
 

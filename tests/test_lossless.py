@@ -60,11 +60,12 @@ def test_lossless_greedy_random_draft(method):
 
 
 @pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
-def test_lossless_int8_draft_head(method):
-    """int8 draft scoring head: proposal ranking changes slightly but T=0
-    output must stay token-exact vs vanilla (q never affects the emitted
+@pytest.mark.parametrize("prec", ["int8", "int4"])
+def test_lossless_int8_draft_head(method, prec):
+    """int8/int4 draft scoring head: proposal ranking changes slightly but
+    T=0 output must stay token-exact vs vanilla (q never affects the emitted
     law, only the accept rate)."""
-    eng, cfg = build_engine(draft_head="int8")
+    eng, cfg = build_engine(draft_head=prec)
     rng = np.random.default_rng(21)
     B, S = 2, 15
     toks = rng.integers(2, cfg.vocab_size, (B, S))
@@ -83,12 +84,14 @@ def test_lossless_int8_draft_head(method):
 
 
 @pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
-def test_lossless_int8_draft_compute(method):
-    """int8 draft-layer compute (`EngineConfig.draft_compute`): every decode
-    micro-step matmul of the GLIDE layer runs as a native int8 dot. Proposals
-    shift slightly; the T=0 emitted stream must stay token-exact vs vanilla
+@pytest.mark.parametrize("prec", ["int8", "int4"])
+def test_lossless_int8_draft_compute(method, prec):
+    """int8/int4 draft-layer compute (`EngineConfig.draft_compute`): every
+    decode micro-step matmul of the GLIDE layer runs as a native int8 dot
+    (int4 weights stored packed, converted in VMEM). Proposals shift
+    slightly; the T=0 emitted stream must stay token-exact vs vanilla
     (draft output only selects candidates, never the accepted law)."""
-    eng, cfg = build_engine(draft_compute="int8")
+    eng, cfg = build_engine(draft_compute=prec)
     rng = np.random.default_rng(33)
     B, S = 2, 15
     toks = rng.integers(2, cfg.vocab_size, (B, S))
