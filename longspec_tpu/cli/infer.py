@@ -88,7 +88,21 @@ def get_args(argv=None):
                    help="override rope scaling for context extension, "
                         "'type:factor' (e.g. linear:4, yarn:4, dynamic:2)")
     p.add_argument("--attn-impl", default="chunked",
-                   choices=["dense", "chunked", "pallas"])
+                   choices=["dense", "chunked", "pallas", "sp"])
+    p.add_argument("--sp", default=0, type=int,
+                   help="sequence-parallel degree: shard the KV cache over "
+                        "this many devices (forces --attn-impl sp)")
+    p.add_argument("--draft-ring", default=0, type=int,
+                   help="draft KV ring-buffer rows (0 = full-length buffer); "
+                        "O(window) draft memory at any context")
+    p.add_argument("--draft-head", default="int8",
+                   choices=["bf16", "int8", "int4"],
+                   help="draft beam-scoring head precision (proposals only; "
+                        "verification stays full precision)")
+    p.add_argument("--draft-compute", default="int8",
+                   choices=["bf16", "int8", "int4"],
+                   help="draft-layer matmul precision at decode time")
+    p.add_argument("--beam-topk", default="exact", choices=["exact", "approx"])
     p.add_argument("--batch", default=1, type=int)
     p.add_argument("--out-dir", default="longbench_results")
     return p.parse_args(argv)
@@ -123,11 +137,21 @@ def load_engine(args):
         dparams = draft_params_from_hf_state_dict(sd, cfg, jnp.bfloat16)
     else:
         dparams = load_draft(args.draft_path)
+    attn_impl = "sp" if args.sp else args.attn_impl
     ecfg = EngineConfig(tree_shape=tuple(args.tree_shape), gamma=args.gamma,
                         temperature=args.temperature,
-                        attn_impl=args.attn_impl)
-    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=args.window),
-                     ecfg)
+                        attn_impl=attn_impl, draft_head=args.draft_head,
+                        draft_compute=args.draft_compute,
+                        beam_topk=args.beam_topk)
+    dcfg = DraftConfig(window=args.window,
+                       ring_size=args.draft_ring or None)
+    mesh = None
+    if attn_impl == "sp":
+        from ..parallel import shardings as sh
+        import jax
+        n = args.sp or len(jax.devices())
+        mesh = sh.make_mesh(dp=1, sp=n, tp=1)
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg, mesh=mesh)
     return eng, tokenizer, cfg
 
 

@@ -76,6 +76,15 @@ class DraftConfig:
 
     window: int = 512  # sliding-window size (reference flash window_size=(512,-1))
     anchors: int = 0   # attention-sink anchor tokens always visible (0 = parity)
+    # Ring-buffer draft KV cache: the draft only ever attends `window` recent
+    # rows + `anchors`, so its cache can be O(window) instead of O(context) —
+    # the constant-memory design SURVEY §7.1.4 calls for (the reference
+    # allocates a full-length draft buffer it never reads outside the window,
+    # `llama_glide.py:223-224`). None = full-length buffer (parity layout);
+    # an int = physical ring rows (engine validates slack; see
+    # `glide.ring_positions`). At 262k context this turns ~1 GB of draft KV
+    # into ~1 MB, replicated cheaply under SP.
+    ring_size: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

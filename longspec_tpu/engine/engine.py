@@ -148,6 +148,16 @@ class SpecEngine:
         # int8 draft scoring head: per-vocab-column absmax scales; the int8
         # copy is read instead of the bf16 lm_head during draft micro-steps
         # (ROADMAP: ~40% of tree-round time was lm_head re-reads)
+        if dcfg.ring_size is not None:
+            # overwrite safety: a ring write at position p evicts p - W; the
+            # evicted position must already be outside every reachable
+            # query's window (see glide.py ring notes)
+            need = (dcfg.anchors + (dcfg.window or 0)
+                    + 2 * max(ecfg.gamma, ecfg.tree_depth) + 10)
+            if dcfg.ring_size < need:
+                raise ValueError(f"ring_size {dcfg.ring_size} < safe minimum "
+                                 f"{need} for window={dcfg.window}, "
+                                 f"anchors={dcfg.anchors}, this engine config")
         self._qhead = None
         if ecfg.draft_head in ("int8", "int4"):
             w = M.lm_head_weight(params)
@@ -234,7 +244,8 @@ class SpecEngine:
         s_max = -(-s_max // n_sp) * n_sp  # sp shards need equal slices
         kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch, s_max, dtype)
         hd = self.cfg.head_dim_
-        d_shape = (batch, self.cfg.num_kv_heads, s_max, hd)
+        d_rows = self.dcfg.ring_size if self.dcfg.ring_size else s_max
+        d_shape = (batch, self.cfg.num_kv_heads, d_rows, hd)
         state = DecodeState(
             kv_k=kv_k, kv_v=kv_v,
             d_kv_k=jnp.zeros(d_shape, dtype), d_kv_v=jnp.zeros(d_shape, dtype),
@@ -243,7 +254,9 @@ class SpecEngine:
         )
         if self.mesh is not None:
             from ..parallel import shardings as sh
-            sp = sh.state_pspecs(sp=n_sp > 1)
+            # a ring draft cache is ~window-sized: keep it replicated over sp
+            sp = sh.state_pspecs(sp=n_sp > 1,
+                                 ring=self.dcfg.ring_size is not None)
             state = DecodeState(*[
                 jax.device_put(x, jax.sharding.NamedSharding(self.mesh, sp[f]))
                 for f, x in zip(DecodeState._fields, state)])
@@ -596,15 +609,20 @@ class SpecEngine:
         tmask = tmask.at[:, diag_idx, diag_idx].set(True)
 
         # draft-side tree KV buffer: root + all nodes
-        root_row = d_cache_lens - 1  # draft cache row of the root token
+        root_row = d_cache_lens - 1  # draft POSITION of the root token
+        if dcfg.ring_size is not None:
+            root_phys = G.ring_index(root_row, dcfg.anchors, dcfg.ring_size)
+        else:
+            root_phys = root_row
+
         def gather_row(cache, r):
             # cache [B, Hkv, S, D] -> [B, 1, Hkv, D]
             g = jnp.take_along_axis(cache, r[:, None, None, None], axis=2)
             return g.transpose(0, 2, 1, 3)
         tk = jnp.zeros((b, N, cfg.num_kv_heads, hd), d_kv_k.dtype)
         tv = jnp.zeros_like(tk)
-        tk = tk.at[:, :1].set(gather_row(d_kv_k, root_row))
-        tv = tv.at[:, :1].set(gather_row(d_kv_v, root_row))
+        tk = tk.at[:, :1].set(gather_row(d_kv_k, root_phys))
+        tv = tv.at[:, :1].set(gather_row(d_kv_v, root_phys))
 
         for lvl in range(1, gamma):
             lo, hi = offs[lvl], offs[lvl + 1]
@@ -619,7 +637,8 @@ class SpecEngine:
                 st.kv_k[-1], st.kv_v[-1],
                 jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
                 suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
-                suffix_kv=(tk, tv), suffix_write_offset=lo)
+                suffix_kv=(tk, tv), suffix_write_offset=lo,
+                d_written=d_cache_lens)
             if need_q:
                 logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l),
                                             axis=-1)

@@ -108,6 +108,91 @@ def quantize_draft_params(draft_params, bits: int = 8):
     return jax.tree.map(one, draft_params)
 
 
+# ---------------------------------------------------------------------------
+# Ring-buffer draft KV cache (DraftConfig.ring_size)
+#
+# The draft's self-attention only ever sees `window` recent positions plus
+# `anchors` sink rows, so its cache needs O(window) physical rows, not
+# O(context): rows [0, anchors) pin the sinks; position p >= anchors lives at
+# physical row anchors + (p - anchors) % W with W = R - anchors. A row's
+# position is recoverable from (row, written_count) alone — the LARGEST
+# congruent position below the written count — so no per-row position state
+# is carried; overwritten positions are exactly the ones that fell out of
+# every reachable window (engine validates W >= window + per-round writes).
+# ---------------------------------------------------------------------------
+
+def ring_index(pos, anchors: int, ring: int):
+    """Physical ring row of absolute position `pos`."""
+    w = ring - anchors
+    return jnp.where(pos < anchors, pos, anchors + (pos - anchors) % w)
+
+
+def ring_positions(d_len, anchors: int, ring: int):
+    """Positions currently held by each physical row, given `d_len` written
+    positions. d_len: [...]-shaped int; returns (pos [..., R], valid [..., R]).
+    Invalid rows (never written) report a position >= d_len."""
+    w = ring - anchors
+    r = jnp.arange(ring)                 # base position of row r is r itself
+    d = d_len[..., None]
+    k = jnp.maximum((d - 1 - r) // w, 0)
+    p = jnp.where(r < anchors, r, r + k * w)
+    valid = p < d
+    return p, valid
+
+
+def ring_write(cache, new, write_at, anchors: int):
+    """Scatter T new rows at positions [write_at, write_at+T) into the ring.
+
+    cache: [B, Hkv, R, D]; new: [B, T, Hkv, D]; write_at: [B]."""
+    b, t = new.shape[0], new.shape[1]
+    ring = cache.shape[2]
+    idx = ring_index(write_at[:, None] + jnp.arange(t)[None, :], anchors, ring)
+
+    def one(c, n, i):
+        return c.at[:, i, :].set(n.astype(c.dtype))
+
+    return jax.vmap(one)(cache, new.transpose(0, 2, 1, 3), idx)
+
+
+def ring_fill_from_prefill(k_t, v_t, lengths, cache_k, cache_v, anchors: int):
+    """Populate the ring from full prefill K/V (cache layout [B, Hkv, S, D]):
+    for each ring row, gather the position it should hold at d_len=lengths.
+    Rows not yet reachable are zeroed."""
+    ring = cache_k.shape[2]
+    pos, valid = ring_positions(lengths, anchors, ring)
+    src = jnp.clip(pos, 0, k_t.shape[2] - 1)[:, None, :, None]   # [B,1,R,1]
+
+    def gather(full, cache):
+        g = jnp.take_along_axis(full, jnp.broadcast_to(
+            src, (full.shape[0], full.shape[1], ring, full.shape[3])), axis=2)
+        g = jnp.where(valid[:, None, :, None], g, 0)
+        return g.astype(cache.dtype)
+
+    return gather(k_t, cache_k), gather(v_t, cache_v)
+
+
+def ring_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
+                          window, anchors: int):
+    """Draft-prefix attention over the ring: dense masked attention with the
+    mask built from RECOVERED key positions (the ring is ~window-sized, so
+    dense-on-MXU is the right shape). Semantics match
+    `sliced_prefix_attention` over a full-length cache restricted to
+    window+anchors visibility. Returns (o fp32, lse fp32)."""
+    b, tq = q.shape[:2]
+    ring = cache_k.shape[2]
+    if k_hi.ndim == 1:
+        k_hi = jnp.broadcast_to(k_hi[:, None], (b, tq))
+    pos, valid = ring_positions(d_len, anchors, ring)        # [B, R]
+    mask = valid[:, None, :] & (pos[:, None, :] < k_hi[:, :, None])
+    if window is not None:
+        vis = pos[:, None, :] >= q_pos[:, :, None] - window
+        if anchors > 0:
+            vis = vis | (pos[:, None, :] < anchors)
+        mask = mask & vis
+    return att.attend_masked(q, cache_k.transpose(0, 2, 1, 3),
+                             cache_v.transpose(0, 2, 1, 3), mask)
+
+
 def _proj_qkv(x, ap, cfg: ModelConfig):
     b, t, _ = x.shape
     hd = cfg.head_dim_
@@ -139,6 +224,8 @@ def glide_forward(
     write_at: Optional[jnp.ndarray] = None,
     suffix_kv: Optional[tuple] = None,          # (tk, tv): [B, Ns, Hkv, D]
     suffix_write_offset: int = 0,
+    d_written: Optional[jnp.ndarray] = None,    # [B] true written count
+                                                # (ring mode w/ suffix_kv)
 ):
     """One GLIDE layer step over T new tokens.
 
@@ -176,8 +263,12 @@ def glide_forward(
     q, k, v = _proj_qkv(x, draft_params["sa"], cfg)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    ring = dcfg.ring_size
     if suffix_kv is None:
-        if attn_impl == "sp":
+        if ring is not None:
+            d_kv_k = ring_write(d_kv_k, k, write_at, dcfg.anchors)
+            d_kv_v = ring_write(d_kv_v, v, write_at, dcfg.anchors)
+        elif attn_impl == "sp":
             from ..parallel.ring import sp_write_cache_rows
             d_kv_k = sp_write_cache_rows(attn_impl.mesh, d_kv_k, k, write_at,
                                          attn_impl.axis)
@@ -194,9 +285,19 @@ def glide_forward(
         tv = jax.lax.dynamic_update_slice(tv, v.astype(tv.dtype),
                                           (0, suffix_write_offset, 0, 0))
         sk, sv = tk, tv
-    o_p, lse_p = sliced_prefix_attention(q, d_kv_k, d_kv_v, d_cache_lens,
-                                         positions, dcfg.window, dcfg.anchors,
-                                         attn_impl)
+    if ring is not None:
+        # true written count: rows just written hold positions >= the k_hi
+        # bound, so they are masked; but position RECOVERY needs the real
+        # count or a recycled row would report its pre-overwrite position
+        if d_written is None:
+            d_written = (write_at + t if suffix_kv is None else d_cache_lens)
+        o_p, lse_p = ring_prefix_attention(q, d_kv_k, d_kv_v, d_cache_lens,
+                                           positions, d_written,
+                                           dcfg.window, dcfg.anchors)
+    else:
+        o_p, lse_p = sliced_prefix_attention(q, d_kv_k, d_kv_v, d_cache_lens,
+                                             positions, dcfg.window,
+                                             dcfg.anchors, attn_impl)
     o_s, lse_s = att.attend_masked(q, sk, sv, suffix_mask)
     o = att.merge_attention(o_p, lse_p, o_s, lse_s)
     o = qdot(o.astype(hidden.dtype).reshape(b, t, -1), draft_params["sa"]["wo"])
@@ -243,8 +344,12 @@ def glide_prefill(
     k = apply_rope(k, cos, sin)
     kt = k.transpose(0, 2, 1, 3)  # cache layout [B, Hkv, S, D]
     vt = v.transpose(0, 2, 1, 3)
-    d_kv_k = d_kv_k.at[:, :, :s].set(kt.astype(d_kv_k.dtype))
-    d_kv_v = d_kv_v.at[:, :, :s].set(vt.astype(d_kv_v.dtype))
+    if dcfg.ring_size is not None:
+        d_kv_k, d_kv_v = ring_fill_from_prefill(kt, vt, lengths, d_kv_k,
+                                                d_kv_v, dcfg.anchors)
+    else:
+        d_kv_k = d_kv_k.at[:, :, :s].set(kt.astype(d_kv_k.dtype))
+        d_kv_v = d_kv_v.at[:, :, :s].set(vt.astype(d_kv_v.dtype))
     o, _ = causal_self_attention(q, kt, vt, lengths, dcfg.window, dcfg.anchors,
                                  attn_impl)
     hidden = hidden + qdot(o.astype(hidden.dtype).reshape(b, s, -1),

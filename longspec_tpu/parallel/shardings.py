@@ -80,17 +80,20 @@ def draft_pspecs() -> dict:
     }
 
 
-def state_pspecs(sp: bool = False) -> dict:
+def state_pspecs(sp: bool = False, ring: bool = False) -> dict:
     """PartitionSpecs for engine.DecodeState (as a dict by field name).
 
     With ``sp=True`` the caches are additionally sharded on the SEQUENCE axis
-    over the mesh's `sp` axis (engine attn_impl="sp"; parallel/ring.py)."""
+    over the mesh's `sp` axis (engine attn_impl="sp"; parallel/ring.py).
+    With ``ring=True`` the draft cache is a ~window-sized ring buffer
+    (DraftConfig.ring_size) and stays replicated over `sp`."""
     seq = "sp" if sp else None
+    dseq = None if ring else seq
     return {
         "kv_k": P(None, "dp", "tp", seq, None),
         "kv_v": P(None, "dp", "tp", seq, None),
-        "d_kv_k": P("dp", None, seq, None),
-        "d_kv_v": P("dp", None, seq, None),
+        "d_kv_k": P("dp", None, dseq, None),
+        "d_kv_v": P("dp", None, dseq, None),
         "cache_lens": P("dp"),
         "d_cache_lens": P("dp"),
     }

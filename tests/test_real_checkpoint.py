@@ -208,3 +208,27 @@ training:
     assert (run / "checkpoint-last" / "draft_model_weights.npz").exists()
     rows = [json.loads(l) for l in open(run / "train.metrics.jsonl")]
     assert rows and np.isfinite(rows[-1]["train/loss"])
+
+
+def test_infer_cli_sp_ring_end_to_end(llama_ckpt, tmp_path, capsys):
+    """CLI with --sp 8 (sequence-sharded KV over the virtual mesh) and
+    --draft-ring (constant-memory draft cache): loads, decodes, reports —
+    no ambient mesh context required."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    target, draft, _ = llama_ckpt
+    data = tmp_path / "aime_sp.jsonl"
+    words = " ".join(f"t{2 + (i * 5) % (VOCAB - 2)}" for i in range(48))
+    with open(data, "w") as f:
+        f.write(json.dumps({"problem": words}) + "\n")
+    from longspec_tpu.cli.infer import main
+    rc = main(["--target-path", target, "--draft-path", draft,
+               "--task", "aime", "--data-path", str(data),
+               "--method", "tree", "--tree-shape", "2", "3", "3",
+               "--max-gen-len", "10", "--window", "16",
+               "--sp", "8", "--draft-ring", "48",
+               "--out-dir", str(tmp_path / "out_sp")])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mean_accept"] >= 1.0 and summary["tok_s"] > 0
