@@ -230,8 +230,12 @@ def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache: jnp.ndarray,
             (m0, l0, a0), qf, k_loc, v_loc, start, q_pos, k_hi,
             window, anchors)
         # exact cross-shard merge; all in the pre-normalized (m, l, acc)
-        # domain so empty shards (l=0, m=NEG_INF) contribute nothing
-        m_glob = jax.lax.pmax(m_f, axis_name)
+        # domain so empty shards (l=0, m=NEG_INF) contribute nothing.
+        # stop_gradient: m is a log-sum-exp stabilization constant whose
+        # gradient cancels identically, and pmax has no VJP rule — this is
+        # what makes the SP decode path differentiable (SP draft TRAINING
+        # backprops through it via the teacher-KV cross-attention).
+        m_glob = jax.lax.pmax(jax.lax.stop_gradient(m_f), axis_name)
         m_safe = jnp.maximum(m_glob, att.NEG_INF)       # all-empty guard
         w = jnp.exp(m_f - m_safe)                       # 0 for empty shards
         l_glob = jax.lax.psum(l_f * w, axis_name)

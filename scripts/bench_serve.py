@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Serving-throughput benchmark: continuous batching vs sequential decode.
+
+Drives `serve.SpecServer` (slot-based continuous batching over jitted tree
+rounds) with a mixed-length request stream against the cached hard_8k bench
+pair, and compares aggregate tok/s to serving the same requests one at a
+time with `tree_spec_generate` — the serving-layer capability the reference
+lacks entirely (its CLIs decode one fixed batch end to end).
+
+Run on the TPU after bench.py has populated .bench_cache:
+  python scripts/bench_serve.py [--slots 4] [--requests 12] [--policy sjf]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=12)
+    ap.add_argument("--policy", default="sjf")
+    ap.add_argument("--s-max", type=int, default=4096)
+    ap.add_argument("--max-new", type=int, default=128)
+    ap.add_argument("--row", default="hard_8k")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from bench import load_tree
+    from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
+    from longspec_tpu.engine.engine import SpecEngine
+    from longspec_tpu.serve import SpecServer
+    from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
+
+    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
+                      intermediate_size=8192, num_layers=16,
+                      num_heads=32, num_kv_heads=8, head_dim=128,
+                      max_position_embeddings=65536, eos_token_id=2)
+    dcfg = DraftConfig(window=512)
+    ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16), gamma=4,
+                        attn_impl="chunked", draft_head="int8",
+                        draft_compute="int8")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".bench_cache")
+    tag = {"hard_8k": "hard256_s4096",
+           "hard_32k": "hard256_s16384_cap48k"}[args.row]
+    params = load_tree(os.path.join(cache, f"target_{tag}.npz"))
+    dparams = load_tree(os.path.join(cache, f"draft_{tag}.npz"))
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+
+    succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7, n_states=256,
+                                    branch_frac=0.2)
+    rng = np.random.default_rng(41)
+    lens = rng.integers(args.s_max // 4, args.s_max - args.max_new - 80,
+                        (args.requests,))
+    prompts = [sample_corpus2(succ2, probs2, 1, int(l), seed=100 + i)[0]
+               for i, l in enumerate(lens)]
+
+    # --- sequential baseline (batch-1 tree decode per request) ---
+    seq_tokens = 0
+    # warm-up compile
+    eng.tree_spec_generate(prompts[0][None], np.asarray([lens[0]], np.int32),
+                           max_gen_len=4, s_max=args.s_max)
+    t0 = time.perf_counter()
+    for p, l in zip(prompts, lens):
+        r = eng.tree_spec_generate(p[None], np.asarray([l], np.int32),
+                                   max_gen_len=args.max_new, s_max=args.s_max)
+        seq_tokens += int(r["count"]) + int(r["num"])
+    seq_s = time.perf_counter() - t0
+    print(f"sequential: {seq_tokens} tokens in {seq_s:.1f}s "
+          f"= {seq_tokens / seq_s:.1f} tok/s")
+
+    # --- continuous batching ---
+    srv = SpecServer(eng, n_slots=args.slots, s_max=args.s_max,
+                     max_new_cap=args.max_new, method="tree",
+                     prefill_buckets=(1024, 2048, args.s_max),
+                     policy=args.policy)
+    for p in prompts:
+        srv.submit(p, max_new_tokens=args.max_new)
+    t0 = time.perf_counter()
+    comps = srv.run(rounds_per_step=8)
+    serve_s = time.perf_counter() - t0
+    tokens = sum(len(c.tokens) for c in comps)
+    lat = sorted(c.latency_s for c in comps)
+    st = srv.stats()
+    print(f"server({args.policy}, {args.slots} slots): {tokens} tokens in "
+          f"{serve_s:.1f}s = {tokens / serve_s:.1f} tok/s; "
+          f"p50 latency {lat[len(lat) // 2]:.1f}s p max {lat[-1]:.1f}s")
+    print(f"speedup vs sequential: {(tokens / serve_s) / (seq_tokens / seq_s):.2f}x")
+    print(st)
+
+
+if __name__ == "__main__":
+    main()

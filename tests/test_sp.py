@@ -145,3 +145,42 @@ def test_sp_vs_unsharded_logits(sp_setup):
                                        state_dtype=jnp.float32)
     assert np.array_equal(van_sp["output_ids"][:, :8],
                           van_ref["output_ids"][:, :8])
+
+
+def test_sp_draft_training_grads_match(sp_setup):
+    """Sequence-parallel draft TRAINING: the full training loss (ring target
+    forward + SP cross-attention over the sequence-sharded teacher KV)
+    differentiates through shard_map — pmax rides a stop_gradient (the LSE
+    stabilizer's gradient cancels identically) — and the gradients match the
+    dense single-device trainer. This is the >1-chip path for training at
+    sequence lengths past one chip's activation memory."""
+    import jax.flatten_util
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.parallel.ring import SPAttn
+    mesh, cfg, dcfg, params, dparams = sp_setup
+    B, S = 2, 32
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, S)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+
+    def loss_fn(dp_, attn):
+        h, (lk, lv) = M.forward_train(params, cfg, tokens, pos,
+                                      return_last_kv=True, attn_impl=attn)
+        out = G.glide_train_forward(dp_, cfg, dcfg, M.embed(params, tokens),
+                                    pos, lk, lv, jnp.int32(2), attn_impl=attn)
+        logits = M.logits_at(params, out)
+        tgt = jnp.roll(tokens, -1, 1)
+        lp = jax.nn.log_softmax(logits, -1)
+        return -jnp.mean(jnp.take_along_axis(lp, tgt[..., None], -1))
+
+    l_d = loss_fn(dparams, "dense")
+    g_d = jax.grad(loss_fn)(dparams, "dense")
+    with mesh:
+        l_s = loss_fn(dparams, SPAttn(mesh))
+        g_s = jax.grad(loss_fn)(dparams, SPAttn(mesh))
+    assert abs(float(l_d) - float(l_s)) < 1e-4, (float(l_d), float(l_s))
+    fd, _ = jax.flatten_util.ravel_pytree(g_d)
+    fs, _ = jax.flatten_util.ravel_pytree(g_s)
+    err = float(jnp.max(jnp.abs(fd - fs)) / (1e-8 + jnp.max(jnp.abs(fd))))
+    assert err < 1e-3, err
