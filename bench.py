@@ -39,6 +39,7 @@ import gc
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -53,6 +54,42 @@ import numpy as np  # noqa: E402
 def log(msg):
     sys.stderr.write(msg + "\n")
     sys.stderr.flush()
+
+
+class Watchdog:
+    """Hard-exit if no heartbeat for `stall_s` seconds.
+
+    The remote-TPU tunnel can wedge a device call indefinitely (observed:
+    a training step that never returned, zero CPU for 30+ min). A blocked
+    RPC cannot be interrupted from Python, so the only recovery is process
+    exit + supervisor restart; mid-training part-checkpoints below bound
+    the lost work to one checkpoint interval.
+    """
+    def __init__(self, stall_s=1500):
+        self.t = time.time()
+        self.stall_s = stall_s
+        th = threading.Thread(target=self._run, daemon=True)
+        th.start()
+
+    def beat(self):
+        self.t = time.time()
+
+    def _run(self):
+        while True:
+            time.sleep(30)
+            dt = time.time() - self.t
+            if dt > self.stall_s:
+                log(f"[watchdog] no progress for {dt:.0f}s — exiting for "
+                    "supervisor restart")
+                os._exit(17)
+
+
+WD = None
+
+
+def beat():
+    if WD is not None:
+        WD.beat()
 
 
 def flatten(tree, prefix=""):
@@ -94,8 +131,15 @@ def load_tree(path):
 
 def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
                distill_steps, lr, train_bsz, attn, no_cache=False,
-               offset_cap=30000):
-    """Train-or-load the (target, draft) pair for one benchmark row."""
+               offset_cap=30000, distill_accum=1, ckpt_every=100):
+    """Train-or-load the (target, draft) pair for one benchmark row.
+
+    Both training phases write part-checkpoints (params + step sidecar)
+    every `ckpt_every` logged steps and resume from them, so a watchdog
+    restart loses at most one interval. `distill_accum > 1` runs the draft
+    at effective batch = train_bsz * accum via microbatch accumulation
+    (memory of train_bsz) — batch-1 distillation was measurably noisy.
+    """
     import jax
     import jax.numpy as jnp
     from longspec_tpu.models import llama as M
@@ -103,45 +147,87 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
     from longspec_tpu.train.distill import distill_draft
 
     tpath = os.path.join(cache_dir, f"target_{tag}.npz")
-    dpath = os.path.join(cache_dir, f"draft_{tag}.npz")
+    dsuf = f"_a{distill_accum}" if distill_accum > 1 else ""
+    dpath = os.path.join(cache_dir, f"draft_{tag}{dsuf}.npz")
+
+    def part_load(path):
+        p, s = path + ".part.npz", path + ".step.npy"
+        if os.path.exists(p) and os.path.exists(s):
+            return load_tree(p), int(np.load(s))
+        return None, 0
+
+    def part_save(path, tree, step):
+        save_tree(path + ".part.npz", tree)
+        np.save(path + ".step.npy", np.asarray(step))
+        beat()
+
+    def part_clean(path):
+        for suf in (".part.npz", ".step.npy"):
+            if os.path.exists(path + suf):
+                os.remove(path + suf)
 
     if os.path.exists(tpath) and not no_cache:
         params = load_tree(tpath)
         log(f"[{tag}] loaded cached target")
     else:
-        params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
-            jax.random.PRNGKey(0))
         opt = T.make_adafactor(lr=lr, warmup_steps=min(50, target_steps // 4))
+        params, start = (None, 0) if no_cache else part_load(tpath)
+        if params is None:
+            params = jax.jit(lambda k: M.init_params(k, cfg, jnp.bfloat16))(
+                jax.random.PRNGKey(0))
+        else:
+            log(f"[{tag}] resuming target pretraining at step {start}")
         st = T.init_train_state(params, opt)
+        if start:
+            st = st._replace(step=jnp.asarray(start, jnp.int32))
         # at seq >= 8k the scanned-layer backward's stacked-grad carries
         # double-buffer ~1GB blocks and fragment HBM past the chip; unroll
         step_fn = T.make_lm_train_step(cfg, opt, attn_impl=attn,
                                        unroll_layers=corpus.shape[1] >= 8192,
                                        offset_cap=offset_cap)
         rng_np = np.random.default_rng(3)
+        rng_np.integers(0, corpus.shape[0], (start * train_bsz,))  # fast-fwd
         log(f"[{tag}] pretraining target ({target_steps} steps, "
             f"seq {corpus.shape[1]})...")
         tstart = time.time()
-        for i in range(target_steps):
+        for i in range(start, target_steps):
             idx = rng_np.integers(0, corpus.shape[0], (train_bsz,))
             st, m = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
+            beat()
             if (i + 1) % 100 == 0 or i + 1 == target_steps:
                 log(f"  target step {i+1}: loss {float(m['loss']):.4f} "
-                    f"({(time.time()-tstart)/(i+1):.2f}s/step)")
+                    f"({(time.time()-tstart)/(i+1-start):.2f}s/step)")
+                beat()
+            if (i + 1) % ckpt_every == 0 and i + 1 < target_steps:
+                part_save(tpath, st.draft_params, i + 1)
         params = st.draft_params
         del st, step_fn
         save_tree(tpath, params)
+        part_clean(tpath)
 
     if os.path.exists(dpath) and not no_cache:
         dparams = load_tree(dpath)
         log(f"[{tag}] loaded cached draft")
     else:
-        log(f"[{tag}] training draft ({distill_steps} steps)...")
-        dparams, hist = distill_draft(params, cfg, dcfg, corpus,
-                                      steps=distill_steps, batch=train_bsz,
-                                      attn_impl=attn, offset_cap=offset_cap)
+        dparams, start = (None, 0) if no_cache else part_load(dpath)
+        if start:
+            log(f"[{tag}] resuming draft distillation at step {start}")
+        log(f"[{tag}] training draft ({distill_steps} steps, "
+            f"batch {train_bsz}x{distill_accum})...")
+
+        def on_step(step, dp):
+            if step % ckpt_every == 0 and step < distill_steps:
+                part_save(dpath, dp, step)
+            beat()
+
+        dparams, hist = distill_draft(
+            params, cfg, dcfg, corpus, steps=distill_steps,
+            batch=train_bsz * distill_accum, accum_steps=distill_accum,
+            attn_impl=attn, offset_cap=offset_cap, draft_params=dparams,
+            start_step=start, on_step=on_step, log_every=min(50, ckpt_every))
         log(f"  draft loss: {hist[:2]} ... {hist[-2:]}")
         save_tree(dpath, dparams)
+        part_clean(dpath)
     return params, dparams
 
 
@@ -156,11 +242,14 @@ def measure_row(name, eng, prompt, lens, gen, s_max):
     """
     log(f"[{name}] vanilla decode...")
     van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    beat()
     van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
     van_tps = van["num"] / van["elapsed"]
+    beat()
 
     log(f"[{name}] tree-spec decode...")
     tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
+    beat()
     tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
     tree_tps = (tree["count"] + tree["num"]) / tree["elapsed"]
     accept = (tree["count"] + tree["num"]) / max(tree["num"], 1)
@@ -199,6 +288,8 @@ def main():
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
     tree_shape = tuple(int(x) for x in args.tree_shape.split(","))
+    global WD
+    WD = Watchdog(stall_s=1500)
 
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"  # override ambient axon setting
@@ -232,10 +323,10 @@ def main():
                             draft_compute=args.draft_compute)
         succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
                                      n_states=cfg.vocab_size - 2)
-        corpus = sample_corpus_fast(succ, probs, 32, 96, seed=8)
+        corpus = sample_corpus_fast(succ, probs, 64, 96, seed=8)
         params, dparams = get_models(
-            cfg, dcfg, corpus, cache_dir, "v5_smoke_2x128x256",
-            target_steps=40, distill_steps=30, lr=1e-3, train_bsz=4,
+            cfg, dcfg, corpus, cache_dir, "v5_smoke2_2x128x256",
+            target_steps=200, distill_steps=200, lr=1e-3, train_bsz=8,
             attn=args.attn, no_cache=args.no_cache)
         eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
         prompt = sample_corpus_fast(succ, probs, args.batch, 192, seed=999)
@@ -259,20 +350,25 @@ def main():
                             draft_compute=args.draft_compute)
 
         # row table: (language, n_states, train seq, ctx, target_steps,
-        # distill_steps, lr). Training at seq L generalizes to ~2L context
-        # (measured round 1: teacher-forced accuracy of a 512-trained target
-        # collapses at 8x its training length; 2x holds).
-        # last column: anchor-offset cap — training must cover the decode
+        # distill_steps, lr, offset_cap, distill_accum). Training at seq L
+        # generalizes to ~2L context (measured round 1: teacher-forced
+        # accuracy of a 512-trained target collapses at 8x its training
+        # length; 2x holds).
+        # offset_cap: anchor-offset cap — training must cover the decode
         # context's rope phases (round-2 measurement: cap 30000 -> accuracy
-        # 0.25 at position 30k; the 32k row needs phases to ~49k)
+        # 0.25 at position 30k; the 32k row needs phases to ~49k).
+        # distill_accum: draft effective batch = accum on one chip (the
+        # 2.5B teacher forward caps live batch at 1 for seq >= 4k; batch-1
+        # draft gradients were measurably noisy — accept 2.5 vs 3.6).
         specs = {
-            "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3, 30000),
-            "hard_8k": ("hard", 256, 4096, 8192, 1000, 800, 3e-3, 30000),
-            "hard_32k": ("hard", 256, 16384, 32768, 700, 700, 3e-3, 49152),
+            "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3, 30000, 1),
+            "hard_8k": ("hard", 256, 4096, 8192, 1000, 600, 3e-3, 30000, 4),
+            "hard_32k": ("hard", 256, 16384, 32768, 700, 400, 3e-3, 49152, 4),
         }
         rows = []
         for name in args.rows.split(","):
-            lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap = specs[name]
+            (lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap,
+             daccum) = specs[name]
             if lang == "easy":
                 succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
                                              n_states=n_states)
@@ -295,7 +391,8 @@ def main():
             params, dparams = get_models(
                 cfg, dcfg, corpus, cache_dir, tag, target_steps=tsteps,
                 distill_steps=dsteps, lr=lr, train_bsz=1, attn=args.attn,
-                no_cache=args.no_cache, offset_cap=ocap)
+                no_cache=args.no_cache, offset_cap=ocap,
+                distill_accum=daccum)
             eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
             prompt = sample(args.batch, ctx, 999)
             lens = np.full((args.batch,), ctx, np.int32)
