@@ -278,7 +278,12 @@ def main():
                     help="comma-separated subset of easy_8k,hard_8k,hard_32k")
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--attn", type=str, default="chunked")
+    ap.add_argument("--attn", type=str, default="chunked",
+                    help="engine (decode/verify) attention impl")
+    ap.add_argument("--train-attn", type=str, default="chunked",
+                    help="attention impl for target pretraining + distill "
+                    "(cache contents are attn-agnostic params; kept chunked "
+                    "— its backward is the memory-tuned path)")
     # int8 draft proposals measured on-chip at hard_8k: speedup 2.16->2.43,
     # accept unchanged (3.57->3.62), lossless (the draft only PROPOSES;
     # target verification is untouched, so T=0 output is exact regardless)
@@ -327,7 +332,7 @@ def main():
         params, dparams = get_models(
             cfg, dcfg, corpus, cache_dir, "v5_smoke2_2x128x256",
             target_steps=200, distill_steps=200, lr=1e-3, train_bsz=8,
-            attn=args.attn, no_cache=args.no_cache)
+            attn=args.train_attn, no_cache=args.no_cache)
         eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
         prompt = sample_corpus_fast(succ, probs, args.batch, 192, seed=999)
         lens = np.full((args.batch,), 192, np.int32)
@@ -390,7 +395,8 @@ def main():
             corpus = sample(n_seqs, seq, 8)
             params, dparams = get_models(
                 cfg, dcfg, corpus, cache_dir, tag, target_steps=tsteps,
-                distill_steps=dsteps, lr=lr, train_bsz=1, attn=args.attn,
+                distill_steps=dsteps, lr=lr, train_bsz=1,
+                attn=args.train_attn,
                 no_cache=args.no_cache, offset_cap=ocap,
                 distill_accum=daccum)
             eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
