@@ -129,6 +129,65 @@ def load_tree(path):
     return unflatten(flat)
 
 
+# ---------------------------------------------------------------------------
+# Row definitions — shared with scripts/ (profile_tree, bench_serve,
+# debug_pallas_lossless, calibrate_hard_lang) so cache tags never drift.
+# ---------------------------------------------------------------------------
+
+# largest Llama-like geometry whose FULL-PARAM training at seq 4096+ fits one
+# 16GB v5e chip (params+grads bf16 ~10GB + remat activations): ~2.5B params.
+# (The reference benches 7B-13B inference on one 80GB A100.)
+BIG_MODEL = dict(vocab_size=32000, hidden_size=4096, intermediate_size=8192,
+                 num_layers=16, num_heads=32, num_kv_heads=8, head_dim=128,
+                 max_position_embeddings=65536, eos_token_id=2)
+
+# row table: (language, n_states, train seq, ctx, target_steps,
+# distill_steps, lr, offset_cap, distill_accum). Training at seq L
+# generalizes to ~2L context (measured round 1: teacher-forced accuracy of a
+# 512-trained target collapses at 8x its training length; 2x holds).
+# offset_cap: anchor-offset cap — training must cover the decode context's
+# rope phases (round-2 measurement: cap 30000 -> accuracy 0.25 at position
+# 30k; the 32k row needs phases to ~49k).
+# distill_accum: draft effective batch = accum on one chip (the 2.5B teacher
+# forward caps live batch at 1 for seq >= 4k; batch-1 draft gradients were
+# measurably noisy — accept 2.5 vs 3.6).
+SPECS = {
+    "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3, 30000, 1),
+    "hard_8k": ("hard", 256, 4096, 8192, 1000, 600, 3e-3, 30000, 4),
+    "hard_32k": ("hard", 256, 16384, 32768, 700, 400, 3e-3, 49152, 4),
+}
+
+DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+
+
+def big_model_config():
+    from longspec_tpu.config import ModelConfig
+    return ModelConfig(**BIG_MODEL)
+
+
+def row_tag(name):
+    lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap, daccum = SPECS[name]
+    if lang == "easy":
+        # round-1 cache tag, kept so the 5GB target is reused
+        return (f"v5_tpu_{BIG_MODEL['num_layers']}x{BIG_MODEL['hidden_size']}"
+                f"x{BIG_MODEL['intermediate_size']}")
+    tag = f"hard{n_states}_s{seq}"
+    if ocap != 30000:  # cap changes the trained phase range
+        tag += f"_cap{ocap // 1024}k"
+    return tag
+
+
+def row_cache_paths(name, cache_dir=DEFAULT_CACHE):
+    """(target_path, draft_path) for a bench row — the files get_models
+    reads/writes, including the distill-accum suffix."""
+    tag = row_tag(name)
+    daccum = SPECS[name][8]
+    dsuf = f"_a{daccum}" if daccum > 1 else ""
+    return (os.path.join(cache_dir, f"target_{tag}.npz"),
+            os.path.join(cache_dir, f"draft_{tag}{dsuf}.npz"))
+
+
 def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
                distill_steps, lr, train_bsz, attn, no_cache=False,
                offset_cap=30000, distill_accum=1, ckpt_every=100):
@@ -231,7 +290,7 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
     return params, dparams
 
 
-def measure_row(name, eng, prompt, lens, gen, s_max):
+def measure_row(name, eng, prompt, lens, gen, s_max, extras=False):
     """Vanilla vs tree-spec on one engine; returns the row dict.
 
     Metric definitions match the reference harness
@@ -239,6 +298,12 @@ def measure_row(name, eng, prompt, lens, gen, s_max):
     (excluding the prefill-sampled token), count the extra draft-originated
     accepted tokens, so tok/s numerators are (count+num) for tree and num for
     vanilla — both the number of tokens emitted by the timed loop.
+
+    `extras=True` additionally measures the reference's other two methods —
+    chain (seq) speculation and the MagicDec/StreamingLLM self-speculation
+    baseline (`--method seq` / `--method magicdec` in
+    `inference_long-bench.py`) — so the row reproduces the reference's full
+    method comparison, not just its headline.
     """
     log(f"[{name}] vanilla decode...")
     van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
@@ -267,6 +332,24 @@ def measure_row(name, eng, prompt, lens, gen, s_max):
         "tree_tok_s": round(float(tree_tps), 2),
         "lossless": lossless,
     }
+
+    if extras:
+        for label, fn in (("chain", eng.spec_generate),
+                          ("magicdec", eng.magicdec_generate)):
+            log(f"[{name}] {label} decode...")
+            r = fn(prompt, lens, max_gen_len=gen, s_max=s_max)
+            beat()
+            r = fn(prompt, lens, max_gen_len=gen, s_max=s_max)
+            beat()
+            tps = (r["count"] + r["num"]) / r["elapsed"]
+            acc = (r["count"] + r["num"]) / max(r["num"], 1)
+            nc = int(min(van["num"], r["count"] + r["num"], gen - 1))
+            row[f"{label}_tok_s"] = round(float(tps), 2)
+            row[f"{label}_accept"] = round(float(acc), 4)
+            row[f"{label}_speedup"] = round(float(tps / van_tps), 4)
+            row[f"{label}_lossless"] = bool(np.array_equal(
+                van["output_ids"][:, :nc], r["output_ids"][:, :nc]))
+
     log(f"[{name}] {json.dumps(row)}")
     return row
 
@@ -314,8 +397,7 @@ def main():
                                               sample_corpus_fast, sample_corpus2)
 
     t0 = time.time()
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache")
+    cache_dir = DEFAULT_CACHE
     os.makedirs(cache_dir, exist_ok=True)
 
     if args.smoke:
@@ -338,58 +420,31 @@ def main():
         lens = np.full((args.batch,), 192, np.int32)
         gen = min(args.gen, 48)
         rows = [measure_row("smoke", eng, prompt, lens, gen,
-                            192 + gen + ecfg.tree_size + 16)]
+                            192 + gen + ecfg.tree_size + 16, extras=True)]
     else:
-        # largest Llama-like geometry whose FULL-PARAM training at seq 4096+
-        # fits one 16GB v5e chip (params+grads bf16 ~10GB + remat
-        # activations): ~2.5B params. (The reference benches 7B-13B
-        # inference on one 80GB A100.)
-        cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                          intermediate_size=8192, num_layers=16,
-                          num_heads=32, num_kv_heads=8, head_dim=128,
-                          max_position_embeddings=65536, eos_token_id=2)
+        cfg = big_model_config()
         dcfg = DraftConfig(window=512)
         ecfg = EngineConfig(tree_shape=tree_shape, gamma=4,
                             temperature=0.0, attn_impl=args.attn,
                             draft_head=args.draft_head,
                             draft_compute=args.draft_compute)
 
-        # row table: (language, n_states, train seq, ctx, target_steps,
-        # distill_steps, lr, offset_cap, distill_accum). Training at seq L
-        # generalizes to ~2L context (measured round 1: teacher-forced
-        # accuracy of a 512-trained target collapses at 8x its training
-        # length; 2x holds).
-        # offset_cap: anchor-offset cap — training must cover the decode
-        # context's rope phases (round-2 measurement: cap 30000 -> accuracy
-        # 0.25 at position 30k; the 32k row needs phases to ~49k).
-        # distill_accum: draft effective batch = accum on one chip (the
-        # 2.5B teacher forward caps live batch at 1 for seq >= 4k; batch-1
-        # draft gradients were measurably noisy — accept 2.5 vs 3.6).
-        specs = {
-            "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3, 30000, 1),
-            "hard_8k": ("hard", 256, 4096, 8192, 1000, 600, 3e-3, 30000, 4),
-            "hard_32k": ("hard", 256, 16384, 32768, 700, 400, 3e-3, 49152, 4),
-        }
         rows = []
         for name in args.rows.split(","):
             (lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap,
-             daccum) = specs[name]
+             daccum) = SPECS[name]
+            tag = row_tag(name)
             if lang == "easy":
                 succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
                                              n_states=n_states)
                 sample = lambda n, s, seed: sample_corpus_fast(
                     succ, probs, n, s, seed=seed)
-                # keep the round-1 cache tag so the 5GB target is reused
-                tag = f"v5_tpu_{cfg.num_layers}x{cfg.hidden_size}x{cfg.intermediate_size}"
             else:
                 succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,
                                                 n_states=n_states,
                                                 branch_frac=0.2)
                 sample = lambda n, s, seed: sample_corpus2(
                     succ2, probs2, n, s, seed=seed)
-                tag = f"hard{n_states}_s{seq}"
-                if ocap != 30000:   # cap changes the trained phase range
-                    tag += f"_cap{ocap // 1024}k"
             n_seqs = max(96, min(768, (48 * n_states * n_states) // seq))
             log(f"[{name}] sampling corpus ({n_seqs} x {seq})...")
             corpus = sample(n_seqs, seq, 8)
@@ -402,8 +457,12 @@ def main():
             eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
             prompt = sample(args.batch, ctx, 999)
             lens = np.full((args.batch,), ctx, np.int32)
+            # the headline (last) row also measures chain + magicdec — the
+            # reference's full method comparison at north-star context
+            last = name == args.rows.split(",")[-1]
             rows.append(measure_row(name, eng, prompt, lens, args.gen,
-                                    ctx + args.gen + ecfg.tree_size + 16))
+                                    ctx + args.gen + ecfg.tree_size + 16,
+                                    extras=last))
             # drop this row's 5GB of device buffers before the next row loads
             del eng, params, dparams, corpus
             gc.collect()

@@ -33,6 +33,10 @@ def post_json(url: str, payload: Dict[str, Any], timeout: float = 600.0,
             return json.loads(resp.read().decode("utf-8"))
     except urllib.error.HTTPError as e:
         raise ApiError(e.code, e.read().decode("utf-8", "replace")) from e
+    except (urllib.error.URLError, TimeoutError, OSError) as e:
+        # connection refused/reset, DNS, socket timeout — transport-level
+        # failures get status 0 so callers' retry loops see them too
+        raise ApiError(0, f"transport error: {e}") from e
 
 
 class ApiError(RuntimeError):
@@ -118,7 +122,10 @@ class CompletionClient:
                     raise
                 log.warning("request failed (%s), retry %d/%d",
                             e, attempt + 1, self.max_retry)
-        return ""
+        # only reachable when every attempt hit the context-length backoff:
+        # surface it rather than record "" as a valid completion
+        raise ApiError(0, "context-length backoff exhausted "
+                       f"(max_tokens ended at {max_tokens})")
 
     def map(self, prompts: Sequence[str], num_workers: int = 8
             ) -> List[Union[str, List[str]]]:

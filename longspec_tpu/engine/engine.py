@@ -61,6 +61,9 @@ class GenCarry(NamedTuple):
     num: jnp.ndarray          # scalar int32: target rounds x live rows
     rounds: jnp.ndarray       # scalar int32
     rng: jnp.ndarray
+    out_cap: jnp.ndarray      # [B] per-row emit budget (rows go done at cap;
+                              # serving sets it per request, generate() leaves
+                              # it at the buffer bound so behavior is unchanged)
 
 
 def _sample(logits_f32, rng, temperature: float):
@@ -411,14 +414,15 @@ class SpecEngine:
         kj = jnp.arange(A)[None, :]
         has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
         out_buf = carry.output_ids.shape[1]
-        done = carry.done | has_eos | (out_len + A >= out_buf)
+        done = (carry.done | has_eos | (out_len + A >= out_buf)
+                | (out_len >= carry.out_cap))
         count = carry.count + jnp.sum(jnp.where(carry.done, 0, adv - 1))
         num = carry.num + jnp.sum(~carry.done)
         acc_len = jnp.where(done, 1, correct_len)
 
         st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens_out)
         return GenCarry(st, acc_tokens_new, acc_len, output_ids, out_len, done,
-                        count, num, carry.rounds + 1, rng)
+                        count, num, carry.rounds + 1, rng, carry.out_cap)
 
     # ------------------------------------------------------------------
     # MagicDec / StreamingLLM self-speculation baseline
@@ -536,14 +540,15 @@ class SpecEngine:
         kj = jnp.arange(A)[None, :]
         has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
         out_buf = carry.output_ids.shape[1]
-        done = carry.done | has_eos | (out_len + A >= out_buf)
+        done = (carry.done | has_eos | (out_len + A >= out_buf)
+                | (out_len >= carry.out_cap))
         count = carry.count + jnp.sum(jnp.where(carry.done, 0, adv - 1))
         num = carry.num + jnp.sum(~carry.done)
         acc_len = jnp.where(done, 1, correct_len)
 
         st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
-                        count, num, carry.rounds + 1, rng)
+                        count, num, carry.rounds + 1, rng, carry.out_cap)
 
     # ------------------------------------------------------------------
     # Tree speculation (ref tree_spec_generate, llama_glide.py:915-1126)
@@ -746,14 +751,15 @@ class SpecEngine:
         kj = jnp.arange(A)[None, :]
         has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
         out_buf = carry.output_ids.shape[1]
-        done = carry.done | has_eos | (out_len + A >= out_buf)
+        done = (carry.done | has_eos | (out_len + A >= out_buf)
+                | (out_len >= carry.out_cap))
         count = carry.count + jnp.sum(jnp.where(carry.done, 0, adv - 1))
         num = carry.num + jnp.sum(~carry.done)
         acc_len = jnp.where(done, 1, acc_num)
 
         st = DecodeState(kv_k, kv_v, d_kv_k, d_kv_v, cache_lens, d_cache_lens)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
-                        count, num, carry.rounds + 1, rng)
+                        count, num, carry.rounds + 1, rng, carry.out_cap)
 
     # ------------------------------------------------------------------
     # Public generation APIs (timing excludes prefill, like the reference)
@@ -782,7 +788,8 @@ class SpecEngine:
             # (`inference_long-bench.py:257-260`) and the vanilla path, whose
             # `num` also excludes t0.
             count=jnp.zeros((), jnp.int32), num=jnp.zeros((), jnp.int32),
-            rounds=jnp.zeros((), jnp.int32), rng=rng)
+            rounds=jnp.zeros((), jnp.int32), rng=rng,
+            out_cap=jnp.full((b,), out_buf, jnp.int32))
 
     def _spec_segment(self, round_fn, params, draft_params, carry, limit):
         def cond(c):

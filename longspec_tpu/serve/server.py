@@ -115,12 +115,12 @@ class SpecServer:
         import functools
         return functools.partial(self.engine._spec_segment, self._round_fn)
 
-    def _insert(self, carry: GenCarry, pst: DecodeState, t0, slot):
+    def _insert(self, carry: GenCarry, pst: DecodeState, t0, slot, max_new):
         """Scatter a batch-1 prefill into slot `slot` of the live carry."""
         if not hasattr(self, "_insert_jit"):
             eos = self.cfg.eos_token_id
 
-            def impl(carry, pst, t0, slot):
+            def impl(carry, pst, t0, slot, max_new):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
                 state = DecodeState(
@@ -144,10 +144,15 @@ class SpecServer:
                     output_ids=carry.output_ids.at[slot].set(out_row),
                     out_len=carry.out_len.at[slot].set(1),
                     done=carry.done.at[slot].set(t == eos),
+                    # per-row budget: the decode loop parks this row as done
+                    # the moment it has emitted max_new tokens, so cache
+                    # writes never outrun submit()'s capacity reservation
+                    out_cap=carry.out_cap.at[slot].set(max_new),
                 )
 
             self._insert_jit = jax.jit(impl, donate_argnums=(0,))
-        return self._insert_jit(carry, pst, t0, jnp.int32(slot))
+        return self._insert_jit(carry, pst, t0, jnp.int32(slot),
+                                jnp.int32(max_new))
 
     def _finish_slot(self, carry: GenCarry, slot):
         if not hasattr(self, "_finish_jit"):
@@ -225,16 +230,29 @@ class SpecServer:
                 bucket = l  # oversize prompt: dedicated compile
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :l] = req.tokens
-            pstate = eng.init_state(1, self.s_max, self.state_dtype)
-            prefill = eng._get_jit("prefill", eng._prefill_impl)
+            # one persistent batch-1 prefill state, zeroed per admission —
+            # admission allocates nothing after the first request
+            if not hasattr(self, "_pstate"):
+                self._pstate = eng.init_state(1, self.s_max, self.state_dtype)
+                self._pzero = jax.jit(
+                    lambda st: jax.tree_util.tree_map(
+                        lambda x: jnp.zeros_like(x), st),
+                    donate_argnums=(0,))
+            else:
+                self._pstate = self._pzero(self._pstate)
+            # donate the state: prefill writes into the persistent buffers
+            # instead of allocating a fresh full-size state per admission
+            prefill = eng._get_jit(("serve", "prefill"), eng._prefill_impl,
+                                   donate=(4,))
             rng = jax.random.fold_in(jax.random.PRNGKey(17), uid)
-            pstate, t0, _ = prefill(eng.params, eng.draft_params,
-                                    jnp.asarray(padded),
-                                    jnp.asarray([l], jnp.int32), pstate, rng)
-            self._carry = self._insert(self._carry, pstate, t0, slot)
+            self._pstate, t0, _ = prefill(eng.params, eng.draft_params,
+                                          jnp.asarray(padded),
+                                          jnp.asarray([l], jnp.int32),
+                                          self._pstate, rng)
+            self._carry = self._insert(self._carry, self._pstate, t0, slot,
+                                       req.max_new_tokens)
             self._slot_uid[slot] = uid
             self._slot_max_new[slot] = req.max_new_tokens
-            del pstate
 
     def _harvest(self) -> List[Completion]:
         """Collect finished rows; free their slots."""

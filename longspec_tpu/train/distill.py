@@ -75,6 +75,8 @@ def distill_draft(target_params, cfg: ModelConfig, dcfg: DraftConfig,
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed + 1)
     n = corpus.shape[0]
+    if start_step:  # fast-forward the data stream so a resumed run sees the
+        rng.integers(0, n, (start_step * batch,))  # same batches it would have
     history = []
     for i in range(start_step, steps):
         idx = rng.integers(0, n, (batch,))

@@ -138,7 +138,9 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
                     cm.save(state._asdict(), step,
                             draft_params=to_deploy(state.draft_params))
                 if eval_fn and eval_steps and step % eval_steps == 0:
-                    res = eval_fn(state.draft_params)
+                    # to_deploy: in LoRA mode state.draft_params is the
+                    # adapter tree — eval sees merged GLIDE params
+                    res = eval_fn(to_deploy(state.draft_params))
                     if writer:
                         writer.log(step, res)
                     key = next(iter(res.values()))

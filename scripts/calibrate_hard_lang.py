@@ -53,18 +53,15 @@ def main():
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
+    from longspec_tpu.config import DraftConfig, EngineConfig
     from longspec_tpu.models import llama as M
     from longspec_tpu.engine.engine import SpecEngine
     from longspec_tpu.train import trainer as T
     from longspec_tpu.train.distill import distill_draft
     from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
-    from bench import flatten, unflatten
+    from bench import save_tree, load_tree, big_model_config
 
-    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                      intermediate_size=8192, num_layers=16,
-                      num_heads=32, num_kv_heads=8, head_dim=128,
-                      max_position_embeddings=65536, eos_token_id=2)
+    cfg = big_model_config()
     dcfg = DraftConfig(window=512)
     ecfg = EngineConfig(tree_shape=tuple(int(x) for x in
                                          args.tree_shape.split(",")),
@@ -78,17 +75,6 @@ def main():
     tag = f"hard{args.n_states}_s{args.seq}"
     tpath = os.path.join(cache, f"target_{tag}.npz")
     dpath = os.path.join(cache, f"draft_{tag}.npz")
-
-    def save_tree(path, tree):
-        np.savez(path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
-                          for k, v in flatten(tree).items()})
-
-    def load_tree(path):
-        import ml_dtypes
-        with np.load(path) as z:
-            flat = {k: jnp.asarray(v.view(ml_dtypes.bfloat16))
-                    for k, v in z.items()}
-        return unflatten(flat)
 
     t0 = time.time()
     succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,

@@ -34,21 +34,16 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from bench import load_tree
+    from bench import load_tree, row_cache_paths, big_model_config
     from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
     from longspec_tpu.engine.engine import SpecEngine
     from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
 
-    cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                      intermediate_size=8192, num_layers=16,
-                      num_heads=32, num_kv_heads=8, head_dim=128,
-                      max_position_embeddings=65536, eos_token_id=2)
+    cfg = big_model_config()
     dcfg = DraftConfig(window=512)
-    cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".bench_cache")
-    tag = {"hard_8k": "hard256_s4096", "hard_32k": "hard256_s16384_cap48k"}[args.row]
-    params = load_tree(os.path.join(cache, f"target_{tag}.npz"))
-    dparams = load_tree(os.path.join(cache, f"draft_{tag}.npz"))
+    tpath, dpath = row_cache_paths(args.row)
+    params = load_tree(tpath)
+    dparams = load_tree(dpath)
 
     succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7, n_states=256,
                                     branch_frac=0.2)

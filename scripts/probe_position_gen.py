@@ -24,7 +24,8 @@ import numpy as np  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tag", type=str, default="hard256_s16384")
+    ap.add_argument("--row", type=str, default="hard_32k",
+                    help="bench row whose cached target to probe")
     ap.add_argument("--n-states", type=int, default=256)
     ap.add_argument("--ctx", type=int, default=32768)
     ap.add_argument("--band", type=int, default=4096)
@@ -33,17 +34,12 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from longspec_tpu.config import ModelConfig
     from longspec_tpu.models import llama as M
     from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
-    from bench import load_tree
+    from bench import load_tree, row_cache_paths, big_model_config
 
-    cfg = ModelConfig(vocab_size=32768, hidden_size=4096,
-                      intermediate_size=8192, num_layers=16,
-                      num_heads=32, num_kv_heads=8, head_dim=128,
-                      max_position_embeddings=65536, eos_token_id=2)
-    params = load_tree(os.path.join(ROOT, ".bench_cache",
-                                    f"target_{args.tag}.npz"))
+    cfg = big_model_config()
+    params = load_tree(row_cache_paths(args.row)[0])
     succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,
                                     n_states=args.n_states, branch_frac=0.2)
     toks = sample_corpus2(succ2, probs2, args.rows, args.ctx, seed=999)

@@ -56,7 +56,8 @@ def main():
     ap.add_argument("--draft-head", type=str, default="int8")
     ap.add_argument("--draft-compute", type=str, default="int8")
     ap.add_argument("--tree-shape", type=str, default="4,16,16,16,16")
-    ap.add_argument("--tag", type=str, default="hard256_s4096")
+    ap.add_argument("--row", type=str, default="hard_8k",
+                    help="bench row whose cached pair to profile")
     ap.add_argument("--n-states", type=int, default=256)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run (logic check only)")
@@ -74,7 +75,7 @@ def main():
     from longspec_tpu.models import llama as M
     from longspec_tpu.engine.engine import SpecEngine
     from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
-    from bench import load_tree
+    from bench import load_tree, row_cache_paths, big_model_config
 
     if args.smoke:
         cfg = ModelConfig(vocab_size=503, hidden_size=128,
@@ -82,23 +83,24 @@ def main():
                           num_kv_heads=2, head_dim=32,
                           max_position_embeddings=4096, eos_token_id=1)
         dcfg = DraftConfig(window=64)
-        args.tag = "v5_smoke_2x128x256"
         args.ctx = min(args.ctx, 192)
         args.n_states = cfg.vocab_size - 2
     else:
-        cfg = ModelConfig(vocab_size=32000, hidden_size=4096,
-                          intermediate_size=8192, num_layers=16,
-                          num_heads=32, num_kv_heads=8, head_dim=128,
-                          max_position_embeddings=65536, eos_token_id=2)
+        cfg = big_model_config()
         dcfg = DraftConfig(window=512)
     ecfg = EngineConfig(tree_shape=tuple(int(x) for x in
                                          args.tree_shape.split(",")),
                         gamma=4, temperature=0.0, attn_impl=args.attn,
                         draft_head=args.draft_head,
                         draft_compute=args.draft_compute)
-    cache = os.path.join(ROOT, ".bench_cache")
-    params = load_tree(os.path.join(cache, f"target_{args.tag}.npz"))
-    dparams = load_tree(os.path.join(cache, f"draft_{args.tag}.npz"))
+    if args.smoke:
+        cache = os.path.join(ROOT, ".bench_cache")
+        tpath = os.path.join(cache, "target_v5_smoke2_2x128x256.npz")
+        dpath = os.path.join(cache, "draft_v5_smoke2_2x128x256.npz")
+    else:
+        tpath, dpath = row_cache_paths(args.row)
+    params = load_tree(tpath)
+    dparams = load_tree(dpath)
     eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
 
     succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,

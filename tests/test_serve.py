@@ -129,3 +129,23 @@ def test_policy_token_exactness(engine):
         comps = {c.uid: c.tokens for c in srv.run(rounds_per_step=2)}
         outs[policy] = [comps[u] for u in uids]
     assert outs["fifo"] == outs["sjf"]
+
+
+def test_budget_caps_cache_growth(engine):
+    """A row with a small max_new parks as done at its budget inside the
+    jitted segment (GenCarry.out_cap), so cache_lens never outruns
+    submit()'s capacity reservation even across long decode segments."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(2, engine.cfg.vocab_size, (10,)).tolist()
+    max_new = 4
+    srv = SpecServer(engine, n_slots=1, s_max=64, max_new_cap=32,
+                     prefill_buckets=(16,), state_dtype=jnp.float32)
+    uid = srv.submit(prompt, max_new)
+    # one big segment: without out_cap the row would decode toward
+    # max_new_cap (32) before harvest notices the budget
+    comps = srv.step(rounds=64)
+    assert [c.uid for c in comps] == [uid]
+    assert len(comps[0].tokens) <= max_new
+    a_max = srv.a_max
+    lens = np.asarray(srv._carry.state.cache_lens)
+    assert lens[0] <= len(prompt) + max_new + a_max + 8, lens
