@@ -260,3 +260,32 @@ def test_vanilla_matches_hf_generate():
     if cfg.eos_token_id in mine:
         m = min(m, mine.index(cfg.eos_token_id) + 1)
     assert hf_new[:m] == mine[:m]
+
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
+def test_lossless_greedy_pallas_engine(method):
+    """Whole-engine losslessness under attn_impl='pallas' (kernels run in
+    Pallas interpret mode on CPU): spec output must be token-exact vs the
+    vanilla loop THROUGH THE SAME KERNELS — the gate that must hold before
+    pallas can be the engine default on TPU."""
+    cfg = tiny_test(vocab_size=211, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    ecfg = EngineConfig(tree_shape=(2, 3), gamma=3, temperature=0.0,
+                        attn_impl="pallas")
+    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg)
+    rng = np.random.default_rng(3)
+    B, S = 2, 17
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 5], np.int32)
+    max_gen = 20
+
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    out = getattr(eng, method)(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
+        m = min(len(v), len(s), max_gen)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
