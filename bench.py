@@ -216,8 +216,11 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
         return None, 0
 
     def part_save(path, tree, step):
+        log(f"[{tag}] part-save @ step {step}...")
+        t = time.time()
         save_tree(path + ".part.npz", tree)
         np.save(path + ".step.npy", np.asarray(step))
+        log(f"[{tag}] part-save done ({time.time() - t:.0f}s)")
         beat()
 
     def part_clean(path):
