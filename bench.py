@@ -115,9 +115,13 @@ def unflatten(flat):
 
 
 def save_tree(path, tree):
+    # atomic: a watchdog os._exit mid-save must not leave a truncated file
+    # that poisons every supervisor restart (part_load reads these)
     import jax.numpy as jnp
-    np.savez(path, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
-                      for k, v in flatten(tree).items()})
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **{k: np.asarray(v.astype(jnp.bfloat16)).view(np.uint16)
+                     for k, v in flatten(tree).items()})
+    os.replace(tmp, path)
 
 
 def load_tree(path):
@@ -212,7 +216,10 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
     def part_load(path):
         p, s = path + ".part.npz", path + ".step.npy"
         if os.path.exists(p) and os.path.exists(s):
-            return load_tree(p), int(np.load(s))
+            try:
+                return load_tree(p), int(np.load(s))
+            except Exception as e:  # corrupt part (pre-atomic-save runs)
+                log(f"[{tag}] discarding unreadable part file: {e}")
         return None, 0
 
     def part_save(path, tree, step):
@@ -255,6 +262,9 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
         for i in range(start, target_steps):
             idx = rng_np.integers(0, corpus.shape[0], (train_bsz,))
             st, m = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
+            if (i + 1) % 10 == 0:
+                float(m["loss"])  # device sync: beats must track DEVICE
+                # progress, not async dispatch (watchdog forensics)
             beat()
             if (i + 1) % 100 == 0 or i + 1 == target_steps:
                 log(f"  target step {i+1}: loss {float(m['loss']):.4f} "
@@ -377,6 +387,9 @@ def main():
     ap.add_argument("--draft-compute", type=str, default="int8")
     ap.add_argument("--tree-shape", type=str, default="4,16,16,16,16")
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--fresh-rows", action="store_true",
+                    help="re-measure rows even when a cached row result "
+                    "matching the cached models exists")
     args = ap.parse_args()
     tree_shape = tuple(int(x) for x in args.tree_shape.split(","))
     global WD
@@ -432,11 +445,35 @@ def main():
                             draft_head=args.draft_head,
                             draft_compute=args.draft_compute)
 
+        def row_result_path(name):
+            key = (f"{name}_g{args.gen}_b{args.batch}_{args.attn}"
+                   f"_{args.draft_head}{args.draft_compute}"
+                   f"_t{'x'.join(map(str, tree_shape))}")
+            return os.path.join(cache_dir, f"row_{key}.json")
+
         rows = []
         for name in args.rows.split(","):
             (lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap,
              daccum) = SPECS[name]
             tag = row_tag(name)
+            # reuse a row measured against the SAME cached model pair: the
+            # tunnel can wedge any long device call, so finished rows are
+            # persisted and restarts (and the driver's end-of-round run)
+            # skip straight to unfinished work
+            last = name == args.rows.split(",")[-1]
+            rpath = row_result_path(name)
+            tpath_c, dpath_c = row_cache_paths(name, cache_dir)
+            if (not args.no_cache and not args.fresh_rows
+                    and os.path.exists(rpath) and os.path.exists(tpath_c)
+                    and os.path.exists(dpath_c)
+                    and os.path.getmtime(rpath) >= max(
+                        os.path.getmtime(tpath_c), os.path.getmtime(dpath_c))):
+                with open(rpath) as f:
+                    row = json.load(f)
+                if not last or "chain_tok_s" in row:
+                    log(f"[{name}] reusing cached row result {row}")
+                    rows.append(row)
+                    continue
             if lang == "easy":
                 succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
                                              n_states=n_states)
@@ -462,10 +499,13 @@ def main():
             lens = np.full((args.batch,), ctx, np.int32)
             # the headline (last) row also measures chain + magicdec — the
             # reference's full method comparison at north-star context
-            last = name == args.rows.split(",")[-1]
-            rows.append(measure_row(name, eng, prompt, lens, args.gen,
-                                    ctx + args.gen + ecfg.tree_size + 16,
-                                    extras=last))
+            row = measure_row(name, eng, prompt, lens, args.gen,
+                              ctx + args.gen + ecfg.tree_size + 16,
+                              extras=last)
+            rows.append(row)
+            with open(rpath + ".tmp", "w") as f:
+                json.dump(row, f)
+            os.replace(rpath + ".tmp", rpath)
             # drop this row's 5GB of device buffers before the next row loads
             del eng, params, dparams, corpus
             gc.collect()

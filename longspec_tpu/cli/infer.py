@@ -196,8 +196,9 @@ def main(argv=None):
             counts += r["count"]
             nums += r["num"]
             elapsed += r["elapsed"]
+            stop_ids = {cfg.eos_token_id, *cfg.extra_eos_token_ids}
             text = tokenizer.decode([t for t in r["output_ids"][0]
-                                     if t != cfg.eos_token_id])
+                                     if t not in stop_ids])
             f.write(json.dumps({"i": i, "output": text,
                                 "count": int(r["count"]),
                                 "num": int(r["num"]),

@@ -52,9 +52,12 @@ class ModelConfig:
     attention_bias: bool = False
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 16384
-    # pad/eos used by engines and collators.
+    # pad/eos used by engines and collators. HF Llama-3.x instruct ships a
+    # LIST of eos ids ([128001, 128009]); the first is the primary (buffer
+    # fill value), the rest stop generation too (extra_eos_token_ids).
     pad_token_id: int = 0
     eos_token_id: int = 2
+    extra_eos_token_ids: Tuple[int, ...] = ()
 
     @property
     def head_dim_(self) -> int:

@@ -93,14 +93,18 @@ class CompletionClient:
 
     def _extract(self, data: Dict[str, Any], prompt: str
                  ) -> Union[str, List[str]]:
+        # servers may echo the prompt as a PREFIX of the completion; strip
+        # only that (str.replace would delete every occurrence of the prompt
+        # substring anywhere in the output, corrupting legitimate repeats)
+        strip = lambda t: t[len(prompt):] if t.startswith(prompt) else t
         if "choices" in data:  # OpenAI-compatible
             if "/chat/completions" in self.api_url:
                 outs = [c["message"]["content"] for c in data["choices"]]
             else:
-                outs = [c["text"].replace(prompt, "") for c in data["choices"]]
+                outs = [strip(c["text"]) for c in data["choices"]]
         else:  # vLLM legacy /generate: {"text": [full_text, ...]}
             text = data["text"]
-            outs = [t.replace(prompt, "") for t in
+            outs = [strip(t) for t in
                     (text if isinstance(text, list) else [text])]
         return outs[0] if len(outs) == 1 else outs
 

@@ -66,6 +66,29 @@ class GenCarry(NamedTuple):
                               # it at the buffer bound so behavior is unchanged)
 
 
+def _is_eos(cfg, tok):
+    """Stop-token test covering multi-eos checkpoints (HF Llama-3.x instruct
+    ships eos_token_id=[128001, 128009]); buffer FILLS still use the primary
+    cfg.eos_token_id."""
+    hit = tok == cfg.eos_token_id
+    for e in cfg.extra_eos_token_ids:
+        hit = hit | (tok == e)
+    return hit
+
+
+def _truncate_at_stop(cfg, emit, adv):
+    """Cut an accepted span at its first stop token (inclusive): tokens
+    verified in the same round AFTER an eos must not be emitted, counted,
+    or committed to the cache. Returns (adv', has_eos). (The reference
+    leaves them in the buffer and relies on eos-fill scanning,
+    `llama_glide.py:767-769` — SURVEY §7.4 says make stopping explicit.)"""
+    kj = jnp.arange(emit.shape[1])[None, :]
+    hits = _is_eos(cfg, emit) & (kj < adv[:, None])
+    has = jnp.any(hits, axis=1)
+    first = jnp.argmax(hits, axis=1)
+    return jnp.where(has, jnp.minimum(adv, first + 1), adv), has
+
+
 def _sample(logits_f32, rng, temperature: float):
     if temperature == 0.0:
         return jnp.argmax(logits_f32, axis=-1).astype(jnp.int32)
@@ -152,6 +175,12 @@ class SpecEngine:
         # copy is read instead of the bf16 lm_head during draft micro-steps
         # (ROADMAP: ~40% of tree-round time was lm_head re-reads)
         if dcfg.ring_size is not None:
+            if dcfg.window is None:
+                # the ring presupposes windowed attention: with full
+                # attention, eviction would silently amputate draft context
+                raise ValueError("ring_size requires a sliding window "
+                                 "(DraftConfig.window); a full-attention "
+                                 "draft cannot evict rows")
             # overwrite safety: a ring write at position p evicts p - W; the
             # evicted position must already be outside every reachable
             # query's window (see glide.py ring notes)
@@ -318,7 +347,7 @@ class SpecEngine:
             cache_lens = st.cache_lens + jnp.where(done, 0, 1)
             output_ids = output_ids.at[:, i[0] + 1].set(nxt)
             num = num + jnp.sum(~done)
-            done = done | (nxt == cfg.eos_token_id)
+            done = done | _is_eos(cfg, nxt)
             st = st._replace(kv_k=kv_k, kv_v=kv_v, cache_lens=cache_lens)
             return (st, nxt, output_ids, i + 1, done, num, rng)
 
@@ -331,7 +360,7 @@ class SpecEngine:
         b = t0.shape[0]
         output_ids = jnp.full((b, max_gen_len + 1), cfg.eos_token_id, jnp.int32)
         output_ids = output_ids.at[:, 0].set(t0)
-        done0 = (t0 == cfg.eos_token_id)
+        done0 = _is_eos(cfg, t0)
         return (state, t0, output_ids, jnp.zeros((1,), jnp.int32), done0,
                 jnp.zeros((), jnp.int32), rng)
 
@@ -404,6 +433,7 @@ class SpecEngine:
                                                ecfg.temperature, rng)
 
         adv = jnp.where(carry.done, 0, correct_len)
+        adv, has_eos = _truncate_at_stop(cfg, emit, adv)
         # emitted tokens = emit[:, :correct_len] (target outputs incl. bonus)
         acc_tokens_new = emit  # [B, A]; valid prefix = correct_len
         cache_lens = st.cache_lens + adv
@@ -411,8 +441,6 @@ class SpecEngine:
         output_ids = _masked_row_write(carry.output_ids, emit, carry.out_len,
                                        carry.done)
         out_len = carry.out_len + adv
-        kj = jnp.arange(A)[None, :]
-        has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
         out_buf = carry.output_ids.shape[1]
         done = (carry.done | has_eos | (out_len + A >= out_buf)
                 | (out_len >= carry.out_cap))
@@ -533,12 +561,11 @@ class SpecEngine:
                                                ecfg.temperature, rng)
 
         adv = jnp.where(carry.done, 0, correct_len)
+        adv, has_eos = _truncate_at_stop(cfg, emit, adv)
         cache_lens = st.cache_lens + adv
         output_ids = _masked_row_write(carry.output_ids, emit, carry.out_len,
                                        carry.done)
         out_len = carry.out_len + adv
-        kj = jnp.arange(A)[None, :]
-        has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
         out_buf = carry.output_ids.shape[1]
         done = (carry.done | has_eos | (out_len + A >= out_buf)
                 | (out_len >= carry.out_cap))
@@ -744,12 +771,11 @@ class SpecEngine:
             kv_v = wr(st.kv_v, sel_v, st.cache_lens)
 
         adv = jnp.where(carry.done, 0, acc_num)
+        adv, has_eos = _truncate_at_stop(cfg, emit, adv)
         cache_lens = st.cache_lens + adv
         output_ids = _masked_row_write(carry.output_ids, emit, carry.out_len,
                                        carry.done)
         out_len = carry.out_len + adv
-        kj = jnp.arange(A)[None, :]
-        has_eos = jnp.any((emit == cfg.eos_token_id) & (kj < adv[:, None]), axis=1)
         out_buf = carry.output_ids.shape[1]
         done = (carry.done | has_eos | (out_len + A >= out_buf)
                 | (out_len >= carry.out_cap))
@@ -782,7 +808,7 @@ class SpecEngine:
             state=state, acc_tokens=acc_tokens,
             acc_len=jnp.ones((b,), jnp.int32),
             output_ids=output_ids, out_len=jnp.ones((b,), jnp.int32),
-            done=(t0 == cfg.eos_token_id),
+            done=_is_eos(cfg, t0),
             # num counts target rounds x live rows, starting at 0 so the
             # prefill-sampled t0 is excluded — matching the reference metric
             # (`inference_long-bench.py:257-260`) and the vanilla path, whose

@@ -25,7 +25,9 @@ def config_from_hf(hf_cfg) -> ModelConfig:
     # HF Llama-3.x ships eos_token_id as a list ([128001, 128009]); the
     # engine needs a scalar for stop checks and buffer fills.
     eos = get("eos_token_id", 2)
+    extra_eos = ()
     if isinstance(eos, (list, tuple)):
+        extra_eos = tuple(int(e) for e in eos[1:])
         eos = eos[0] if eos else 2
     pad = get("pad_token_id", 0)
     if isinstance(pad, (list, tuple)):
@@ -65,6 +67,7 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         max_position_embeddings=get("max_position_embeddings", 16384),
         pad_token_id=pad or 0,
         eos_token_id=eos,
+        extra_eos_token_ids=extra_eos,
     )
 
 

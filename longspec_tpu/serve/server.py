@@ -228,6 +228,10 @@ class SpecServer:
                           self.prefill_buckets[-1])
             if bucket < l:
                 bucket = l  # oversize prompt: dedicated compile
+            # the persistent prefill state has s_max rows; a bucket past it
+            # would shape-mismatch the KV write (submit() already guarantees
+            # l + budget fits, so min() keeps bucket >= l)
+            bucket = min(bucket, self.s_max)
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :l] = req.tokens
             # one persistent batch-1 prefill state, zeroed per admission —

@@ -59,7 +59,8 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
         step_fn = make_lora_train_step(cfg, dcfg, opt, draft_params,
                                        scale=lora_scale,
                                        anchor_offset=anchor_offset,
-                                       attn_impl=attn_impl)
+                                       attn_impl=attn_impl,
+                                       accum_steps=accum_steps)
         to_deploy = lambda tr: merge_lora(draft_params, tr, lora_scale)
     else:
         trainable = draft_params

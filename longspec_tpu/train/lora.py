@@ -62,27 +62,54 @@ def merge_lora(draft_params: Dict, lora: Dict, scale: float = 1.0) -> Dict:
 def make_lora_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                          base_draft_params, scale: float = 1.0,
                          anchor_offset: bool = True,
-                         attn_impl: str = "chunked"):
+                         attn_impl: str = "chunked", accum_steps: int = 1):
     """Jitted step(state, target_params, tokens, labels, rng) where
     state.draft_params is the LoRA pytree; the base draft is closed over and
-    frozen."""
+    frozen. `accum_steps > 1` accumulates the mean gradient over sequential
+    microbatches exactly like `trainer.make_train_step` (same randomness
+    sharing, so batch=B and batch=B/a x accum=a trajectories match)."""
     max_len = cfg.max_position_embeddings
 
     def step(state: T.TrainState, target_params, tokens, labels, rng):
         b, s = tokens.shape
         k_pos, k_pad = jax.random.split(jax.random.fold_in(rng, state.step))
-        positions = T.anchor_offset_positions(k_pos, b, s, max_len,
-                                              apply=anchor_offset)
         pad_size = jax.random.randint(k_pad, (), 1, 5)
 
-        def loss_fn(lora):
-            merged = apply_lora(base_draft_params, lora, scale)
-            return T.glide_training_loss(merged, target_params, cfg, dcfg,
-                                         tokens, labels, positions, pad_size,
-                                         False, attn_impl)
+        def loss_and_grad(lora_tree, toks, labs):
+            mb = toks.shape[0]
+            positions = T.anchor_offset_positions(k_pos, mb, s, max_len,
+                                                  apply=anchor_offset)
 
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.draft_params)
+            def loss_fn(lora):
+                merged = apply_lora(base_draft_params, lora, scale)
+                return T.glide_training_loss(merged, target_params, cfg, dcfg,
+                                             toks, labs, positions, pad_size,
+                                             False, attn_impl)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(lora_tree)
+
+        if accum_steps == 1:
+            (loss, _), grads = loss_and_grad(state.draft_params,
+                                             tokens, labels)
+        else:
+            assert b % accum_steps == 0, (b, accum_steps)
+            mb = b // accum_steps
+            toks_m = tokens.reshape(accum_steps, mb, s)
+            labs_m = labels.reshape(accum_steps, mb, s)
+
+            def micro(carry, xs):
+                g_acc, l_acc = carry
+                (l, _), g = loss_and_grad(state.draft_params, xs[0], xs[1])
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, l_acc + l), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.draft_params)
+            (grads, loss), _ = jax.lax.scan(
+                micro, (zeros, jnp.zeros(())), (toks_m, labs_m))
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            loss = loss * inv
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.draft_params)
         lora = optax.apply_updates(state.draft_params, updates)

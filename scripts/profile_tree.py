@@ -173,8 +173,9 @@ def main():
     toks_l = jnp.asarray(prompt[:, :c_l], jnp.int32)
     sfx = jnp.zeros((b, c_l, N), bool).at[:, :, 0].set(True)
     tk = jnp.zeros((b, N, cfg.num_kv_heads, cfg.head_dim_), jnp.bfloat16)
+    tv = jnp.zeros((b, N, cfg.num_kv_heads, cfg.head_dim_), jnp.bfloat16)
     @jax.jit
-    def level(st_, tk_):
+    def level(st_, tk_, tv_):
         emb_l = M.embed(eng.params, toks_l)
         pos_l = jnp.broadcast_to((st_.d_cache_lens - 1 + 1)[:, None], (b, c_l))
         h_l, tk2, tv2 = G.glide_forward(
@@ -183,11 +184,11 @@ def main():
             st_.kv_k[-1], st_.kv_v[-1],
             jnp.broadcast_to(st_.cache_lens[:, None], (b, c_l)),
             suffix_mask=sfx, attn_impl=ecfg.attn_impl,
-            suffix_kv=(tk_, tk_), suffix_write_offset=1)
+            suffix_kv=(tk_, tv_), suffix_write_offset=1)
         vals, ids = eng._beam_topk(eng.params, h_l, ecfg.tree_shape[1]
                                    if len(ecfg.tree_shape) > 1 else 4)
         return vals
-    out["draft_level_ms"] = timeit(level, state, tk, iters=20)
+    out["draft_level_ms"] = timeit(level, state, tk, tv, iters=20)
 
     gamma = ecfg.tree_depth
     modeled = (out["verify_ms"] + out["draft_reenc_ms"]

@@ -99,3 +99,18 @@ def test_map_preserves_order(server):
 def test_post_json_roundtrip(server):
     data = post_json(f"{server}/generate", {"prompt": "z"})
     assert data == {"text": ["z legacy"]}
+
+
+def test_extract_strips_only_leading_prompt():
+    """Echoed prompts are stripped as a PREFIX only; occurrences of the
+    prompt substring inside the completion body must survive (regression:
+    str.replace deleted all of them)."""
+    c = CompletionClient("http://x/v1/completions", max_tokens=8)
+    data = {"choices": [{"text": "yes, yes it does"}]}
+    # non-echoing server: completion starts with text that merely repeats
+    # the prompt — nothing should be removed beyond a literal echo prefix
+    assert c._extract(data, "yes") == ", yes it does"
+    data2 = {"choices": [{"text": "no echo of prompt here"}]}
+    assert c._extract(data2, "absent") == "no echo of prompt here"
+    legacy = {"text": ["PROMPT and then PROMPT again"]}
+    assert c._extract(legacy, "PROMPT ") == "and then PROMPT again"

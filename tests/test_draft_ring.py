@@ -103,3 +103,15 @@ def test_ring_size_validation():
     with pytest.raises(ValueError, match="ring_size"):
         SpecEngine(params, dparams, cfg,
                    DraftConfig(window=64, ring_size=16), EngineConfig())
+
+
+def test_ring_requires_window():
+    """ring_size with a full-attention draft (window=None) must be rejected:
+    eviction would silently amputate context the draft is supposed to see."""
+    cfg = tiny_test(vocab_size=97, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    with pytest.raises(ValueError, match="window"):
+        SpecEngine(params, dparams, cfg,
+                   dcfg=DraftConfig(window=None, ring_size=64),
+                   ecfg=EngineConfig(attn_impl="dense"))

@@ -289,3 +289,41 @@ def test_lossless_greedy_pallas_engine(method):
         s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
         m = min(len(v), len(s), max_gen)
         assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+def test_extra_eos_stops_generation():
+    """Multi-eos checkpoints (HF Llama-3.x instruct ships
+    eos_token_id=[128001, 128009]): any id in extra_eos_token_ids must stop
+    generation in every loop, while buffer fills keep the primary id."""
+    import dataclasses
+    eng, cfg = build_engine(seed=3)
+    rng = np.random.default_rng(11)
+    toks = rng.integers(2, cfg.vocab_size, (1, 13))
+    lens = np.array([13], np.int32)
+    max_gen = 24
+
+    base = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                                state_dtype=jnp.float32)
+    row = list(base["output_ids"][0][:max_gen])
+    # pick an emitted token to promote to a stop id (skip the primary eos)
+    k, t_star = next((i, t) for i, t in enumerate(row)
+                     if i >= 2 and t != cfg.eos_token_id)
+    cfg2 = dataclasses.replace(cfg, extra_eos_token_ids=(int(t_star),))
+    eng2 = SpecEngine(eng.params, eng.draft_params, cfg2, eng.dcfg, eng.ecfg)
+
+    van = eng2.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                                state_dtype=jnp.float32)
+    got = list(van["output_ids"][0][:max_gen])
+    stop = got.index(t_star)
+    assert got[:stop + 1] == row[:k + 1]  # identical up to the stop token
+    assert all(t == cfg.eos_token_id for t in got[stop + 1:])  # then fill
+
+    # spec loops stop on it too, emitting the same prefix
+    for method in ("spec_generate", "tree_spec_generate"):
+        out = getattr(eng2, method)(toks, lens, max_gen_len=max_gen,
+                                    state_dtype=jnp.float32)
+        s = list(out["output_ids"][0][:max_gen])
+        assert t_star in s, f"{method} never emitted the stop token"
+        sstop = s.index(t_star)
+        assert s[:sstop + 1] == got[:stop + 1], f"{method} prefix mismatch"
+        assert all(t == cfg.eos_token_id for t in s[sstop + 1:]), method

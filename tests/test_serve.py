@@ -149,3 +149,16 @@ def test_budget_caps_cache_growth(engine):
     a_max = srv.a_max
     lens = np.asarray(srv._carry.state.cache_lens)
     assert lens[0] <= len(prompt) + max_new + a_max + 8, lens
+
+
+def test_bucket_clamped_to_s_max(engine):
+    """A prefill bucket larger than s_max must be clamped: the persistent
+    prefill state has s_max rows, so an oversized bucket shape-mismatches
+    the KV write (regression)."""
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(2, engine.cfg.vocab_size, (40,)).tolist()
+    srv = SpecServer(engine, n_slots=1, s_max=96, max_new_cap=16,
+                     prefill_buckets=(32, 128), state_dtype=jnp.float32)
+    uid = srv.submit(prompt, 8)
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    assert comps[uid].tokens == _standalone(engine, prompt, 8)

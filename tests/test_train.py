@@ -203,3 +203,33 @@ def test_glide_train_forward_chunked_matches_dense(tiny_models):
         np.testing.assert_allclose(np.asarray(outs["chunked"]),
                                    np.asarray(outs["dense"]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_lora_accum_matches_full_batch(tiny_models):
+    """LoRA fine-tuning honors accum_steps with the same trajectory
+    equivalence as the full-param step (regression: accum was silently
+    ignored when lora_rank > 0)."""
+    from longspec_tpu.train.lora import (init_lora, make_lora_train_step)
+    cfg, dcfg, tparams, dparams = tiny_models
+    opt = T.make_optimizer(lr=1e-3, warmup_steps=1, total_steps=10)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(2, cfg.vocab_size, (3, 4, 24)).astype(np.int32)
+    lora0 = init_lora(jax.random.PRNGKey(9), dparams, rank=4)
+
+    results = []
+    for accum in (1, 2):
+        step_fn = make_lora_train_step(cfg, dcfg, opt, dparams,
+                                       attn_impl="dense", accum_steps=accum)
+        st = T.init_train_state(jax.tree.map(jnp.copy, lora0), opt)
+        losses = []
+        for i in range(3):
+            st, m = step_fn(st, tparams, jnp.asarray(toks[i]),
+                            jnp.asarray(toks[i]), jax.random.PRNGKey(5))
+            losses.append(float(m["loss"]))
+        results.append((losses, st.draft_params))
+
+    (l1, p1), (l2, p2) = results
+    np.testing.assert_allclose(l1, l2, rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
