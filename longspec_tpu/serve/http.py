@@ -1,0 +1,207 @@
+"""OpenAI-compatible HTTP front-end over the continuous-batching server.
+
+The reference ships only a CLIENT for OpenAI-style endpoints
+(`longspec/train/data/vllm.py`); its engines have no serving surface at
+all. This module closes the loop: `HttpFrontend` exposes `SpecServer`
+(slot-based continuous batching over the jitted speculative rounds) as
+
+    POST /v1/completions   {"prompt": str | [int], "max_tokens": N, ...}
+    GET  /v1/models        (id = the configured model name)
+    GET  /healthz          SpecServer.stats() + queue state
+
+so `longspec_tpu.data.api_client.CompletionClient` — and any OpenAI SDK —
+can talk to it directly.
+
+Threading model (the engine is NOT thread-safe; XLA dispatch must stay on
+one thread): HTTP handler threads only enqueue requests and wait on a
+per-request event; a single decode thread owns the SpecServer and loops
+`step()` while work is pending. Submissions are handed to the decode
+thread through a mutex-guarded list, so all engine/jit calls happen on one
+thread regardless of HTTP concurrency.
+"""
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, List, Optional, Sequence, Union
+
+from .server import Completion, SpecServer
+
+
+class _Pending:
+    __slots__ = ("event", "completion", "error")
+
+    def __init__(self):
+        self.event = threading.Event()
+        self.completion: Optional[Completion] = None
+        self.error: Optional[str] = None
+
+
+class HttpFrontend:
+    """Serve a SpecServer over HTTP.
+
+    `encode`/`decode` adapt between text and token ids (e.g. a HF
+    tokenizer's methods). When omitted, prompts must be raw token lists and
+    completions are returned as token ids under `choices[0].token_ids`
+    (text is empty) — useful for benchmarking without a tokenizer.
+    """
+
+    def __init__(self, server: SpecServer, host: str = "127.0.0.1",
+                 port: int = 0, model_name: str = "longspec-tpu",
+                 encode: Optional[Callable[[str], Sequence[int]]] = None,
+                 decode: Optional[Callable[[Sequence[int]], str]] = None,
+                 default_max_tokens: int = 128, idle_sleep_s: float = 0.005):
+        self.server = server
+        self.model_name = model_name
+        self.encode = encode
+        self.decode = decode
+        self.default_max_tokens = default_max_tokens
+        self.idle_sleep_s = idle_sleep_s
+        self._lock = threading.Lock()       # guards _inbox + _pending
+        self._inbox: List[tuple] = []       # (tokens, max_new, _Pending)
+        self._pending: dict = {}            # uid -> _Pending
+        self._stop = threading.Event()
+        self._decode_thread = threading.Thread(target=self._decode_loop,
+                                               daemon=True)
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):      # quiet
+                pass
+
+            def _reply(self, code: int, obj):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    st = frontend.server.stats()
+                    st["inbox"] = len(frontend._inbox)
+                    self._reply(200, st)
+                elif self.path == "/v1/models":
+                    self._reply(200, {"object": "list", "data": [
+                        {"id": frontend.model_name, "object": "model"}]})
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path not in ("/v1/completions", "/completions"):
+                    self._reply(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    out = frontend.complete(
+                        body.get("prompt", ""),
+                        max_tokens=int(body.get("max_tokens",
+                                                frontend.default_max_tokens)))
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                self._reply(200, out)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_port
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+
+    # ------------------------------------------------------------------
+
+    def start(self):
+        self._decode_thread.start()
+        self._http_thread.start()
+        return self
+
+    def close(self):
+        self._stop.set()
+        self._httpd.shutdown()
+        self._decode_thread.join(timeout=30)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+
+    def complete(self, prompt: Union[str, Sequence[int]],
+                 max_tokens: int = 128, timeout: float = 600.0) -> dict:
+        """Blocking completion (handler threads land here)."""
+        if isinstance(prompt, str):
+            if self.encode is None:
+                raise ValueError("text prompt needs an `encode` tokenizer; "
+                                 "send a token list instead")
+            tokens = list(self.encode(prompt))
+        else:
+            tokens = [int(t) for t in prompt]
+        if not tokens:
+            raise ValueError("empty prompt")
+        p = _Pending()
+        with self._lock:
+            self._inbox.append((tokens, max_tokens, p))
+        if not p.event.wait(timeout):
+            raise TimeoutError(f"completion not ready after {timeout}s")
+        if p.error:
+            raise ValueError(p.error)
+        c = p.completion
+        eos = {self.server.engine.cfg.eos_token_id,
+               *self.server.engine.cfg.extra_eos_token_ids}
+        toks = [t for t in c.tokens if t not in eos]
+        text = self.decode(toks) if self.decode else ""
+        return {
+            "id": f"cmpl-{c.uid}",
+            "object": "text_completion",
+            "model": self.model_name,
+            "choices": [{"index": 0, "text": text, "token_ids": toks,
+                         # an eos was filtered out => the model stopped;
+                         # otherwise the token budget cut it off
+                         "finish_reason": ("stop" if len(toks) < len(c.tokens)
+                                           else "length")}],
+            "usage": {"prompt_tokens": c.prompt_len,
+                      "completion_tokens": len(c.tokens),
+                      "total_tokens": c.prompt_len + len(c.tokens)},
+            "latency_s": round(c.latency_s, 4),
+        }
+
+    # ------------------------------------------------------------------
+
+    def _decode_loop(self):
+        srv = self.server
+        while not self._stop.is_set():
+            with self._lock:
+                inbox, self._inbox = self._inbox, []
+            for tokens, max_new, p in inbox:
+                try:
+                    uid = srv.submit(tokens, max_new)
+                    self._pending[uid] = p
+                except ValueError as e:      # over-capacity prompt etc.
+                    p.error = str(e)
+                    p.event.set()
+            if srv.pending or srv.active_slots:
+                for c in srv.step():
+                    p = self._pending.pop(c.uid, None)
+                    if p is not None:
+                        p.completion = c
+                        p.event.set()
+            else:
+                time.sleep(self.idle_sleep_s)
+
+
+def serve(server: SpecServer, host: str = "127.0.0.1", port: int = 8000,
+          **kw) -> HttpFrontend:
+    """Start serving and return the running frontend (blocks: Ctrl-C to
+    stop). For embedded use, construct HttpFrontend and call .start()."""
+    fe = HttpFrontend(server, host=host, port=port, **kw).start()
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        fe.close()
+    return fe

@@ -1,0 +1,117 @@
+"""OpenAI-compatible HTTP front-end over the continuous-batching server:
+concurrent requests through real sockets must return token-exact results
+(vs standalone generation) and work with the bundled CompletionClient."""
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from longspec_tpu.config import DraftConfig, EngineConfig, tiny_test
+from longspec_tpu.models import llama as M
+from longspec_tpu.models import glide as G
+from longspec_tpu.engine.engine import SpecEngine
+from longspec_tpu.serve import SpecServer, HttpFrontend
+from longspec_tpu.data.api_client import CompletionClient, post_json
+
+
+@pytest.fixture(scope="module")
+def frontend():
+    cfg = tiny_test(vocab_size=211, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8),
+                     EngineConfig(tree_shape=(2, 3, 3), gamma=3,
+                                  temperature=0.0, attn_impl="dense"))
+    srv = SpecServer(eng, n_slots=2, s_max=96, max_new_cap=32,
+                     prefill_buckets=(32,), state_dtype=jnp.float32)
+    fe = HttpFrontend(srv, port=0,
+                      # toy text codec: space-separated token ids
+                      encode=lambda s: [int(x) for x in s.split()],
+                      decode=lambda ts: " ".join(str(t) for t in ts))
+    with fe:
+        yield fe
+
+
+def _standalone(eng, toks, max_new):
+    out = eng.tree_spec_generate(
+        np.asarray([toks]), np.asarray([len(toks)], np.int32),
+        max_gen_len=max_new, state_dtype=jnp.float32)
+    row = out["output_ids"][0]
+    stop = {eng.cfg.eos_token_id, *eng.cfg.extra_eos_token_ids}
+    keep = []
+    for t in row[:max_new]:
+        if int(t) in stop:
+            break
+        keep.append(int(t))
+    return keep
+
+
+def test_single_completion_token_exact(frontend):
+    eng = frontend.server.engine
+    rng = np.random.default_rng(3)
+    toks = rng.integers(2, eng.cfg.vocab_size, (11,)).tolist()
+    out = post_json(f"http://127.0.0.1:{frontend.port}/v1/completions",
+                    {"prompt": toks, "max_tokens": 12})
+    assert out["choices"][0]["token_ids"] == _standalone(eng, toks, 12)
+    assert out["usage"]["prompt_tokens"] == 11
+
+
+def test_concurrent_requests_all_exact(frontend):
+    eng = frontend.server.engine
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(2, eng.cfg.vocab_size, (l,)).tolist()
+               for l in (9, 14, 7, 18, 12)]
+    want = [_standalone(eng, p, 10) for p in prompts]
+    got = [None] * len(prompts)
+
+    def hit(i):
+        out = post_json(f"http://127.0.0.1:{frontend.port}/v1/completions",
+                        {"prompt": prompts[i], "max_tokens": 10})
+        got[i] = out["choices"][0]["token_ids"]
+
+    ts = [threading.Thread(target=hit, args=(i,)) for i in range(len(prompts))]
+    [t.start() for t in ts]
+    [t.join(timeout=300) for t in ts]
+    assert got == want
+
+
+def test_completion_client_roundtrip(frontend):
+    """The bundled OpenAI-compatible client talks to the frontend (text
+    prompts through the toy codec)."""
+    c = CompletionClient(
+        f"http://127.0.0.1:{frontend.port}/v1/completions",
+        max_tokens=8, stop=None)
+    eng = frontend.server.engine
+    toks = [5, 17, 42, 9]
+    want = _standalone(eng, toks, 8)
+    assert c("5 17 42 9") == " ".join(str(t) for t in want)
+
+
+def test_health_and_models(frontend):
+    import json, urllib.request
+    base = f"http://127.0.0.1:{frontend.port}"
+    with urllib.request.urlopen(f"{base}/healthz") as r:
+        st = json.loads(r.read())
+    assert "tokens_served" in st and st["completions"] >= 1
+    with urllib.request.urlopen(f"{base}/v1/models") as r:
+        models = json.loads(r.read())
+    assert models["data"][0]["id"] == "longspec-tpu"
+
+
+def test_oversize_prompt_rejected(frontend):
+    from longspec_tpu.data.api_client import ApiError
+    with pytest.raises(ApiError, match="capacity"):
+        post_json(f"http://127.0.0.1:{frontend.port}/v1/completions",
+                  {"prompt": list(range(2, 96)), "max_tokens": 32})
+
+
+def test_serve_cli_args():
+    """Arg surface of the serving CLI parses and inherits infer defaults."""
+    from longspec_tpu.cli.serve import get_args
+    a = get_args(["--target-path", "/t", "--draft-path", "/d",
+                  "--n-slots", "2", "--s-max", "4096", "--policy", "sjf"])
+    assert a.n_slots == 2 and a.s_max == 4096 and a.policy == "sjf"
+    assert a.draft_head == "int8" and a.attn_impl == "chunked"
+    assert a.tree_shape == [4, 16, 16, 16, 16] and a.gamma == 4
