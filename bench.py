@@ -270,7 +270,11 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
                 log(f"  target step {i+1}: loss {float(m['loss']):.4f} "
                     f"({(time.time()-tstart)/(i+1-start):.2f}s/step)")
                 beat()
-            if (i + 1) % ckpt_every == 0 and i + 1 < target_steps:
+            # target part-saves use a LONGER interval: the 5GB device->host
+            # pull is the observed wedge trigger (attempts 1+2 both hung on
+            # the device call right after a save), so fewer saves beats
+            # finer resume granularity here; the 370MB draft keeps ckpt_every
+            if (i + 1) % max(ckpt_every, 250) == 0 and i + 1 < target_steps:
                 part_save(tpath, st.draft_params, i + 1)
         params = st.draft_params
         del st, step_fn

@@ -22,6 +22,7 @@ thread regardless of HTTP concurrency.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -31,12 +32,16 @@ from .server import Completion, SpecServer
 
 
 class _Pending:
-    __slots__ = ("event", "completion", "error")
+    __slots__ = ("event", "completion", "error", "q", "sent")
 
-    def __init__(self):
+    def __init__(self, stream: bool = False):
         self.event = threading.Event()
         self.completion: Optional[Completion] = None
         self.error: Optional[str] = None
+        # streaming: the decode thread pushes ("delta", [tok,...]) items,
+        # then ("done", Completion) / ("error", msg)
+        self.q: Optional[queue.Queue] = queue.Queue() if stream else None
+        self.sent = 0  # tokens already streamed
 
 
 class HttpFrontend:
@@ -97,14 +102,57 @@ class HttpFrontend:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    out = frontend.complete(
-                        body.get("prompt", ""),
-                        max_tokens=int(body.get("max_tokens",
-                                                frontend.default_max_tokens)))
+                    prompt = body.get("prompt", "")
+                    max_tokens = int(body.get("max_tokens",
+                                              frontend.default_max_tokens))
+                    if body.get("stream"):
+                        self._stream(prompt, max_tokens)
+                        return
+                    out = frontend.complete(prompt, max_tokens=max_tokens)
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                     return
                 self._reply(200, out)
+
+            def _stream(self, prompt, max_tokens):
+                """Server-sent events, OpenAI streaming shape: one `data:`
+                chunk per token delta, then a usage-bearing final chunk and
+                `data: [DONE]`."""
+                try:
+                    p = frontend._enqueue(prompt, max_tokens, stream=True)
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                def emit(obj):
+                    self.wfile.write(b"data: " + json.dumps(obj).encode()
+                                     + b"\n\n")
+                    self.wfile.flush()
+
+                while True:
+                    kind, payload = p.q.get(timeout=600)
+                    if kind == "delta":
+                        emit({"object": "text_completion",
+                              "model": frontend.model_name,
+                              "choices": [{
+                                  "index": 0,
+                                  "text": (frontend.decode(payload)
+                                           if frontend.decode else ""),
+                                  "token_ids": payload,
+                                  "finish_reason": None}]})
+                    elif kind == "done":
+                        emit(frontend._format(payload))
+                        self.wfile.write(b"data: [DONE]\n\n")
+                        self.wfile.flush()
+                        return
+                    else:  # error
+                        emit({"error": payload})
+                        return
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self._httpd.server_port
@@ -131,9 +179,8 @@ class HttpFrontend:
 
     # ------------------------------------------------------------------
 
-    def complete(self, prompt: Union[str, Sequence[int]],
-                 max_tokens: int = 128, timeout: float = 600.0) -> dict:
-        """Blocking completion (handler threads land here)."""
+    def _enqueue(self, prompt: Union[str, Sequence[int]], max_tokens: int,
+                 stream: bool = False) -> _Pending:
         if isinstance(prompt, str):
             if self.encode is None:
                 raise ValueError("text prompt needs an `encode` tokenizer; "
@@ -143,37 +190,41 @@ class HttpFrontend:
             tokens = [int(t) for t in prompt]
         if not tokens:
             raise ValueError("empty prompt")
-        p = _Pending()
+        p = _Pending(stream=stream)
         with self._lock:
             self._inbox.append((tokens, max_tokens, p))
-        if not p.event.wait(timeout):
-            raise TimeoutError(f"completion not ready after {timeout}s")
-        if p.error:
-            raise ValueError(p.error)
-        c = p.completion
-        eos = {self.server.engine.cfg.eos_token_id,
-               *self.server.engine.cfg.extra_eos_token_ids}
-        toks = [t for t in c.tokens if t not in eos]
+        return p
+
+    def _format(self, c: Completion) -> dict:
+        toks = list(c.tokens)  # server already trims stop tokens + budget
         text = self.decode(toks) if self.decode else ""
         return {
             "id": f"cmpl-{c.uid}",
             "object": "text_completion",
             "model": self.model_name,
             "choices": [{"index": 0, "text": text, "token_ids": toks,
-                         # an eos was filtered out => the model stopped;
-                         # otherwise the token budget cut it off
-                         "finish_reason": ("stop" if len(toks) < len(c.tokens)
-                                           else "length")}],
+                         "finish_reason": c.finish_reason}],
             "usage": {"prompt_tokens": c.prompt_len,
-                      "completion_tokens": len(c.tokens),
-                      "total_tokens": c.prompt_len + len(c.tokens)},
+                      "completion_tokens": len(toks),
+                      "total_tokens": c.prompt_len + len(toks)},
             "latency_s": round(c.latency_s, 4),
         }
+
+    def complete(self, prompt: Union[str, Sequence[int]],
+                 max_tokens: int = 128, timeout: float = 600.0) -> dict:
+        """Blocking completion (handler threads land here)."""
+        p = self._enqueue(prompt, max_tokens)
+        if not p.event.wait(timeout):
+            raise TimeoutError(f"completion not ready after {timeout}s")
+        if p.error:
+            raise ValueError(p.error)
+        return self._format(p.completion)
 
     # ------------------------------------------------------------------
 
     def _decode_loop(self):
         srv = self.server
+        any_stream = False
         while not self._stop.is_set():
             with self._lock:
                 inbox, self._inbox = self._inbox, []
@@ -181,15 +232,35 @@ class HttpFrontend:
                 try:
                     uid = srv.submit(tokens, max_new)
                     self._pending[uid] = p
+                    any_stream = any_stream or p.q is not None
                 except ValueError as e:      # over-capacity prompt etc.
                     p.error = str(e)
+                    if p.q is not None:
+                        p.q.put(("error", str(e)))
                     p.event.set()
             if srv.pending or srv.active_slots:
-                for c in srv.step():
+                # shorter decode segments while streaming: delta latency is
+                # bounded by rounds-per-step x round time
+                finished = srv.step(rounds=4 if any_stream else 16)
+                if any_stream:
+                    for uid, toks in srv.partials().items():
+                        p = self._pending.get(uid)
+                        if p is not None and p.q is not None \
+                                and len(toks) > p.sent:
+                            p.q.put(("delta", toks[p.sent:]))
+                            p.sent = len(toks)
+                for c in finished:
                     p = self._pending.pop(c.uid, None)
-                    if p is not None:
-                        p.completion = c
-                        p.event.set()
+                    if p is None:
+                        continue
+                    p.completion = c
+                    if p.q is not None:
+                        if len(c.tokens) > p.sent:
+                            p.q.put(("delta", c.tokens[p.sent:]))
+                        p.q.put(("done", c))
+                    p.event.set()
+                if not self._pending:
+                    any_stream = False
             else:
                 time.sleep(self.idle_sleep_s)
 

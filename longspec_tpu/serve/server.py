@@ -55,6 +55,7 @@ class Completion:
     tokens: List[int]           # generated tokens (incl. first sampled)
     prompt_len: int
     latency_s: float            # enqueue -> harvest
+    finish_reason: str = "stop"  # "stop" (eos) | "length" (token budget)
 
 
 class SpecServer:
@@ -274,18 +275,41 @@ class SpecServer:
             if not done[slot]:
                 self._carry = self._finish_slot(self._carry, slot)
             row = np.asarray(self._carry.output_ids[slot])[:n_emit]
-            eos_pos = np.nonzero(row == self.cfg.eos_token_id)[0]
+            stop_ids = (self.cfg.eos_token_id,
+                        *self.cfg.extra_eos_token_ids)
+            eos_pos = np.nonzero(np.isin(row, stop_ids))[0]
             stop = eos_pos[0] if len(eos_pos) else n_emit
             # budget bound: max_new generated tokens total (t0 counts)
             row = row[:min(stop, self._slot_max_new[slot])].tolist()
             req = self._requests.pop(uid)
             finished.append(Completion(
                 uid=uid, tokens=row, prompt_len=len(req.tokens),
-                latency_s=time.perf_counter() - req.enqueued_s))
+                latency_s=time.perf_counter() - req.enqueued_s,
+                finish_reason="stop" if len(eos_pos) else "length"))
             self._slot_uid[slot] = None
             self.tokens_served += len(row)
             self.completions_served += 1
         return finished
+
+    def partials(self) -> Dict[int, List[int]]:
+        """Tokens emitted so far for every ACTIVE request (one device
+        readback of the output rows) — streaming front-ends poll this
+        between `step()` calls. Trimming (stop tokens, budget) matches the
+        final `_harvest` result, so a stream's concatenation equals the
+        completion."""
+        out_len = np.asarray(self._carry.out_len)
+        outs = np.asarray(self._carry.output_ids)
+        stop_ids = (self.cfg.eos_token_id, *self.cfg.extra_eos_token_ids)
+        res: Dict[int, List[int]] = {}
+        for slot in range(self.n_slots):
+            uid = self._slot_uid[slot]
+            if uid is None:
+                continue
+            row = outs[slot][:int(out_len[slot])]
+            hits = np.nonzero(np.isin(row, stop_ids))[0]
+            stop = hits[0] if len(hits) else len(row)
+            res[uid] = row[:min(stop, self._slot_max_new[slot])].tolist()
+        return res
 
     def step(self, rounds: int = 16) -> List[Completion]:
         """One scheduler tick: admit, decode up to `rounds` spec rounds,

@@ -1,6 +1,7 @@
 """OpenAI-compatible HTTP front-end over the continuous-batching server:
 concurrent requests through real sockets must return token-exact results
 (vs standalone generation) and work with the bundled CompletionClient."""
+import json
 import threading
 
 import numpy as np
@@ -115,3 +116,39 @@ def test_serve_cli_args():
     assert a.n_slots == 2 and a.s_max == 4096 and a.policy == "sjf"
     assert a.draft_head == "int8" and a.attn_impl == "chunked"
     assert a.tree_shape == [4, 16, 16, 16, 16] and a.gamma == 4
+
+
+def test_streaming_sse_token_exact(frontend):
+    """stream=true: SSE deltas concatenate to exactly the non-streamed
+    completion, final chunk carries usage + finish_reason, then [DONE]."""
+    import urllib.request
+    eng = frontend.server.engine
+    rng = np.random.default_rng(6)
+    toks = rng.integers(2, eng.cfg.vocab_size, (10,)).tolist()
+    want = _standalone(eng, toks, 14)
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{frontend.port}/v1/completions",
+        data=json.dumps({"prompt": toks, "max_tokens": 14,
+                         "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            body = line[len("data: "):]
+            if body == "[DONE]":
+                events.append(None)
+                break
+            events.append(json.loads(body))
+    assert events[-1] is None, "missing [DONE] terminator"
+    *deltas, final, _ = events
+    assert deltas, "no incremental deltas before the final chunk"
+    streamed = [t for d in deltas for t in d["choices"][0]["token_ids"]]
+    assert streamed == want
+    assert final["choices"][0]["token_ids"] == want
+    assert final["usage"]["completion_tokens"] == len(want)
+    assert final["choices"][0]["finish_reason"] in ("stop", "length")

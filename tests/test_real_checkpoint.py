@@ -43,9 +43,9 @@ def _write_hf_checkpoint(path: str, family: str):
                           intermediate_size=128, num_hidden_layers=2,
                           num_attention_heads=4, num_key_value_heads=2,
                           max_position_embeddings=2048, rope_theta=10000.0,
-                          # Llama-3.x style LIST eos (regression: must be
-                          # normalized to a scalar by config_from_hf)
-                          eos_token_id=[1], pad_token_id=0,
+                          # Llama-3.x style LIST eos (regression: first id
+                          # becomes the primary, the rest extra stop ids)
+                          eos_token_id=[1, 5], pad_token_id=0,
                           tie_word_embeddings=False)
         torch.manual_seed(0)
         model = LlamaForCausalLM(cfg)
@@ -91,7 +91,8 @@ def test_infer_cli_tree_end_to_end(llama_ckpt, tmp_path, capsys):
     loads tokenizer/target/draft, runs warm-up + generation, writes the
     per-prompt jsonl and prints harness metrics."""
     target, draft, cfg = llama_ckpt
-    assert cfg.eos_token_id == 1  # list eos normalized
+    assert cfg.eos_token_id == 1  # list eos: first id is primary
+    assert cfg.extra_eos_token_ids == (5,)  # rest stop generation too
     data = tmp_path / "aime.jsonl"
     words = " ".join(f"t{2 + (i * 7) % (VOCAB - 2)}" for i in range(40))
     with open(data, "w") as f:
