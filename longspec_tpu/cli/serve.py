@@ -49,16 +49,30 @@ def get_args(argv=None):
     p.add_argument("--policy", default="fifo",
                    choices=["fifo", "priority", "sjf", "packed"])
     p.add_argument("--default-max-tokens", default=128, type=int)
+    p.add_argument("--kv", default="slots", choices=["slots", "paged"],
+                   help="paged: target KV in shared page pools — per-request"
+                   " footprint is its used pages, not a full s-max slot")
+    p.add_argument("--page", default=256, type=int,
+                   help="KV rows per page (kv=paged)")
+    p.add_argument("--pool-pages", default=0, type=int,
+                   help="total physical pages (0 = full slot capacity, i.e."
+                   " no overcommit)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = get_args(argv)
+    if args.kv == "paged":
+        # the engine must be BUILT paged: page tables thread through the
+        # jitted rounds as DecodeState.tables
+        from ..ops.pallas_paged import PagedAttn
+        args.attn_impl = PagedAttn(args.page)
     eng, tokenizer, cfg = load_engine(args)
     from ..serve import SpecServer
     from ..serve.http import HttpFrontend
     srv = SpecServer(eng, n_slots=args.n_slots, s_max=args.s_max,
-                     max_new_cap=args.max_new_cap, policy=args.policy)
+                     max_new_cap=args.max_new_cap, policy=args.policy,
+                     kv=args.kv, pool_pages=args.pool_pages or None)
     fe = HttpFrontend(
         srv, host=args.host, port=args.port,
         model_name=args.target_path.rstrip("/").rsplit("/", 1)[-1],

@@ -41,13 +41,19 @@ from ..ops import attention as att
 
 
 class DecodeState(NamedTuple):
-    """Functional decode state (SURVEY.md §7.1.1)."""
+    """Functional decode state (SURVEY.md §7.1.1).
+
+    Paged mode (`EngineConfig.attn_impl = PagedAttn(page)`): kv_k/kv_v are
+    page POOLS [L, n_pages, Hkv, page, D] shared by all rows, addressed per
+    row through `tables`; dense mode leaves `tables` None.
+    """
     kv_k: jnp.ndarray          # [L, B, Hkv, S, D] target KV cache (roped keys)
     kv_v: jnp.ndarray
     d_kv_k: jnp.ndarray        # [B, Hkv, Sd, D] draft self-attn KV cache
     d_kv_v: jnp.ndarray
     cache_lens: jnp.ndarray    # [B] valid target rows
     d_cache_lens: jnp.ndarray  # [B] valid draft rows
+    tables: Optional[jnp.ndarray] = None  # [B, n_chunks] int32 page tables
 
 
 class GenCarry(NamedTuple):
@@ -290,9 +296,32 @@ class SpecEngine:
             sp = sh.state_pspecs(sp=n_sp > 1,
                                  ring=self.dcfg.ring_size is not None)
             state = DecodeState(*[
-                jax.device_put(x, jax.sharding.NamedSharding(self.mesh, sp[f]))
+                x if x is None else jax.device_put(
+                    x, jax.sharding.NamedSharding(self.mesh, sp[f]))
                 for f, x in zip(DecodeState._fields, state)])
         return state
+
+    def init_paged_state(self, batch: int, n_pages: int, n_chunks: int,
+                         dtype=jnp.bfloat16) -> DecodeState:
+        """Paged decode state (`ecfg.attn_impl = PagedAttn(page)`): target KV
+        as shared page pools [L, n_pages, Hkv, page, D] + per-row page
+        tables [batch, n_chunks]; the draft cache stays dense (O(window)).
+        Used by `serve.SpecServer(kv="paged")` — a row's logical capacity is
+        n_chunks * page tokens, its physical footprint only its USED pages.
+        """
+        cfg = self.cfg
+        page = self.ecfg.attn_impl.page
+        hd = cfg.head_dim_
+        pool = (cfg.num_layers, n_pages, cfg.num_kv_heads, page, hd)
+        d_rows = self.dcfg.ring_size if self.dcfg.ring_size else n_chunks * page
+        d_shape = (batch, cfg.num_kv_heads, d_rows, hd)
+        return DecodeState(
+            kv_k=jnp.zeros(pool, dtype), kv_v=jnp.zeros(pool, dtype),
+            d_kv_k=jnp.zeros(d_shape, dtype), d_kv_v=jnp.zeros(d_shape, dtype),
+            cache_lens=jnp.zeros((batch,), jnp.int32),
+            d_cache_lens=jnp.zeros((batch,), jnp.int32),
+            tables=jnp.zeros((batch, n_chunks), jnp.int32),
+        )
 
     def _prefill_impl(self, params, draft_params, tokens, lengths,
                       state: DecodeState, rng):
@@ -340,7 +369,8 @@ class SpecEngine:
             smask = jnp.ones((b, 1, 1), bool)
             h, kv_k, kv_v = M.forward_append(
                 params, cfg, cur[:, None], pos, smask, st.cache_lens,
-                st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl)
+                st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl,
+                tables=st.tables)
             logits = M.logits_at(params, h[:, 0])
             nxt = _sample(logits, k1, self.ecfg.temperature)
             nxt = jnp.where(done, cfg.eos_token_id, nxt)
@@ -384,7 +414,8 @@ class SpecEngine:
             draft_params, cfg, dcfg, emb, pos,
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
             st.kv_k[-1], st.kv_v[-1], ca_hi,
-            attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
+            attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens,
+            tables=st.tables)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
         logits = self._draft_logits(params, bonus_h)  # [B, V] fp32
@@ -410,7 +441,8 @@ class SpecEngine:
             hi, dkk, dkv = G.glide_forward(
                 draft_params, cfg, dcfg, embi, posi, dkk, dkv, dcl,
                 st.kv_k[-1], st.kv_v[-1], st.cache_lens[:, None],
-                suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl)
+                suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl,
+                tables=st.tables)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             li = self._draft_logits(params, hi[:, 0])
             cur = _sample(li, jax.random.fold_in(k_draft, s_i),
@@ -427,7 +459,7 @@ class SpecEngine:
         cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
         hv, kv_k, kv_v = M.forward_append(
             params, cfg, spec, pos_t, cmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl)
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables)
         ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
         emit, correct_len, rng = _chain_accept(spec, spec_logits, ver_logits,
                                                ecfg.temperature, rng)
@@ -448,7 +480,8 @@ class SpecEngine:
         num = carry.num + jnp.sum(~carry.done)
         acc_len = jnp.where(done, 1, correct_len)
 
-        st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens_out)
+        st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens_out,
+                         st.tables)
         return GenCarry(st, acc_tokens_new, acc_len, output_ids, out_len, done,
                         count, num, carry.rounds + 1, rng, carry.out_cap)
 
@@ -555,7 +588,7 @@ class SpecEngine:
         cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
         hv, kv_k, kv_v = M.forward_append(
             params, cfg, spec, pos_t, cmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl)
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables)
         ver_logits = M.logits_at(params, hv)
         emit, correct_len, rng = _chain_accept(spec, spec_logits, ver_logits,
                                                ecfg.temperature, rng)
@@ -573,7 +606,8 @@ class SpecEngine:
         num = carry.num + jnp.sum(~carry.done)
         acc_len = jnp.where(done, 1, correct_len)
 
-        st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens)
+        st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens,
+                         st.tables)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
                         count, num, carry.rounds + 1, rng, carry.out_cap)
 
@@ -601,7 +635,8 @@ class SpecEngine:
             draft_params, cfg, dcfg, emb, pos,
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
             st.kv_k[-1], st.kv_v[-1], ca_hi,
-            attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens)
+            attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens,
+            tables=st.tables)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         root_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
 
@@ -670,7 +705,7 @@ class SpecEngine:
                 jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
                 suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
                 suffix_kv=(tk, tv), suffix_write_offset=lo,
-                d_written=d_cache_lens)
+                d_written=d_cache_lens, tables=st.tables)
             if need_q:
                 logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l),
                                             axis=-1)
@@ -732,7 +767,8 @@ class SpecEngine:
         pos_t = st.cache_lens[:, None] + depth
         hv, _, _, new_k, new_v = M.forward_append(
             params, cfg, tree_tokens, pos_t, tmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True)
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
+            tables=st.tables)
         tgt_logits = M.logits_at(params, hv)  # [B, N, V] fp32
 
         # ---- 4. accept ----
@@ -765,6 +801,11 @@ class SpecEngine:
                                        st.cache_lens, ecfg.attn_impl.axis)
             kv_v = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_v, sel_v,
                                        st.cache_lens, ecfg.attn_impl.axis)
+        elif ecfg.attn_impl == "paged":
+            from ..ops.pallas_paged import write_paged_rows
+            wr = jax.vmap(write_paged_rows, in_axes=(0, 0, None, None))
+            kv_k = wr(st.kv_k, sel_k, st.tables, st.cache_lens)
+            kv_v = wr(st.kv_v, sel_v, st.tables, st.cache_lens)
         else:
             wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
             kv_k = wr(st.kv_k, sel_k, st.cache_lens)
@@ -783,7 +824,8 @@ class SpecEngine:
         num = carry.num + jnp.sum(~carry.done)
         acc_len = jnp.where(done, 1, acc_num)
 
-        st = DecodeState(kv_k, kv_v, d_kv_k, d_kv_v, cache_lens, d_cache_lens)
+        st = DecodeState(kv_k, kv_v, d_kv_k, d_kv_v, cache_lens, d_cache_lens,
+                         st.tables)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
                         count, num, carry.rounds + 1, rng, carry.out_cap)
 
@@ -836,6 +878,12 @@ class SpecEngine:
              s_max: Optional[int] = None):
         """Shared driver. Returns dict with output_ids, count, num, elapsed."""
         cfg, ecfg = self.cfg, self.ecfg
+        if ecfg.attn_impl == "paged":
+            raise NotImplementedError(
+                "paged KV is a SERVING memory model: page tables are per-"
+                "admission state owned by serve.SpecServer(kv='paged'); "
+                "standalone generate() uses a dense per-row cache — build "
+                "the engine with attn_impl='chunked'/'pallas' instead")
         input_ids = jnp.asarray(input_ids, jnp.int32)
         b, s = input_ids.shape
         prompt_lens = jnp.asarray(prompt_lens, jnp.int32)

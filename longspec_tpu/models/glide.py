@@ -226,6 +226,9 @@ def glide_forward(
     suffix_write_offset: int = 0,
     d_written: Optional[jnp.ndarray] = None,    # [B] true written count
                                                 # (ring mode w/ suffix_kv)
+    tables: Optional[jnp.ndarray] = None,       # [B, n_chunks] page tables
+                                                # (attn_impl "paged": llm_k/v
+                                                # are page POOLS)
 ):
     """One GLIDE layer step over T new tokens.
 
@@ -295,9 +298,12 @@ def glide_forward(
                                            positions, d_written,
                                            dcfg.window, dcfg.anchors)
     else:
+        # the draft's OWN cache is always dense (it is O(window) small), so
+        # paged mode only applies to the cross-attention below
+        sa_impl = "chunked" if attn_impl == "paged" else attn_impl
         o_p, lse_p = sliced_prefix_attention(q, d_kv_k, d_kv_v, d_cache_lens,
                                              positions, dcfg.window,
-                                             dcfg.anchors, attn_impl)
+                                             dcfg.anchors, sa_impl)
     o_s, lse_s = att.attend_masked(q, sk, sv, suffix_mask)
     o = att.merge_attention(o_p, lse_p, o_s, lse_s)
     o = qdot(o.astype(hidden.dtype).reshape(b, t, -1), draft_params["sa"]["wo"])
@@ -308,7 +314,7 @@ def glide_forward(
     qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
     qc = apply_rope(qc, cos, sin)
     o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi, positions,
-                                     None, 0, attn_impl)
+                                     None, 0, attn_impl, tables=tables)
     o_c = qdot(o_c.astype(hidden.dtype).reshape(b, t, -1),
                   draft_params["ca"]["wo"])
     hidden = hidden + o_c

@@ -136,6 +136,11 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
     q: [B, S, H, D]; k, v: cache layout [B, Hkv, S', D] (S' >= S).
     """
     b, s, h, d = q.shape
+    if attn_impl == "paged":
+        # prefill computes over the FRESH contiguous K/V it just projected;
+        # paging only changes where the cache rows are STORED (the server
+        # scatters them into the pool at admission)
+        attn_impl = "chunked"
     if attn_impl == "dense":
         mask = att.prefill_mask(s, lengths, window=window, anchors=anchors)
         return att.attend_masked(q, k.transpose(0, 2, 1, 3),
@@ -178,7 +183,7 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
 
 
 def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
-                            attn_impl: str, chunk: int = 1024):
+                            attn_impl: str, chunk: int = 1024, tables=None):
     """Attention of q over cache rows [0, k_hi) with optional sliding window.
 
     q: [B, Tq, H, D]; caches: [B, Hkv, S, D]. k_hi: [B] or [B, Tq] per-query
@@ -186,6 +191,9 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
     kvcache-causal semantics of flash_attn_with_kvcache used by the draft's
     cross-attention re-encode, ref `llama_glide.py:261-265`).
     Returns (o fp32, lse fp32).
+
+    attn_impl "paged" (`ops.pallas_paged.PagedAttn`): the caches are page
+    POOLS [n_pages, Hkv, page, D] addressed through `tables` [B, n_chunks].
     """
     b, tq = q.shape[:2]
     if k_hi.ndim == 1:
@@ -209,6 +217,11 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
     elif attn_impl == "pallas":
         from ..ops.pallas_decode import flash_decode
         return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window, anchors)
+    elif attn_impl == "paged":
+        from ..ops.pallas_paged import paged_flash_decode
+        assert tables is not None, "paged attention needs page tables"
+        return paged_flash_decode(q, k_cache, v_cache, tables, k_hi2, q_pos,
+                                  window, anchors)
     elif attn_impl == "sp":
         # exact decode/verify attention over a sequence-sharded cache
         from ..parallel.ring import sp_flash_decode
@@ -329,7 +342,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                    positions: jnp.ndarray, suffix_mask: jnp.ndarray,
                    cache_lens: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                    attn_impl: str = "dense", write_at: Optional[jnp.ndarray] = None,
-                   collect_kv: bool = False):
+                   collect_kv: bool = False, tables=None):
     """Hybrid-attention step over T new tokens.
 
     tokens: [B, T]; positions: [B, T] absolute; suffix_mask: [B, T, T]
@@ -360,6 +373,9 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             from ..parallel.ring import sp_write_cache_rows
             return sp_write_cache_rows(attn_impl.mesh, c, new, write_at,
                                        attn_impl.axis)
+        if attn_impl == "paged":
+            from ..ops.pallas_paged import write_paged_rows
+            return write_paged_rows(c, new, tables, write_at)
         return write_cache_rows(c, new, write_at)
 
     def layer(h, lp_kv):
@@ -372,7 +388,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             ck = write_rows(ck, k)
             cv = write_rows(cv, v)
         o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens, positions,
-                                             None, 0, attn_impl)
+                                             None, 0, attn_impl, tables=tables)
         o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
         o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])

@@ -35,6 +35,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+class PagedAttn(str):
+    """`attn_impl` marker for paged-KV decode (mirrors `parallel.ring.SPAttn`).
+
+    Behaves as the string ``"paged"`` through every existing dispatch while
+    carrying the STATIC page size. The page table is dynamic per-batch state
+    (`engine.DecodeState.tables`) and flows as a traced argument — never
+    inside this marker, which jit treats as a compile-time constant.
+
+    Paged mode covers the DECODE path (forward_append / glide_forward over
+    pooled target KV). Prefill runs on a dense batch-1 state and is
+    scattered into the pool at admission (`serve.SpecServer(kv="paged")`),
+    so prefill dispatch maps "paged" -> "chunked".
+    """
+    def __new__(cls, page: int):
+        self = super().__new__(cls, "paged")
+        self.page = int(page)
+        return self
+
+
 def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
                   o_ref, lse_ref, m_scr, l_scr, acc_scr,
                   *, scale, page, window, anchors):

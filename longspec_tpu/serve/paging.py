@@ -140,19 +140,25 @@ class PagePool:
 
     # -- kernel-facing views -------------------------------------------
 
-    def table(self, uid: int, n_chunks: int) -> np.ndarray:
-        """[n_chunks] int32 page-table row, padded with the last page id
-        (padding is never dereferenced: the kernel clamps to pages-used)."""
+    def table(self, uid: int, n_chunks: int,
+              pad: Optional[int] = None) -> np.ndarray:
+        """[n_chunks] int32 page-table row. Padding defaults to the last
+        page id — safe for READS (the kernel clamps to pages-used). Callers
+        that may WRITE through padded entries (e.g. a fixed-width prefill
+        scatter) must pass `pad` = a reserved scratch page so out-of-range
+        rows land there instead of corrupting the sequence's last page."""
         pages = self._seqs[uid]
         if len(pages) > n_chunks:
             raise ValueError(f"uid {uid} holds {len(pages)} pages > "
                              f"table width {n_chunks}")
-        pad = pages[-1] if pages else 0
+        if pad is None:
+            pad = pages[-1] if pages else 0
         row = pages + [pad] * (n_chunks - len(pages))
         return np.asarray(row, np.int32)
 
-    def batch_table(self, uids, n_chunks: int) -> np.ndarray:
-        return np.stack([self.table(u, n_chunks) for u in uids])
+    def batch_table(self, uids, n_chunks: int,
+                    pad: Optional[int] = None) -> np.ndarray:
+        return np.stack([self.table(u, n_chunks, pad) for u in uids])
 
 
 def alloc_paged_kv(n_pages: int, hkv: int, page: int, head_dim: int,

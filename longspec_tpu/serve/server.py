@@ -72,7 +72,8 @@ class SpecServer:
                  max_new_cap: int = 512, method: str = "tree",
                  prefill_buckets=(128, 512, 2048, 8192),
                  state_dtype=jnp.bfloat16, seed: int = 0,
-                 policy: str = "fifo"):
+                 policy: str = "fifo", kv: str = "slots",
+                 pool_pages: Optional[int] = None):
         if method == "tree":
             self._round_fn = engine._tree_round
             a_max = engine.ecfg.tree_depth + 1
@@ -94,7 +95,37 @@ class SpecServer:
             raise ValueError(f"unknown admission policy {policy!r}")
         self.policy = policy
 
-        state = engine.init_state(n_slots, s_max, state_dtype)
+        # kv="paged": target KV lives in shared page pools; each request's
+        # footprint is its USED pages (prompt + generation budget), not a
+        # full s_max slot. Needs the engine built with
+        # `attn_impl=PagedAttn(page)`; `pool_pages` sizes total physical KV
+        # (default: full slot capacity + 1 scratch page, i.e. no
+        # overcommit — pass fewer pages to overcommit and let admission
+        # queue requests while the pool is full).
+        if kv not in ("slots", "paged"):
+            raise ValueError(f"unknown kv mode {kv!r}")
+        self.kv = kv
+        self._pool = None
+        if kv == "paged":
+            if engine.ecfg.attn_impl != "paged":
+                raise ValueError("kv='paged' needs an engine built with "
+                                 "attn_impl=ops.pallas_paged.PagedAttn(page)")
+            from .paging import PagePool
+            page = engine.ecfg.attn_impl.page
+            self.page = page
+            self.n_chunks = -(-s_max // page)
+            self.s_max = s_max = self.n_chunks * page
+            if pool_pages is None:
+                pool_pages = n_slots * self.n_chunks + 1
+            self._pool = PagePool(pool_pages, page)
+            # reserved scratch page: table rows are padded with it so
+            # fixed-width prefill scatters past a request's allocation land
+            # in scratch instead of another sequence's page
+            self._trash_page = self._pool.alloc(-1, 1)[0]
+            state = engine.init_paged_state(n_slots, pool_pages,
+                                            self.n_chunks, state_dtype)
+        else:
+            state = engine.init_state(n_slots, s_max, state_dtype)
         eos = jnp.full((n_slots,), self.cfg.eos_token_id, jnp.int32)
         self._carry: GenCarry = engine._spec_carry(
             state, eos, max_new_cap, jax.random.PRNGKey(seed), a_max)
@@ -154,6 +185,57 @@ class SpecServer:
             self._insert_jit = jax.jit(impl, donate_argnums=(0,))
         return self._insert_jit(carry, pst, t0, jnp.int32(slot),
                                 jnp.int32(max_new))
+
+    def _insert_paged(self, carry: GenCarry, pst: DecodeState, t0, slot,
+                      max_new, trow: np.ndarray, bucket: int):
+        """Paged admission: scatter the dense batch-1 prefill's first
+        `bucket` KV rows into the pools through this request's page table.
+        Rows past the allocation land in the scratch page (trow padding)."""
+        if not hasattr(self, "_insert_paged_jit"):
+            self._insert_paged_jit = {}
+        if bucket not in self._insert_paged_jit:
+            eos = self.cfg.eos_token_id
+            from ..ops.pallas_paged import write_paged_rows
+
+            def impl(carry, pst, t0, slot, max_new, trow):
+                st = carry.state
+                upd = jax.lax.dynamic_update_index_in_dim
+                # [L, 1, Hkv, bucket, D] -> [L, 1, bucket, Hkv, D]
+                rk = pst.kv_k[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
+                rv = pst.kv_v[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
+                tables = st.tables.at[slot].set(trow)
+                t1 = tables[slot][None]              # [1, n_chunks]
+                z = jnp.zeros((1,), jnp.int32)
+                wr = jax.vmap(write_paged_rows, in_axes=(0, 0, None, None))
+                state = DecodeState(
+                    kv_k=wr(st.kv_k, rk, t1, z),
+                    kv_v=wr(st.kv_v, rv, t1, z),
+                    d_kv_k=upd(st.d_kv_k, pst.d_kv_k[0], slot, 0),
+                    d_kv_v=upd(st.d_kv_v, pst.d_kv_v[0], slot, 0),
+                    cache_lens=st.cache_lens.at[slot].set(pst.cache_lens[0]),
+                    d_cache_lens=st.d_cache_lens.at[slot].set(
+                        pst.d_cache_lens[0]),
+                    tables=tables,
+                )
+                t = t0[0]
+                acc_row = jnp.zeros((carry.acc_tokens.shape[1],),
+                                    jnp.int32).at[0].set(t)
+                out_row = jnp.full((carry.output_ids.shape[1],), eos,
+                                   jnp.int32).at[0].set(t)
+                return carry._replace(
+                    state=state,
+                    acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
+                    acc_len=carry.acc_len.at[slot].set(1),
+                    output_ids=carry.output_ids.at[slot].set(out_row),
+                    out_len=carry.out_len.at[slot].set(1),
+                    done=carry.done.at[slot].set(t == eos),
+                    out_cap=carry.out_cap.at[slot].set(max_new),
+                )
+
+            self._insert_paged_jit[bucket] = jax.jit(impl, donate_argnums=(0,))
+        return self._insert_paged_jit[bucket](
+            carry, pst, t0, jnp.int32(slot), jnp.int32(max_new),
+            jnp.asarray(trow, jnp.int32))
 
     def _finish_slot(self, carry: GenCarry, slot):
         if not hasattr(self, "_finish_jit"):
@@ -225,6 +307,14 @@ class SpecServer:
             uid = self._pop_next()
             req = self._requests[uid]
             l = len(req.tokens)
+            if self._pool is not None:
+                # paged: reserve exactly this request's capacity; if the
+                # pool is full, requeue and wait for a harvest to free pages
+                need = l + req.max_new_tokens + self.a_max + 8
+                if not self._pool.can_alloc(need):
+                    self._queue.insert(0, uid)
+                    break
+                self._pool.alloc(uid, need)
             bucket = next((b for b in self.prefill_buckets if b >= l),
                           self.prefill_buckets[-1])
             if bucket < l:
@@ -254,8 +344,15 @@ class SpecServer:
                                           jnp.asarray(padded),
                                           jnp.asarray([l], jnp.int32),
                                           self._pstate, rng)
-            self._carry = self._insert(self._carry, self._pstate, t0, slot,
-                                       req.max_new_tokens)
+            if self._pool is not None:
+                trow = self._pool.table(uid, self.n_chunks,
+                                        pad=self._trash_page)
+                self._carry = self._insert_paged(self._carry, self._pstate,
+                                                 t0, slot, req.max_new_tokens,
+                                                 trow, bucket)
+            else:
+                self._carry = self._insert(self._carry, self._pstate, t0,
+                                           slot, req.max_new_tokens)
             self._slot_uid[slot] = uid
             self._slot_max_new[slot] = req.max_new_tokens
 
@@ -287,6 +384,8 @@ class SpecServer:
                 latency_s=time.perf_counter() - req.enqueued_s,
                 finish_reason="stop" if len(eos_pos) else "length"))
             self._slot_uid[slot] = None
+            if self._pool is not None:
+                self._pool.free(uid)
             self.tokens_served += len(row)
             self.completions_served += 1
         return finished
@@ -335,7 +434,7 @@ class SpecServer:
     def stats(self) -> dict:
         elapsed = (time.perf_counter() - self._t_serve_start
                    if self._t_serve_start else 0.0)
-        return {
+        out = {
             "tokens_served": self.tokens_served,
             "completions": self.completions_served,
             "elapsed_s": round(elapsed, 3),
@@ -343,3 +442,6 @@ class SpecServer:
             "pending": self.pending,
             "active_slots": self.active_slots,
         }
+        if self._pool is not None:
+            out["pool"] = self._pool.stats()
+        return out

@@ -162,3 +162,86 @@ def test_pool_stats_lifecycle():
     s = pool.stats()
     assert s["used_pages"] == 8 and s["utilization"] == 1.0
     assert s["pages_cycled"] == 12 and s["peak_used_pages"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Paged SERVING: the engine decode loop over pooled KV (attn_impl=PagedAttn)
+# ---------------------------------------------------------------------------
+
+def _paged_fixture(page=16):
+    from longspec_tpu.config import DraftConfig, EngineConfig, tiny_test
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.engine.engine import SpecEngine
+    from longspec_tpu.ops.pallas_paged import PagedAttn
+    cfg = tiny_test(vocab_size=151, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    dcfg = DraftConfig(window=8)
+    dense = SpecEngine(params, dparams, cfg, dcfg,
+                       EngineConfig(tree_shape=(2, 3, 3), gamma=3,
+                                    attn_impl="dense"))
+    paged = SpecEngine(params, dparams, cfg, dcfg,
+                       EngineConfig(tree_shape=(2, 3, 3), gamma=3,
+                                    attn_impl=PagedAttn(page)))
+    return cfg, dense, paged
+
+
+def _standalone(eng, toks, max_new):
+    out = eng.tree_spec_generate(np.asarray([toks]),
+                                 np.asarray([len(toks)], np.int32),
+                                 max_gen_len=max_new, state_dtype=jnp.float32)
+    keep = []
+    for t in out["output_ids"][0][:max_new]:
+        if int(t) == eng.cfg.eos_token_id:
+            break
+        keep.append(int(t))
+    return keep
+
+
+def test_paged_server_token_exact():
+    """Continuous batching over POOLED KV emits exactly the dense engine's
+    tokens — page indirection changes memory layout, never the law."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_fixture()
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     prefill_buckets=(32,), state_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(2, cfg.vocab_size, (l,)).tolist()
+               for l in (11, 7, 19, 13)]
+    uids = [srv.submit(p, 12) for p in prompts]
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    for uid, p in zip(uids, prompts):
+        assert comps[uid].tokens == _standalone(dense, p, 12), uid
+    st = srv.stats()["pool"]
+    assert st["reuse_factor"] > 0 and st["frees"] == len(prompts)
+
+
+def test_paged_pool_overcommit_queues():
+    """A pool SMALLER than n_slots x slot capacity: admission waits for
+    pages instead of crashing, every request still completes exactly."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_fixture()
+    # each request needs ceil((l + 12 + 4 + 8)/16) <= 3 pages; 4 pages total
+    # (+1 scratch) => only one request resident at a time despite 2 slots
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     pool_pages=5, prefill_buckets=(32,),
+                     state_dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(2, cfg.vocab_size, (l,)).tolist()
+               for l in (9, 14, 12)]
+    uids = [srv.submit(p, 12) for p in prompts]
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    assert sorted(comps) == sorted(uids)
+    for uid, p in zip(uids, prompts):
+        assert comps[uid].tokens == _standalone(dense, p, 12), uid
+    assert srv.stats()["pool"]["peak_used_pages"] <= 4
+
+
+def test_paged_engine_standalone_generate_rejected():
+    """Standalone generate() has no page tables — must fail loudly, not
+    silently decode garbage."""
+    _, _, paged = _paged_fixture()
+    with pytest.raises(NotImplementedError, match="paged"):
+        paged.tree_spec_generate(np.zeros((1, 8), np.int32),
+                                 np.asarray([8], np.int32), max_gen_len=4)
