@@ -80,13 +80,9 @@ def main(argv=None):
         decode=lambda ts: tokenizer.decode(list(ts)),
         default_max_tokens=args.default_max_tokens).start()
     print(f"serving {fe.model_name} on http://{args.host}:{fe.port} "
-          f"({args.n_slots} slots x {args.s_max} rows, policy={args.policy})")
-    import time
-    try:
-        while True:
-            time.sleep(60)
-    except KeyboardInterrupt:
-        fe.close()
+          f"({args.n_slots} slots x {args.s_max} rows, policy={args.policy}, "
+          f"kv={args.kv})")
+    fe.wait()
 
 
 if __name__ == "__main__":

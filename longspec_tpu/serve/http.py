@@ -171,6 +171,14 @@ class HttpFrontend:
         self._httpd.shutdown()
         self._decode_thread.join(timeout=30)
 
+    def wait(self):
+        """Block until Ctrl-C, then shut down cleanly."""
+        try:
+            while not self._stop.is_set():
+                time.sleep(60)
+        except KeyboardInterrupt:
+            self.close()
+
     def __enter__(self):
         return self.start()
 
@@ -224,55 +232,66 @@ class HttpFrontend:
 
     def _decode_loop(self):
         srv = self.server
-        any_stream = False
         while not self._stop.is_set():
-            with self._lock:
-                inbox, self._inbox = self._inbox, []
-            for tokens, max_new, p in inbox:
-                try:
-                    uid = srv.submit(tokens, max_new)
-                    self._pending[uid] = p
-                    any_stream = any_stream or p.q is not None
-                except ValueError as e:      # over-capacity prompt etc.
-                    p.error = str(e)
+            try:
+                self._decode_tick(srv)
+            except Exception as e:  # noqa: BLE001 — the ONLY decode thread:
+                # an engine error (OOM, compile failure) must fail the
+                # in-flight requests and keep the thread alive for new ones
+                msg = f"decode error: {type(e).__name__}: {e}"
+                with self._lock:
+                    inbox, self._inbox = self._inbox, []
+                pend = list(self._pending.values()) + [p for *_, p in inbox]
+                self._pending.clear()
+                for p in pend:
+                    p.error = msg
                     if p.q is not None:
-                        p.q.put(("error", str(e)))
+                        p.q.put(("error", msg))
                     p.event.set()
-            if srv.pending or srv.active_slots:
-                # shorter decode segments while streaming: delta latency is
-                # bounded by rounds-per-step x round time
-                finished = srv.step(rounds=4 if any_stream else 16)
-                if any_stream:
-                    for uid, toks in srv.partials().items():
-                        p = self._pending.get(uid)
-                        if p is not None and p.q is not None \
-                                and len(toks) > p.sent:
-                            p.q.put(("delta", toks[p.sent:]))
-                            p.sent = len(toks)
-                for c in finished:
-                    p = self._pending.pop(c.uid, None)
-                    if p is None:
-                        continue
-                    p.completion = c
-                    if p.q is not None:
-                        if len(c.tokens) > p.sent:
-                            p.q.put(("delta", c.tokens[p.sent:]))
-                        p.q.put(("done", c))
-                    p.event.set()
-                if not self._pending:
-                    any_stream = False
-            else:
-                time.sleep(self.idle_sleep_s)
+                time.sleep(0.05)
+
+    def _decode_tick(self, srv):
+        with self._lock:
+            inbox, self._inbox = self._inbox, []
+        for tokens, max_new, p in inbox:
+            try:
+                uid = srv.submit(tokens, max_new)
+                self._pending[uid] = p
+            except ValueError as e:      # over-capacity prompt etc.
+                p.error = str(e)
+                if p.q is not None:
+                    p.q.put(("error", str(e)))
+                p.event.set()
+        if srv.pending or srv.active_slots:
+            # shorter decode segments while a stream is LIVE: delta latency
+            # is bounded by rounds-per-step x round time
+            any_stream = any(p.q is not None for p in self._pending.values())
+            finished = srv.step(rounds=4 if any_stream else 16)
+            if any_stream:
+                for uid, toks in srv.partials().items():
+                    p = self._pending.get(uid)
+                    if p is not None and p.q is not None \
+                            and len(toks) > p.sent:
+                        p.q.put(("delta", toks[p.sent:]))
+                        p.sent = len(toks)
+            for c in finished:
+                p = self._pending.pop(c.uid, None)
+                if p is None:
+                    continue
+                p.completion = c
+                if p.q is not None:
+                    if len(c.tokens) > p.sent:
+                        p.q.put(("delta", c.tokens[p.sent:]))
+                    p.q.put(("done", c))
+                p.event.set()
+        else:
+            time.sleep(self.idle_sleep_s)
 
 
 def serve(server: SpecServer, host: str = "127.0.0.1", port: int = 8000,
           **kw) -> HttpFrontend:
-    """Start serving and return the running frontend (blocks: Ctrl-C to
-    stop). For embedded use, construct HttpFrontend and call .start()."""
+    """Start serving and block until Ctrl-C. For embedded use, construct
+    HttpFrontend and call .start()."""
     fe = HttpFrontend(server, host=host, port=port, **kw).start()
-    try:
-        while True:
-            time.sleep(3600)
-    except KeyboardInterrupt:
-        fe.close()
+    fe.wait()
     return fe

@@ -124,6 +124,11 @@ class SpecServer:
             self._trash_page = self._pool.alloc(-1, 1)[0]
             state = engine.init_paged_state(n_slots, pool_pages,
                                             self.n_chunks, state_dtype)
+            # never-admitted (and harvested) slots still scatter through
+            # their table rows each round — point every row at scratch, not
+            # at whatever page id 0 belongs to
+            state = state._replace(tables=jnp.full(
+                (n_slots, self.n_chunks), self._trash_page, jnp.int32))
         else:
             state = engine.init_state(n_slots, s_max, state_dtype)
         eos = jnp.full((n_slots,), self.cfg.eos_token_id, jnp.int32)
@@ -252,6 +257,14 @@ class SpecServer:
         if len(tokens) + max_new_tokens + self.a_max + 8 > self.s_max:
             raise ValueError(f"prompt {len(tokens)} + max_new {max_new_tokens}"
                              f" exceeds slot capacity {self.s_max}")
+        if self._pool is not None:
+            # a request that can never fit the pool would requeue forever
+            need = -(-(len(tokens) + max_new_tokens + self.a_max + 8)
+                     // self.page)
+            usable = self._pool.n_pages - 1  # minus the scratch page
+            if need > usable:
+                raise ValueError(f"request needs {need} pages but the pool "
+                                 f"holds only {usable} usable pages")
         uid = self._next_uid
         self._next_uid += 1
         req = Request(uid=uid, tokens=tokens, priority=priority,
@@ -376,15 +389,30 @@ class SpecServer:
                         *self.cfg.extra_eos_token_ids)
             eos_pos = np.nonzero(np.isin(row, stop_ids))[0]
             stop = eos_pos[0] if len(eos_pos) else n_emit
+            # "stop" only if the eos landed WITHIN the budget; an eos past
+            # max_new is cut by the budget and the client should continue
+            stopped = len(eos_pos) > 0 and stop < self._slot_max_new[slot]
             # budget bound: max_new generated tokens total (t0 counts)
             row = row[:min(stop, self._slot_max_new[slot])].tolist()
             req = self._requests.pop(uid)
             finished.append(Completion(
                 uid=uid, tokens=row, prompt_len=len(req.tokens),
                 latency_s=time.perf_counter() - req.enqueued_s,
-                finish_reason="stop" if len(eos_pos) else "length"))
+                finish_reason="stop" if stopped else "length"))
             self._slot_uid[slot] = None
             if self._pool is not None:
+                # retarget the slot's table at the scratch page BEFORE the
+                # pages are freed: done rows still scatter KV through their
+                # table every round (the jitted commit has no done mask), and
+                # a stale row would corrupt pages reallocated to another slot
+                if not hasattr(self, "_retable_jit"):
+                    self._retable_jit = jax.jit(
+                        lambda c, s, p: c._replace(state=c.state._replace(
+                            tables=c.state.tables.at[s].set(p))),
+                        donate_argnums=(0,))
+                self._carry = self._retable_jit(
+                    self._carry, jnp.int32(slot),
+                    jnp.int32(self._trash_page))
                 self._pool.free(uid)
             self.tokens_served += len(row)
             self.completions_served += 1

@@ -245,3 +245,38 @@ def test_paged_engine_standalone_generate_rejected():
     with pytest.raises(NotImplementedError, match="paged"):
         paged.tree_spec_generate(np.zeros((1, 8), np.int32),
                                  np.asarray([8], np.int32), max_gen_len=4)
+
+
+def test_paged_freed_slot_table_cannot_corrupt_reused_pages():
+    """Two requests finish in the same harvest; their pages are immediately
+    reallocated to a third admitted into the OTHER slot. The idle slot's
+    jitted rounds still scatter KV through its table every round — harvest
+    must retarget it at the scratch page or the third request's KV gets
+    silently corrupted (regression)."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_fixture(page=8)
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     prefill_buckets=(32,), state_dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    # r1/r2: short, finish together; r3: long prompt spanning many pages so
+    # a stale write at r2's old offsets would land inside r3's prompt KV
+    short = [rng.integers(2, cfg.vocab_size, (6,)).tolist() for _ in range(2)]
+    long_p = rng.integers(2, cfg.vocab_size, (60,)).tolist()
+    uids = [srv.submit(p, 4) for p in short] + [srv.submit(long_p, 16)]
+    comps = {c.uid: c for c in srv.run(rounds_per_step=2)}
+    assert sorted(comps) == sorted(uids)
+    assert comps[uids[2]].tokens == _standalone(dense, long_p, 16)
+    for uid, p in zip(uids[:2], short):
+        assert comps[uid].tokens == _standalone(dense, p, 4), uid
+
+
+def test_paged_submit_rejects_over_pool():
+    """A request that could never fit the pool must be rejected at submit
+    instead of spinning in the admission queue forever (regression)."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_fixture()
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     pool_pages=5, prefill_buckets=(32,),
+                     state_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="pool"):
+        srv.submit(list(range(2, 62)), 12)   # needs 6 pages, 4 usable
