@@ -337,6 +337,8 @@ def glide_prefill(
     d_kv_k: jnp.ndarray, d_kv_v: jnp.ndarray,
     llm_k: jnp.ndarray, llm_v: jnp.ndarray,  # [B, Hkv, S, D]
     attn_impl: str = "chunked",
+    tables=None,                             # [B, n_chunks] ("paged": llm_*
+                                             # are page POOLS)
 ):
     """Memory-safe draft prompt prefill (ref `llama_glide.py:206-233` +
     ca_prefill `:263-265`): window-causal SA over the prompt, lag-0 causal CA
@@ -366,8 +368,16 @@ def glide_prefill(
     qc = apply_rope(qc, cos, sin)
     # lag-0 causal CA over the target KV == causal self-attn masking with
     # external keys (query i attends llm rows [0, i+1)); q-blocked for memory.
-    o_c, _ = causal_self_attention(qc, llm_k[:, :, :s], llm_v[:, :, :s],
-                                   lengths, None, 0, attn_impl)
+    if attn_impl == "paged" and tables is not None:
+        from .llama import paged_causal_attention
+        o_c, _ = paged_causal_attention(qc, llm_k, llm_v, tables, positions,
+                                        lengths=lengths)
+    else:
+        # tables=None under "paged": the DENSE batch-1 admission prefill —
+        # llm_* are contiguous caches (causal_self_attention maps paged ->
+        # chunked internally)
+        o_c, _ = causal_self_attention(qc, llm_k[:, :, :s], llm_v[:, :, :s],
+                                       lengths, None, 0, attn_impl)
     hidden = hidden + qdot(o_c.astype(hidden.dtype).reshape(b, s, -1),
                            draft_params["ca"]["wo"])
 

@@ -302,6 +302,75 @@ def _final(params, cfg, h):
     return rms_norm(h, params["final_norm"], cfg.rms_norm_eps)
 
 
+def paged_causal_attention(q, k_pool, v_pool, tables, positions,
+                           lengths=None, chunk: int = 256):
+    """Memory-safe causal attention of a FULL sequence of queries over
+    pooled KV: query i attends logical rows [0, min(i+1, lengths)). Scans
+    fixed-size query chunks through `paged_flash_decode` (whose per-query
+    k_hi bound provides the causal mask), so nothing O(S^2) — and the VMEM
+    footprint stays at decode scale regardless of S. The prefix-cache
+    prefill path: suffix queries attend shared prefix pages + their own
+    freshly written rows. Returns (o fp32, lse fp32)."""
+    from ..ops.pallas_paged import paged_flash_decode
+    b, s, h, d = q.shape
+    k_hi = positions + 1
+    if lengths is not None:
+        k_hi = jnp.minimum(k_hi, lengths[:, None])
+    n_blocks = -(-s // chunk)
+    pad = n_blocks * chunk - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        k_hi = jnp.pad(k_hi, ((0, 0), (0, pad)), constant_values=1)
+        positions = jnp.pad(positions, ((0, 0), (0, pad)))
+    qb = q.reshape(b, n_blocks, chunk, h, d).transpose(1, 0, 2, 3, 4)
+    khb = k_hi.reshape(b, n_blocks, chunk).transpose(1, 0, 2)
+    pb = positions.reshape(b, n_blocks, chunk).transpose(1, 0, 2)
+
+    def body(_, inp):
+        qi, ki, pi = inp
+        return None, paged_flash_decode(qi, k_pool, v_pool, tables, ki, pi)
+
+    _, (o, lse) = jax.lax.scan(body, None, (qb, khb, pb))
+    o = o.transpose(1, 0, 2, 3, 4).reshape(b, n_blocks * chunk, h, d)
+    lse = lse.transpose(1, 0, 2, 3).reshape(b, n_blocks * chunk, h)
+    return o[:, :s], lse[:, :s]
+
+
+def paged_prefill_extend(params, cfg: ModelConfig, tokens: jnp.ndarray,
+                         s0: jnp.ndarray, tables: jnp.ndarray,
+                         kv_k: jnp.ndarray, kv_v: jnp.ndarray):
+    """Prefill CONTINUATION over pooled KV: encode `tokens` [B, Tsfx] at
+    positions s0.., writing their KV into the pool and attending the cached
+    prefix pages causally — the compute-reuse half of prefix caching (the
+    prefix's L-layer prefill is skipped entirely; only the suffix is run).
+    Returns (hidden [B, Tsfx, Dm], kv_k, kv_v)."""
+    from ..ops.pallas_paged import write_paged_rows
+    b, t = tokens.shape
+    hd = cfg.head_dim_
+    positions = s0[:, None] + jnp.arange(t)[None, :]
+    cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta,
+                            scaling=cfg.rope_scaling)
+    h = embed(params, tokens)
+
+    def layer(h, lp_kv):
+        lp, (ck, cv) = lp_kv
+        x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = qkv(x, lp, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ck = write_paged_rows(ck, k, tables, s0)
+        cv = write_paged_rows(cv, v, tables, s0)
+        o, _ = paged_causal_attention(q, ck, cv, tables, positions)
+        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
+        h = h + o
+        x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+        h = h + mlp(x, lp)
+        return h, (ck, cv)
+
+    h, (kv_k, kv_v) = jax.lax.scan(layer, h, (params["layers"], (kv_k, kv_v)))
+    return _final(params, cfg, h), kv_k, kv_v
+
+
 def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
                     lengths: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                     attn_impl: str = "dense", positions: Optional[jnp.ndarray] = None):

@@ -19,7 +19,8 @@ nothing touches the device.
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -42,11 +43,20 @@ class PagePool:
         self._free: List[int] = list(range(n_pages - 1, -1, -1))
         self._seqs: Dict[int, List[int]] = {}
         self._lens: Dict[int, int] = {}
+        # prefix cache state (see "prefix cache" section below)
+        self._refs: Dict[int, int] = {}       # live page -> refcount
+        self._cached: "OrderedDict[int, None]" = OrderedDict()  # LRU, 0-ref
+        self._page_hash: Dict[int, int] = {}  # page -> chain id
+        self._hash2page: Dict[int, int] = {}  # chain id -> page
+        self._chains: Dict[tuple, int] = {}   # (parent, chunk) -> chain id
+        self._next_chain = 1
         # lifetime counters (serving observability; `stats()`)
         self._allocs = 0          # alloc() calls
         self._extends = 0         # extend() calls that took >=1 page
         self._frees = 0           # free() calls
-        self._pages_cycled = 0    # pages handed out over the pool lifetime
+        self._pages_cycled = 0    # fresh pages handed out over the lifetime
+        self._pages_reused = 0    # prefix-cache hits (refcounted shares)
+        self._evictions = 0       # cached pages reclaimed under pressure
         self._peak_used = 0       # high-water mark of in-use pages
 
     # -- accounting -----------------------------------------------------
@@ -57,7 +67,8 @@ class PagePool:
 
     @property
     def used_pages(self) -> int:
-        return self.n_pages - len(self._free)
+        """Pages referenced by live sequences (cached 0-ref pages excluded)."""
+        return len(self._refs)
 
     def stats(self) -> dict:
         """Pool observability: utilization, reuse, and churn.
@@ -84,6 +95,9 @@ class PagePool:
             "pages_cycled": self._pages_cycled,
             "reuse_factor": round(self._pages_cycled / self.n_pages, 4),
             "waste_tokens": waste,
+            "cached_pages": len(self._cached),
+            "pages_reused": self._pages_reused,
+            "evictions": self._evictions,
         }
 
     def pages_of(self, uid: int) -> List[int]:
@@ -95,23 +109,69 @@ class PagePool:
     def _need(self, n_tokens: int) -> int:
         return max(1, -(-n_tokens // self.page))
 
+    @property
+    def cached_pages(self) -> int:
+        """Zero-ref pages retained for prefix reuse (reclaimable)."""
+        return len(self._cached)
+
     def can_alloc(self, n_tokens: int) -> bool:
-        return self._need(n_tokens) <= len(self._free)
+        return self._need(n_tokens) <= len(self._free) + len(self._cached)
+
+    def can_alloc_shared(self, shared_pages: List[int],
+                         n_tokens: int) -> bool:
+        """Like can_alloc, but the first `shared_pages` come from the prefix
+        cache: only the remainder needs fresh pages, and shared pages that
+        currently sit in the LRU cache cannot double as eviction fodder."""
+        n_fresh = self._need(n_tokens) - len(shared_pages)
+        in_cache = sum(1 for p in shared_pages if p in self._cached)
+        return n_fresh <= len(self._free) + len(self._cached) - in_cache
+
+    def _take(self, n: int) -> List[int]:
+        """Take n fresh pages: free list first, then LRU-evict cached
+        prefix pages (their hash entries are dropped)."""
+        if n > len(self._free) + len(self._cached):
+            raise MemoryError(f"pool exhausted: need {n} pages, free "
+                              f"{len(self._free)} + cached "
+                              f"{len(self._cached)}")
+        out = []
+        for _ in range(n):
+            if self._free:
+                p = self._free.pop()
+            else:
+                p, _ = self._cached.popitem(last=False)   # LRU evict
+                self._evictions += 1
+                key = self._page_hash.pop(p)
+                self._hash2page.pop(key, None)
+            self._refs[p] = 1
+            out.append(p)
+        self._pages_cycled += n
+        return out
 
     # -- lifecycle ------------------------------------------------------
 
     def alloc(self, uid: int, n_tokens: int) -> List[int]:
+        return self.alloc_shared(uid, [], n_tokens)
+
+    def alloc_shared(self, uid: int, shared_pages: List[int],
+                     n_tokens: int) -> List[int]:
+        """Reserve capacity for n_tokens, the first pages SHARED with other
+        sequences (prefix cache hit: refcount++ instead of a fresh page).
+        Shared pages must be live or cached (a match_prefix result)."""
         if uid in self._seqs:
             raise KeyError(f"uid {uid} already allocated")
         need = self._need(n_tokens)
-        if need > len(self._free):
-            raise MemoryError(
-                f"pool exhausted: need {need} pages, free {len(self._free)}")
-        pages = [self._free.pop() for _ in range(need)]
+        assert len(shared_pages) <= need, (shared_pages, need)
+        for p in shared_pages:
+            if p in self._cached:           # revive from the LRU cache
+                del self._cached[p]
+                self._refs[p] = 1
+            else:
+                self._refs[p] += 1
+        self._pages_reused += len(shared_pages)
+        pages = list(shared_pages) + self._take(need - len(shared_pages))
         self._seqs[uid] = pages
         self._lens[uid] = n_tokens
         self._allocs += 1
-        self._pages_cycled += need
         self._peak_used = max(self._peak_used, self.used_pages)
         return list(pages)
 
@@ -121,22 +181,90 @@ class PagePool:
         new_len = cur + n_tokens
         have = len(self._seqs[uid])
         need = self._need(new_len) - have
-        if need > len(self._free):
-            raise MemoryError(
-                f"pool exhausted: need {need} pages, free {len(self._free)}")
-        fresh = [self._free.pop() for _ in range(need)]
+        fresh = self._take(need) if need > 0 else []
         self._seqs[uid].extend(fresh)
         self._lens[uid] = new_len
         if fresh:
             self._extends += 1
-            self._pages_cycled += len(fresh)
             self._peak_used = max(self._peak_used, self.used_pages)
         return fresh
 
     def free(self, uid: int) -> None:
-        self._free.extend(reversed(self._seqs.pop(uid)))
+        for p in reversed(self._seqs.pop(uid)):
+            self._refs[p] -= 1
+            if self._refs[p] > 0:
+                continue                      # still shared by another seq
+            del self._refs[p]
+            if p in self._page_hash:          # registered prompt page:
+                self._cached[p] = None        # retain for future prefix hits
+            else:
+                self._free.append(p)
         self._lens.pop(uid)
         self._frees += 1
+
+    # -- prefix cache ----------------------------------------------------
+    #
+    # Page-level prompt-prefix sharing (the paged-attention "automatic
+    # prefix caching" design): a FULL page of prompt tokens is identified by
+    # the chain (all tokens before it, its own tokens) — interned to an int
+    # id, so lookups are exact (no hash collisions can alias different
+    # prefixes). KV of such a page depends only on that token chain and the
+    # absolute positions (causal attention, positions always 0-based at
+    # prefill), so two requests whose prompts agree through page i can share
+    # the physical page. Decode never writes below cache_lens, hence never
+    # into a full prompt page. Zero-ref registered pages are RETAINED in an
+    # LRU and evicted only under allocation pressure.
+
+    def _chain_id(self, parent: int, chunk: tuple, create: bool):
+        key = (parent, chunk)
+        cid = self._chains.get(key)
+        if cid is None and create:
+            cid = self._next_chain
+            self._next_chain += 1
+            self._chains[key] = cid
+        return cid
+
+    def match_prefix(self, tokens) -> Tuple[int, List[int]]:
+        """Longest cached page-aligned prefix of `tokens` usable by a new
+        request. Returns (n_matched_pages, page_ids). At least one token is
+        always left for suffix compute (the last prompt token's hidden state
+        produces the first sampled token), so matching is capped at
+        (len-1) // page pages."""
+        toks = [int(t) for t in tokens]
+        limit = (len(toks) - 1) // self.page
+        pages, parent = [], 0
+        for i in range(limit):
+            chunk = tuple(toks[i * self.page:(i + 1) * self.page])
+            parent = self._chain_id(parent, chunk, create=False)
+            if parent is None:
+                break
+            p = self._hash2page.get(parent)
+            if p is None:
+                break
+            pages.append(p)
+        return len(pages), pages
+
+    def register(self, uid: int, tokens) -> int:
+        """Publish uid's full prompt pages for future prefix sharing.
+        Returns the number of pages registered. Call AFTER the page KV is
+        written (admission)."""
+        toks = [int(t) for t in tokens]
+        pages = self._seqs[uid]
+        n_full = len(toks) // self.page
+        parent, n_reg = 0, 0
+        for i in range(min(n_full, len(pages))):
+            chunk = tuple(toks[i * self.page:(i + 1) * self.page])
+            parent = self._chain_id(parent, chunk, create=True)
+            cur = self._hash2page.get(parent)
+            if cur is not None:
+                continue                      # already published (shared)
+            p = pages[i]
+            if p in self._page_hash:          # page re-registered under a
+                self._hash2page.pop(self._page_hash[p], None)  # new chain
+            self._hash2page[parent] = p
+            self._page_hash[p] = parent
+            n_reg += 1
+        return n_reg
 
     # -- kernel-facing views -------------------------------------------
 

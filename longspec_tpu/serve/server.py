@@ -38,6 +38,8 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..engine.engine import SpecEngine, GenCarry, DecodeState
+from ..models import llama as M
+from ..models import glide as G
 
 
 @dataclass
@@ -145,6 +147,9 @@ class SpecServer:
         self._t_serve_start: Optional[float] = None
         self.tokens_served = 0
         self.completions_served = 0
+        self.prefix_hits = 0            # admissions that reused a prefix
+        self.prefix_tokens_reused = 0   # prompt tokens whose prefill was
+                                        # skipped via the prefix cache
 
     # -- jitted helpers -------------------------------------------------
 
@@ -242,6 +247,85 @@ class SpecServer:
             carry, pst, t0, jnp.int32(slot), jnp.int32(max_new),
             jnp.asarray(trow, jnp.int32))
 
+    def _bucketize(self, n: int) -> int:
+        b = next((b for b in self.prefill_buckets if b >= n),
+                 self.prefill_buckets[-1])
+        return min(max(b, n), self.s_max)
+
+    def _admit_prefix(self, slot: int, uid: int, req: Request, s0: int):
+        """Prefix-cache admission: the first s0 prompt tokens' KV already
+        sits in shared pages, so only the SUFFIX runs the L-layer target
+        prefill (`paged_prefill_extend`, writing straight into the pool);
+        the single-layer draft re-prefills the full prompt (its cache is
+        per-request) with cross-attention reading the pooled target KV."""
+        eng = self.engine
+        cfg, dcfg, ecfg = eng.cfg, eng.dcfg, eng.ecfg
+        l = len(req.tokens)
+        fbucket = self._bucketize(l)
+        sbucket = self._bucketize(l - s0)
+        full = np.zeros((1, fbucket), np.int32)
+        full[0, :l] = req.tokens
+        sfx = np.zeros((1, sbucket), np.int32)
+        sfx[0, :l - s0] = req.tokens[s0:]
+        trow = self._pool.table(uid, self.n_chunks, pad=self._trash_page)
+
+        if not hasattr(self, "_admit_prefix_jit"):
+            self._admit_prefix_jit = {}
+        key = (fbucket, sbucket)
+        if key not in self._admit_prefix_jit:
+            from ..engine.engine import _sample
+
+            def impl(carry, full, sfx, l, s0, trow, slot, max_new, rng):
+                st = carry.state
+                tables = st.tables.at[slot].set(trow)
+                t1 = trow[None]
+                h_sfx, kv_k, kv_v = M.paged_prefill_extend(
+                    eng.params, cfg, sfx, s0[None], t1, st.kv_k, st.kv_v)
+                last_h = jax.lax.dynamic_index_in_dim(
+                    h_sfx[0], l - s0 - 1, axis=0, keepdims=False)
+                logits0 = M.logits_at(eng.params, last_h[None])
+                t = _sample(logits0, rng, ecfg.temperature)[0]
+                # draft: full-prompt prefill (1 layer), CA over pooled KV
+                emb = M.embed(eng.params, full)
+                positions = jnp.broadcast_to(
+                    jnp.arange(fbucket)[None], (1, fbucket))
+                dz = jnp.zeros((1,) + st.d_kv_k.shape[1:], st.d_kv_k.dtype)
+                _, d_k, d_v = G.glide_prefill(
+                    eng.draft_params, cfg, dcfg, emb, positions, l[None],
+                    dz, dz, kv_k[-1], kv_v[-1], attn_impl=ecfg.attn_impl,
+                    tables=t1)
+                upd = jax.lax.dynamic_update_index_in_dim
+                state = DecodeState(
+                    kv_k=kv_k, kv_v=kv_v,
+                    d_kv_k=upd(st.d_kv_k, d_k[0], slot, 0),
+                    d_kv_v=upd(st.d_kv_v, d_v[0], slot, 0),
+                    cache_lens=st.cache_lens.at[slot].set(l),
+                    d_cache_lens=st.d_cache_lens.at[slot].set(l),
+                    tables=tables,
+                )
+                eos = cfg.eos_token_id
+                acc_row = jnp.zeros((carry.acc_tokens.shape[1],),
+                                    jnp.int32).at[0].set(t)
+                out_row = jnp.full((carry.output_ids.shape[1],), eos,
+                                   jnp.int32).at[0].set(t)
+                return carry._replace(
+                    state=state,
+                    acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
+                    acc_len=carry.acc_len.at[slot].set(1),
+                    output_ids=carry.output_ids.at[slot].set(out_row),
+                    out_len=carry.out_len.at[slot].set(1),
+                    done=carry.done.at[slot].set(t == eos),
+                    out_cap=carry.out_cap.at[slot].set(max_new),
+                )
+
+            self._admit_prefix_jit[key] = jax.jit(impl, donate_argnums=(0,))
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), uid)
+        self._carry = self._admit_prefix_jit[key](
+            self._carry, jnp.asarray(full), jnp.asarray(sfx),
+            jnp.int32(l), jnp.int32(s0), jnp.asarray(trow, jnp.int32),
+            jnp.int32(slot), jnp.int32(req.max_new_tokens), rng)
+
     def _finish_slot(self, carry: GenCarry, slot):
         if not hasattr(self, "_finish_jit"):
             self._finish_jit = jax.jit(
@@ -320,14 +404,28 @@ class SpecServer:
             uid = self._pop_next()
             req = self._requests[uid]
             l = len(req.tokens)
+            shared_s0 = 0
             if self._pool is not None:
                 # paged: reserve exactly this request's capacity; if the
-                # pool is full, requeue and wait for a harvest to free pages
+                # pool is full, requeue and wait for a harvest to free pages.
+                # Prefix cache: page-aligned prompt prefixes already resident
+                # (live or LRU-retained) are SHARED — refcount instead of
+                # fresh pages, and their L-layer prefill is skipped below.
                 need = l + req.max_new_tokens + self.a_max + 8
-                if not self._pool.can_alloc(need):
+                m_pages, shared = self._pool.match_prefix(req.tokens)
+                if not self._pool.can_alloc_shared(shared, need):
                     self._queue.insert(0, uid)
                     break
-                self._pool.alloc(uid, need)
+                self._pool.alloc_shared(uid, shared, need)
+                shared_s0 = m_pages * self.page
+                self.prefix_hits += m_pages > 0
+                self.prefix_tokens_reused += shared_s0
+            if shared_s0 > 0:
+                self._admit_prefix(slot, uid, req, shared_s0)
+                self._pool.register(uid, req.tokens)
+                self._slot_uid[slot] = uid
+                self._slot_max_new[slot] = req.max_new_tokens
+                continue
             bucket = next((b for b in self.prefill_buckets if b >= l),
                           self.prefill_buckets[-1])
             if bucket < l:
@@ -363,6 +461,7 @@ class SpecServer:
                 self._carry = self._insert_paged(self._carry, self._pstate,
                                                  t0, slot, req.max_new_tokens,
                                                  trow, bucket)
+                self._pool.register(uid, req.tokens)
             else:
                 self._carry = self._insert(self._carry, self._pstate, t0,
                                            slot, req.max_new_tokens)
@@ -472,4 +571,6 @@ class SpecServer:
         }
         if self._pool is not None:
             out["pool"] = self._pool.stats()
+            out["prefix_hits"] = self.prefix_hits
+            out["prefix_tokens_reused"] = self.prefix_tokens_reused
         return out

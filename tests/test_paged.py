@@ -280,3 +280,77 @@ def test_paged_submit_rejects_over_pool():
                      state_dtype=jnp.float32)
     with pytest.raises(ValueError, match="pool"):
         srv.submit(list(range(2, 62)), 12)   # needs 6 pages, 4 usable
+
+
+# ---------------------------------------------------------------------------
+# Prefix caching: page-aligned prompt-prefix KV shared across requests
+# ---------------------------------------------------------------------------
+
+def _run_one(srv, prompt, max_new):
+    uid = srv.submit(prompt, max_new)
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    return comps[uid].tokens
+
+
+def test_prefix_cache_exact_and_counted():
+    """Requests sharing a system prompt: later ones skip the shared pages'
+    target prefill (compute reuse) and still emit exactly the dense
+    engine's tokens; divergent branches only share the common pages."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_fixture(page=8)
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     prefill_buckets=(16, 32, 64), state_dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    sys_p = rng.integers(2, cfg.vocab_size, (26,)).tolist()   # 3 full pages
+    tails = [rng.integers(2, cfg.vocab_size, (k,)).tolist() for k in (7, 11)]
+    for tail in tails:
+        p = sys_p + tail
+        assert _run_one(srv, p, 10) == _standalone(dense, p, 10)
+    st = srv.stats()
+    assert st["prefix_hits"] == 1 and st["prefix_tokens_reused"] == 24
+    # divergence in page 2: only the first 2 pages (16 tokens) shareable
+    div = sys_p[:17] + rng.integers(2, cfg.vocab_size, (14,)).tolist()
+    assert _run_one(srv, div, 10) == _standalone(dense, div, 10)
+    assert srv.stats()["prefix_tokens_reused"] == 24 + 16
+
+
+def test_prefix_cache_concurrent_refcount():
+    """Two LIVE requests share prefix pages (refcount 2); the first
+    finishing must not free pages the second still reads."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_fixture(page=8)
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     prefill_buckets=(16, 32, 64), state_dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    sys_p = rng.integers(2, cfg.vocab_size, (20,)).tolist()   # 2 full pages
+    warm = sys_p + rng.integers(2, cfg.vocab_size, (5,)).tolist()
+    _run_one(srv, warm, 4)  # registers the prefix
+    p1 = sys_p + rng.integers(2, cfg.vocab_size, (6,)).tolist()
+    p2 = sys_p + rng.integers(2, cfg.vocab_size, (9,)).tolist()
+    u1 = srv.submit(p1, 4)      # short: finishes first
+    u2 = srv.submit(p2, 20)     # long: keeps reading the shared pages
+    comps = {c.uid: c for c in srv.run(rounds_per_step=2)}
+    assert comps[u1].tokens == _standalone(dense, p1, 4)
+    assert comps[u2].tokens == _standalone(dense, p2, 20)
+    assert srv.stats()["prefix_hits"] == 2
+
+
+def test_prefix_cache_eviction_under_pressure():
+    """An undersized pool evicts LRU cached prefixes for fresh requests;
+    matching degrades gracefully and output stays exact."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_fixture(page=8)
+    srv = SpecServer(paged, n_slots=1, s_max=96, max_new_cap=32, kv="paged",
+                     pool_pages=8, prefill_buckets=(16, 32, 64),
+                     state_dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(2, cfg.vocab_size, (24,)).tolist()
+               for _ in range(3)]            # distinct prompts, 3 pages each
+    for p in prompts:                        # churn forces evictions
+        assert _run_one(srv, p, 8) == _standalone(dense, p, 8)
+    st = srv.stats()["pool"]
+    assert st["evictions"] > 0
+    # the LAST prompt's pages may still be cached: rerunning it hits
+    p = prompts[-1]
+    assert _run_one(srv, p, 8) == _standalone(dense, p, 8)
+    assert srv.stats()["prefix_hits"] >= 1
