@@ -78,6 +78,8 @@ def main(argv=None):
         model_name=args.target_path.rstrip("/").rsplit("/", 1)[-1],
         encode=lambda s: tokenizer(s, add_special_tokens=True)["input_ids"],
         decode=lambda ts: tokenizer.decode(list(ts)),
+        chat_template=lambda m: tokenizer.apply_chat_template(
+            m, add_generation_prompt=True),
         default_max_tokens=args.default_max_tokens).start()
     print(f"serving {fe.model_name} on http://{args.host}:{fe.port} "
           f"({args.n_slots} slots x {args.s_max} rows, policy={args.policy}, "

@@ -5,9 +5,11 @@ The reference ships only a CLIENT for OpenAI-style endpoints
 all. This module closes the loop: `HttpFrontend` exposes `SpecServer`
 (slot-based continuous batching over the jitted speculative rounds) as
 
-    POST /v1/completions   {"prompt": str | [int], "max_tokens": N, ...}
-    GET  /v1/models        (id = the configured model name)
-    GET  /healthz          SpecServer.stats() + queue state
+    POST /v1/completions        {"prompt": str | [int], "max_tokens": N,
+                                 "stream": bool, ...}
+    POST /v1/chat/completions   {"messages": [{role, content}, ...], ...}
+    GET  /v1/models             (id = the configured model name)
+    GET  /healthz               SpecServer.stats() + queue state
 
 so `longspec_tpu.data.api_client.CompletionClient` — and any OpenAI SDK —
 can talk to it directly.
@@ -57,11 +59,15 @@ class HttpFrontend:
                  port: int = 0, model_name: str = "longspec-tpu",
                  encode: Optional[Callable[[str], Sequence[int]]] = None,
                  decode: Optional[Callable[[Sequence[int]], str]] = None,
+                 chat_template: Optional[Callable] = None,
                  default_max_tokens: int = 128, idle_sleep_s: float = 0.005):
         self.server = server
         self.model_name = model_name
         self.encode = encode
         self.decode = decode
+        # messages -> prompt (str or token list) for /v1/chat/completions;
+        # e.g. lambda m: tok.apply_chat_template(m, add_generation_prompt=True)
+        self.chat_template = chat_template
         self.default_max_tokens = default_max_tokens
         self.idle_sleep_s = idle_sleep_s
         self._lock = threading.Lock()       # guards _inbox + _pending
@@ -96,28 +102,38 @@ class HttpFrontend:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path not in ("/v1/completions", "/completions"):
+                chat = self.path in ("/v1/chat/completions",
+                                     "/chat/completions")
+                if not chat and self.path not in ("/v1/completions",
+                                                  "/completions"):
                     self._reply(404, {"error": "not found"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                    prompt = body.get("prompt", "")
+                    if chat:
+                        prompt = frontend._render_chat(
+                            body.get("messages", []))
+                    else:
+                        prompt = body.get("prompt", "")
                     max_tokens = int(body.get("max_tokens",
                                               frontend.default_max_tokens))
                     if body.get("stream"):
-                        self._stream(prompt, max_tokens)
+                        self._stream(prompt, max_tokens, chat=chat)
                         return
                     out = frontend.complete(prompt, max_tokens=max_tokens)
+                    if chat:
+                        out = frontend._to_chat(out)
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                     return
                 self._reply(200, out)
 
-            def _stream(self, prompt, max_tokens):
+            def _stream(self, prompt, max_tokens, chat=False):
                 """Server-sent events, OpenAI streaming shape: one `data:`
                 chunk per token delta, then a usage-bearing final chunk and
-                `data: [DONE]`."""
+                `data: [DONE]`. Chat mode mirrors chat.completion.chunk
+                (delta.content instead of text)."""
                 try:
                     p = frontend._enqueue(prompt, max_tokens, stream=True)
                 except ValueError as e:
@@ -137,16 +153,25 @@ class HttpFrontend:
                 while True:
                     kind, payload = p.q.get(timeout=600)
                     if kind == "delta":
-                        emit({"object": "text_completion",
+                        text = (frontend.decode(payload)
+                                if frontend.decode else "")
+                        if chat:
+                            choice = {"index": 0,
+                                      "delta": {"content": text},
+                                      "token_ids": payload,
+                                      "finish_reason": None}
+                            obj = "chat.completion.chunk"
+                        else:
+                            choice = {"index": 0, "text": text,
+                                      "token_ids": payload,
+                                      "finish_reason": None}
+                            obj = "text_completion"
+                        emit({"object": obj,
                               "model": frontend.model_name,
-                              "choices": [{
-                                  "index": 0,
-                                  "text": (frontend.decode(payload)
-                                           if frontend.decode else ""),
-                                  "token_ids": payload,
-                                  "finish_reason": None}]})
+                              "choices": [choice]})
                     elif kind == "done":
-                        emit(frontend._format(payload))
+                        out = frontend._format(payload)
+                        emit(frontend._to_chat(out) if chat else out)
                         self.wfile.write(b"data: [DONE]\n\n")
                         self.wfile.flush()
                         return
@@ -217,6 +242,29 @@ class HttpFrontend:
                       "total_tokens": c.prompt_len + len(toks)},
             "latency_s": round(c.latency_s, 4),
         }
+
+    def _render_chat(self, messages) -> Union[str, Sequence[int]]:
+        if not messages:
+            raise ValueError("empty messages")
+        if self.chat_template is not None:
+            return self.chat_template(messages)
+        if self.encode is not None:
+            # plain fallback template (ChatML-ish); real deployments pass
+            # chat_template=tokenizer.apply_chat_template
+            lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
+                     for m in messages]
+            return "\n".join(lines) + "\nassistant:"
+        raise ValueError("chat endpoint needs a chat_template or encode "
+                         "tokenizer")
+
+    def _to_chat(self, out: dict) -> dict:
+        c = out["choices"][0]
+        return {**out, "object": "chat.completion",
+                "choices": [{"index": 0,
+                             "message": {"role": "assistant",
+                                         "content": c["text"]},
+                             "token_ids": c["token_ids"],
+                             "finish_reason": c["finish_reason"]}]}
 
     def complete(self, prompt: Union[str, Sequence[int]],
                  max_tokens: int = 128, timeout: float = 600.0) -> dict:

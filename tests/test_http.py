@@ -152,3 +152,65 @@ def test_streaming_sse_token_exact(frontend):
     assert final["choices"][0]["token_ids"] == want
     assert final["usage"]["completion_tokens"] == len(want)
     assert final["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+@pytest.fixture(scope="module")
+def chat_frontend(frontend):
+    """Same server, chat template = flatten message contents to token ids."""
+    frontend.chat_template = lambda msgs: [
+        int(x) for m in msgs for x in str(m["content"]).split()]
+    yield frontend
+    frontend.chat_template = None
+
+
+def test_chat_completions_roundtrip(chat_frontend):
+    fe = chat_frontend
+    eng = fe.server.engine
+    toks = [7, 21, 33, 5, 90]
+    want = _standalone(eng, toks, 9)
+    out = post_json(f"http://127.0.0.1:{fe.port}/v1/chat/completions",
+                    {"messages": [{"role": "user",
+                                   "content": "7 21 33 5 90"}],
+                     "max_tokens": 9})
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert out["choices"][0]["token_ids"] == want
+    assert msg["content"] == " ".join(str(t) for t in want)
+    # the bundled client's chat path parses the same shape
+    c = CompletionClient(
+        f"http://127.0.0.1:{fe.port}/v1/chat/completions",
+        max_tokens=9, stop=None)
+    assert c("7 21 33 5 90") == msg["content"]
+
+
+def test_chat_streaming_chunks(chat_frontend):
+    import urllib.request
+    fe = chat_frontend
+    eng = fe.server.engine
+    toks = [11, 4, 87, 13]
+    want = _standalone(eng, toks, 8)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{fe.port}/v1/chat/completions",
+        data=json.dumps({"messages": [{"role": "user",
+                                       "content": "11 4 87 13"}],
+                         "max_tokens": 8, "stream": True}).encode(),
+        headers={"Content-Type": "application/json"})
+    deltas, final, done = [], None, False
+    with urllib.request.urlopen(req, timeout=300) as r:
+        for raw in r:
+            line = raw.decode().strip()
+            if not line.startswith("data: "):
+                continue
+            b = line[6:]
+            if b == "[DONE]":
+                done = True
+                break
+            o = json.loads(b)
+            if o.get("object") == "chat.completion.chunk":
+                deltas += o["choices"][0]["token_ids"]
+            else:
+                final = o
+    assert done and deltas == want
+    assert final["object"] == "chat.completion"
+    assert final["choices"][0]["token_ids"] == want
