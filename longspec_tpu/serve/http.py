@@ -34,16 +34,19 @@ from .server import Completion, SpecServer
 
 
 class _Pending:
-    __slots__ = ("event", "completion", "error", "q", "sent")
+    __slots__ = ("event", "completion", "error", "q", "sent", "stop",
+                 "silenced")
 
-    def __init__(self, stream: bool = False):
+    def __init__(self, stream: bool = False, stop=None):
         self.event = threading.Event()
         self.completion: Optional[Completion] = None
         self.error: Optional[str] = None
         # streaming: the decode thread pushes ("delta", [tok,...]) items,
         # then ("done", Completion) / ("error", msg)
         self.q: Optional[queue.Queue] = queue.Queue() if stream else None
-        self.sent = 0  # tokens already streamed
+        self.sent = 0         # tokens already streamed
+        self.stop = stop      # stop strings: matched -> request cancelled
+        self.silenced = False  # stream: stop matched, no further deltas
 
 
 class HttpFrontend:
@@ -118,10 +121,15 @@ class HttpFrontend:
                         prompt = body.get("prompt", "")
                     max_tokens = int(body.get("max_tokens",
                                               frontend.default_max_tokens))
+                    stop = body.get("stop")
+                    if isinstance(stop, str):
+                        stop = [stop]
                     if body.get("stream"):
-                        self._stream(prompt, max_tokens, chat=chat)
+                        self._stream(prompt, max_tokens, chat=chat,
+                                     stop=stop)
                         return
-                    out = frontend.complete(prompt, max_tokens=max_tokens)
+                    out = frontend.complete(prompt, max_tokens=max_tokens,
+                                            stop=stop)
                     if chat:
                         out = frontend._to_chat(out)
                 except ValueError as e:
@@ -129,13 +137,14 @@ class HttpFrontend:
                     return
                 self._reply(200, out)
 
-            def _stream(self, prompt, max_tokens, chat=False):
+            def _stream(self, prompt, max_tokens, chat=False, stop=None):
                 """Server-sent events, OpenAI streaming shape: one `data:`
                 chunk per token delta, then a usage-bearing final chunk and
                 `data: [DONE]`. Chat mode mirrors chat.completion.chunk
                 (delta.content instead of text)."""
                 try:
-                    p = frontend._enqueue(prompt, max_tokens, stream=True)
+                    p = frontend._enqueue(prompt, max_tokens, stream=True,
+                                          stop=stop)
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                     return
@@ -170,7 +179,7 @@ class HttpFrontend:
                               "model": frontend.model_name,
                               "choices": [choice]})
                     elif kind == "done":
-                        out = frontend._format(payload)
+                        out = frontend._format(payload, stop=p.stop)
                         emit(frontend._to_chat(out) if chat else out)
                         self.wfile.write(b"data: [DONE]\n\n")
                         self.wfile.flush()
@@ -213,7 +222,9 @@ class HttpFrontend:
     # ------------------------------------------------------------------
 
     def _enqueue(self, prompt: Union[str, Sequence[int]], max_tokens: int,
-                 stream: bool = False) -> _Pending:
+                 stream: bool = False, stop=None) -> _Pending:
+        if stop and self.decode is None:
+            raise ValueError("stop sequences need a `decode` tokenizer")
         if isinstance(prompt, str):
             if self.encode is None:
                 raise ValueError("text prompt needs an `encode` tokenizer; "
@@ -223,20 +234,27 @@ class HttpFrontend:
             tokens = [int(t) for t in prompt]
         if not tokens:
             raise ValueError("empty prompt")
-        p = _Pending(stream=stream)
+        p = _Pending(stream=stream, stop=stop)
         with self._lock:
             self._inbox.append((tokens, max_tokens, p))
         return p
 
-    def _format(self, c: Completion) -> dict:
+    def _format(self, c: Completion, stop=None) -> dict:
         toks = list(c.tokens)  # server already trims stop tokens + budget
         text = self.decode(toks) if self.decode else ""
+        finish = c.finish_reason
+        if stop and text:
+            cut = min((i for i in (text.find(x) for x in stop) if i >= 0),
+                      default=-1)
+            if cut >= 0:
+                text = text[:cut]
+                finish = "stop"
         return {
             "id": f"cmpl-{c.uid}",
             "object": "text_completion",
             "model": self.model_name,
             "choices": [{"index": 0, "text": text, "token_ids": toks,
-                         "finish_reason": c.finish_reason}],
+                         "finish_reason": finish}],
             "usage": {"prompt_tokens": c.prompt_len,
                       "completion_tokens": len(toks),
                       "total_tokens": c.prompt_len + len(toks)},
@@ -267,14 +285,18 @@ class HttpFrontend:
                              "finish_reason": c["finish_reason"]}]}
 
     def complete(self, prompt: Union[str, Sequence[int]],
-                 max_tokens: int = 128, timeout: float = 600.0) -> dict:
-        """Blocking completion (handler threads land here)."""
-        p = self._enqueue(prompt, max_tokens)
+                 max_tokens: int = 128, timeout: float = 600.0,
+                 stop=None) -> dict:
+        """Blocking completion (handler threads land here). `stop`: list of
+        strings — generation is CANCELLED server-side when one appears in
+        the decoded output (budget returned to the batch) and the text is
+        trimmed at the match."""
+        p = self._enqueue(prompt, max_tokens, stop=stop)
         if not p.event.wait(timeout):
             raise TimeoutError(f"completion not ready after {timeout}s")
         if p.error:
             raise ValueError(p.error)
-        return self._format(p.completion)
+        return self._format(p.completion, stop=p.stop)
 
     # ------------------------------------------------------------------
 
@@ -314,11 +336,22 @@ class HttpFrontend:
             # shorter decode segments while a stream is LIVE: delta latency
             # is bounded by rounds-per-step x round time
             any_stream = any(p.q is not None for p in self._pending.values())
+            any_stop = any(p.stop for p in self._pending.values())
             finished = srv.step(rounds=4 if any_stream else 16)
-            if any_stream:
+            if any_stream or any_stop:
                 for uid, toks in srv.partials().items():
                     p = self._pending.get(uid)
-                    if p is not None and p.q is not None \
+                    if p is None:
+                        continue
+                    if p.stop and not p.silenced:
+                        text = self.decode(toks)
+                        if any(x in text for x in p.stop):
+                            # stop string reached: cancel server-side (the
+                            # budget returns to the batch); _format trims
+                            # the final text at the match
+                            p.silenced = True
+                            srv.cancel(uid)
+                    if p.q is not None and not p.silenced \
                             and len(toks) > p.sent:
                         p.q.put(("delta", toks[p.sent:]))
                         p.sent = len(toks)
@@ -328,7 +361,7 @@ class HttpFrontend:
                     continue
                 p.completion = c
                 if p.q is not None:
-                    if len(c.tokens) > p.sent:
+                    if len(c.tokens) > p.sent and not p.silenced:
                         p.q.put(("delta", c.tokens[p.sent:]))
                     p.q.put(("done", c))
                 p.event.set()

@@ -150,6 +150,7 @@ class SpecServer:
         self.prefix_hits = 0            # admissions that reused a prefix
         self.prefix_tokens_reused = 0   # prompt tokens whose prefill was
                                         # skipped via the prefix cache
+        self._cancelled: set = set()    # uids cancelled while active
 
     # -- jitted helpers -------------------------------------------------
 
@@ -494,10 +495,15 @@ class SpecServer:
             # budget bound: max_new generated tokens total (t0 counts)
             row = row[:min(stop, self._slot_max_new[slot])].tolist()
             req = self._requests.pop(uid)
+            if uid in self._cancelled:
+                self._cancelled.discard(uid)
+                reason = "cancelled"
+            else:
+                reason = "stop" if stopped else "length"
             finished.append(Completion(
                 uid=uid, tokens=row, prompt_len=len(req.tokens),
                 latency_s=time.perf_counter() - req.enqueued_s,
-                finish_reason="stop" if stopped else "length"))
+                finish_reason=reason))
             self._slot_uid[slot] = None
             if self._pool is not None:
                 # retarget the slot's table at the scratch page BEFORE the
@@ -516,6 +522,23 @@ class SpecServer:
             self.tokens_served += len(row)
             self.completions_served += 1
         return finished
+
+    def cancel(self, uid: int) -> bool:
+        """Stop a request early. Queued: dropped outright (no pages were
+        reserved yet). Active: its row is marked done, so the next harvest
+        emits the tokens generated so far with finish_reason="cancelled" —
+        the remaining decode budget is returned to the batch immediately.
+        Returns False for unknown/finished uids."""
+        if uid in self._queue:
+            self._queue.remove(uid)
+            self._requests.pop(uid, None)
+            return True
+        for slot in range(self.n_slots):
+            if self._slot_uid[slot] == uid:
+                self._carry = self._finish_slot(self._carry, slot)
+                self._cancelled.add(uid)
+                return True
+        return False
 
     def partials(self) -> Dict[int, List[int]]:
         """Tokens emitted so far for every ACTIVE request (one device

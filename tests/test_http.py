@@ -214,3 +214,47 @@ def test_chat_streaming_chunks(chat_frontend):
     assert done and deltas == want
     assert final["object"] == "chat.completion"
     assert final["choices"][0]["token_ids"] == want
+
+
+def test_stop_sequence_trims_and_cancels(frontend):
+    """`stop` strings: the decoded output is trimmed at the first match,
+    finish_reason becomes "stop", and the request is cancelled server-side
+    (the decode budget returns to the batch)."""
+    eng = frontend.server.engine
+    rng = np.random.default_rng(17)
+    toks = rng.integers(2, eng.cfg.vocab_size, (12,)).tolist()
+    want = _standalone(eng, toks, 20)
+    assert len(want) >= 6, "need enough tokens to stop mid-way"
+    full_text = " ".join(str(t) for t in want)
+    stop_s = " ".join(str(t) for t in want[3:5])
+    cut = full_text.find(stop_s)
+    out = post_json(f"http://127.0.0.1:{frontend.port}/v1/completions",
+                    {"prompt": toks, "max_tokens": 20, "stop": stop_s})
+    assert out["choices"][0]["finish_reason"] == "stop"
+    assert out["choices"][0]["text"] == full_text[:cut]
+
+
+def test_cancel_queued_and_active():
+    """SpecServer.cancel: queued requests drop outright; active ones emit
+    their tokens-so-far with finish_reason='cancelled'."""
+    from longspec_tpu.config import DraftConfig, EngineConfig, tiny_test
+    cfg = tiny_test(vocab_size=101, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(2), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(3), cfg)
+    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8),
+                     EngineConfig(tree_shape=(2, 3), gamma=2,
+                                  attn_impl="dense"))
+    srv = SpecServer(eng, n_slots=1, s_max=80, max_new_cap=32,
+                     prefill_buckets=(32,), state_dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    u1 = srv.submit(rng.integers(2, 101, (9,)).tolist(), 24)
+    u2 = srv.submit(rng.integers(2, 101, (7,)).tolist(), 24)
+    comps = srv.step(rounds=2)          # admits u1, decodes a little
+    assert not comps
+    assert srv.cancel(u2)               # still queued -> dropped
+    assert srv.cancel(u1)               # active -> finishes next harvest
+    assert not srv.cancel(999)          # unknown
+    comps = {c.uid: c for c in srv.run(rounds_per_step=2)}
+    assert list(comps) == [u1]
+    assert comps[u1].finish_reason == "cancelled"
+    assert 1 <= len(comps[u1].tokens) < 24
