@@ -35,7 +35,7 @@ from .server import Completion, SpecServer
 
 class _Pending:
     __slots__ = ("event", "completion", "error", "q", "sent", "stop",
-                 "silenced")
+                 "silenced", "uid")
 
     def __init__(self, stream: bool = False, stop=None):
         self.event = threading.Event()
@@ -47,6 +47,7 @@ class _Pending:
         self.sent = 0         # tokens already streamed
         self.stop = stop      # stop strings: matched -> request cancelled
         self.silenced = False  # stream: stop matched, no further deltas
+        self.uid = None       # set by the decode thread at submit
 
 
 class HttpFrontend:
@@ -75,6 +76,7 @@ class HttpFrontend:
         self.idle_sleep_s = idle_sleep_s
         self._lock = threading.Lock()       # guards _inbox + _pending
         self._inbox: List[tuple] = []       # (tokens, max_new, _Pending)
+        self._cancel_inbox: List[_Pending] = []  # disconnected clients
         self._pending: dict = {}            # uid -> _Pending
         self._stop = threading.Event()
         self._decode_thread = threading.Thread(target=self._decode_loop,
@@ -137,6 +139,11 @@ class HttpFrontend:
                     return
                 self._reply(200, out)
 
+            def _emit_sse(self, obj):
+                self.wfile.write(b"data: " + json.dumps(obj).encode()
+                                 + b"\n\n")
+                self.wfile.flush()
+
             def _stream(self, prompt, max_tokens, chat=False, stop=None):
                 """Server-sent events, OpenAI streaming shape: one `data:`
                 chunk per token delta, then a usage-bearing final chunk and
@@ -154,11 +161,15 @@ class HttpFrontend:
                 self.send_header("Connection", "close")
                 self.end_headers()
 
-                def emit(obj):
-                    self.wfile.write(b"data: " + json.dumps(obj).encode()
-                                     + b"\n\n")
-                    self.wfile.flush()
 
+                try:
+                    self._pump(p, chat)
+                except (BrokenPipeError, ConnectionResetError):
+                    # client went away mid-stream: stop decoding for them
+                    frontend.request_cancel(p)
+
+            def _pump(self, p, chat):
+                emit = self._emit_sse
                 while True:
                     kind, payload = p.q.get(timeout=600)
                     if kind == "delta":
@@ -320,13 +331,29 @@ class HttpFrontend:
                     p.event.set()
                 time.sleep(0.05)
 
+    def request_cancel(self, p: _Pending):
+        """Thread-safe: ask the decode thread to cancel p's request (used
+        when a streaming client disconnects)."""
+        with self._lock:
+            self._cancel_inbox.append(p)
+
     def _decode_tick(self, srv):
         with self._lock:
             inbox, self._inbox = self._inbox, []
+            cancels, self._cancel_inbox = self._cancel_inbox, []
+        drop = set()
+        for p in cancels:
+            p.silenced = True
+            if p.uid is not None:
+                srv.cancel(p.uid)
+            else:
+                drop.add(id(p))               # not yet submitted: skip it
+        inbox = [x for x in inbox if id(x[2]) not in drop]
         for tokens, max_new, p in inbox:
             try:
                 uid = srv.submit(tokens, max_new)
                 self._pending[uid] = p
+                p.uid = uid
             except ValueError as e:      # over-capacity prompt etc.
                 p.error = str(e)
                 if p.q is not None:

@@ -258,3 +258,29 @@ def test_cancel_queued_and_active():
     assert list(comps) == [u1]
     assert comps[u1].finish_reason == "cancelled"
     assert 1 <= len(comps[u1].tokens) < 24
+
+
+def test_client_disconnect_cancels_stream(frontend):
+    """A streaming client that closes its socket mid-stream gets its
+    request cancelled server-side instead of decoding to the budget."""
+    import socket
+    eng = frontend.server.engine
+    rng = np.random.default_rng(23)
+    toks = rng.integers(2, eng.cfg.vocab_size, (10,)).tolist()
+    body = json.dumps({"prompt": toks, "max_tokens": 30,
+                       "stream": True}).encode()
+    s = socket.create_connection(("127.0.0.1", frontend.port), timeout=60)
+    s.sendall(b"POST /v1/completions HTTP/1.1\r\nHost: x\r\n"
+              b"Content-Type: application/json\r\n"
+              + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+    s.recv(512)      # headers + first bytes arrive
+    s.close()        # walk away mid-stream
+    # drain: the server must converge (cancelled) without decoding forever
+    import time as _t
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        if not frontend.server.active_slots and not frontend.server.pending \
+                and not frontend._pending:
+            break
+        _t.sleep(0.2)
+    assert not frontend._pending, "request never cancelled/harvested"
