@@ -126,6 +126,16 @@ class HttpFrontend:
                     stop = body.get("stop")
                     if isinstance(stop, str):
                         stop = [stop]
+                    if "temperature" in body:
+                        # temperature is a compile-time constant of the
+                        # jitted rounds: be honest instead of silently
+                        # sampling at the engine's setting
+                        t_eng = frontend.server.engine.ecfg.temperature
+                        if float(body["temperature"]) != t_eng:
+                            raise ValueError(
+                                f"this server decodes at temperature "
+                                f"{t_eng} (fixed at engine build); "
+                                f"per-request temperature is not supported")
                     if body.get("stream"):
                         self._stream(prompt, max_tokens, chat=chat,
                                      stop=stop)

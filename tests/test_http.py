@@ -284,3 +284,16 @@ def test_client_disconnect_cancels_stream(frontend):
             break
         _t.sleep(0.2)
     assert not frontend._pending, "request never cancelled/harvested"
+
+
+def test_temperature_mismatch_rejected(frontend):
+    """Per-request temperature is unsupported (compile-time constant):
+    mismatches get an honest 400, matches pass through."""
+    from longspec_tpu.data.api_client import ApiError
+    toks = [5, 9, 11]
+    with pytest.raises(ApiError, match="temperature"):
+        post_json(f"http://127.0.0.1:{frontend.port}/v1/completions",
+                  {"prompt": toks, "max_tokens": 4, "temperature": 0.7})
+    out = post_json(f"http://127.0.0.1:{frontend.port}/v1/completions",
+                    {"prompt": toks, "max_tokens": 4, "temperature": 0.0})
+    assert len(out["choices"][0]["token_ids"]) >= 1
