@@ -100,6 +100,17 @@ class EngineConfig:
     # Chain speculation depth (reference `--gamma`, default 4).
     gamma: int = 4
     temperature: float = 0.0
+    # Per-ROW traced temperature: the decode rounds read a [B] f32 `temps`
+    # vector from the carry instead of baking `temperature` into the
+    # compiled program, so a continuous-batching server can mix greedy and
+    # stochastic requests in one batch without recompiling (serving sets a
+    # row's temperature at admission). Rounds compute the greedy and
+    # stochastic select/verify on the SAME shared logits and pick per row —
+    # the extra cost is a top-k + the acceptance arithmetic, never a second
+    # model forward. `temperature` remains the default for rows that don't
+    # specify one (and for generate()). The reference has no serving layer
+    # and compiles nothing, so this knob has no counterpart there.
+    per_row_temperature: bool = False
     # Attention implementation: "dense" (oracle), "chunked" (pure-JAX flash,
     # runs anywhere), "pallas" (TPU kernels).
     attn_impl: str = "chunked"

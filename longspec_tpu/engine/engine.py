@@ -70,6 +70,10 @@ class GenCarry(NamedTuple):
     out_cap: jnp.ndarray      # [B] per-row emit budget (rows go done at cap;
                               # serving sets it per request, generate() leaves
                               # it at the buffer bound so behavior is unchanged)
+    temps: Optional[jnp.ndarray] = None  # [B] f32 per-row temperature (only
+                              # when EngineConfig.per_row_temperature; 0 =
+                              # greedy row). Traced — changing it never
+                              # recompiles the round.
 
 
 def _is_eos(cfg, tok):
@@ -99,6 +103,21 @@ def _sample(logits_f32, rng, temperature: float):
     if temperature == 0.0:
         return jnp.argmax(logits_f32, axis=-1).astype(jnp.int32)
     return jax.random.categorical(rng, logits_f32 / temperature, axis=-1).astype(jnp.int32)
+
+
+def _sample_rows(logits_f32, rng, temps):
+    """Per-row traced-temperature sampling: temps [B] f32, 0 = greedy.
+
+    Both branches run (argmax + one categorical over logits already in
+    registers — negligible next to the matmul that produced them) and a
+    `where` picks per row, so one compiled program serves any mix of
+    greedy/stochastic rows."""
+    greedy = jnp.argmax(logits_f32, axis=-1).astype(jnp.int32)
+    t = temps.reshape(temps.shape[0], *([1] * (logits_f32.ndim - 1)))
+    stoch = jax.random.categorical(rng, logits_f32 / jnp.maximum(t, 1e-6),
+                                   axis=-1).astype(jnp.int32)
+    is_g = (temps <= 0.0).reshape(temps.shape[0], *([1] * (greedy.ndim - 1)))
+    return jnp.where(is_g, greedy, stoch)
 
 
 def _masked_row_write(buf, new, starts, done):
@@ -148,6 +167,42 @@ def _chain_accept(spec, spec_logits, ver_logits, temperature: float, rng):
     emit = jnp.concatenate([ver_tokens, last[:, None]], axis=1)
     verification = jnp.cumprod(accept.astype(jnp.int32), axis=-1)
     correct_len = jnp.sum(verification, -1) + 1
+    return emit, correct_len, rng
+
+
+def _chain_accept_rows(spec, spec_logits, ver_logits, temps, rng):
+    """Per-row traced-temperature chain acceptance (see `_chain_accept` for
+    the two laws): the greedy cumulative match and the Leviathan residual
+    test both run on the SHARED verify logits, and a per-row `where` picks
+    the law each row asked for. temps [B] f32, 0 = greedy row."""
+    tgt_out = jnp.argmax(ver_logits, -1).astype(jnp.int32)
+    ok_g = (tgt_out[:, :-1] == spec[:, 1:])
+    len_g = jnp.sum(jnp.cumprod(ok_g.astype(jnp.int32), axis=-1), -1) + 1
+    # stochastic law at per-row temperature (temp<=0 rows run it on a safe
+    # epsilon temperature and are discarded by the select below)
+    t = jnp.maximum(temps, 1e-6)[:, None, None]
+    q_probs = jax.nn.softmax(spec_logits[:, 1:] / t, -1)
+    p_probs = jax.nn.softmax(ver_logits[:, :-1] / t, -1)
+    gidx = spec[:, 1:, None]
+    q_tok = jnp.take_along_axis(q_probs, gidx, -1)[..., 0]
+    p_tok = jnp.take_along_axis(p_probs, gidx, -1)[..., 0]
+    eps = 1e-9
+    alpha = jnp.clip((p_tok + eps) / (q_tok + eps), 0.0, 1.0)
+    rng, k_acc, k_res, k_b = jax.random.split(rng, 4)
+    accept = jax.random.uniform(k_acc, alpha.shape) < alpha
+    residual = jnp.maximum(p_probs - q_probs, 0.0)
+    denom = jnp.sum(residual, -1, keepdims=True)
+    residual = jnp.where(denom > 0, residual / jnp.maximum(denom, 1e-30),
+                         p_probs)
+    resample = jax.random.categorical(
+        k_res, jnp.log(jnp.maximum(residual, 1e-30)), axis=-1).astype(jnp.int32)
+    ver_tokens = jnp.where(accept, spec[:, 1:], resample)
+    last = _sample_rows(ver_logits[:, -1], k_b, temps)
+    emit_s = jnp.concatenate([ver_tokens, last[:, None]], axis=1)
+    len_s = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=-1), -1) + 1
+    is_g = temps <= 0.0
+    emit = jnp.where(is_g[:, None], tgt_out, emit_s)
+    correct_len = jnp.where(is_g, len_g, len_s)
     return emit, correct_len, rng
 
 
@@ -428,7 +483,14 @@ class SpecEngine:
         # T>0: SAMPLE draft tokens from q (exact Leviathan losslessness
         # requires proposals ~ q; the reference drafts greedily even at T>0,
         # which only approximates the target law)
-        d1 = _sample(logits, jax.random.fold_in(k_draft, 0), ecfg.temperature)
+        per_row = ecfg.per_row_temperature
+
+        def draft_sample(lg, key):
+            if per_row:
+                return _sample_rows(lg, key, carry.temps)
+            return _sample(lg, key, ecfg.temperature)
+
+        d1 = draft_sample(logits, jax.random.fold_in(k_draft, 0))
         spec = spec.at[:, 1].set(d1)
         spec_logits = spec_logits.at[:, 1].set(logits)
         smask1 = jnp.ones((b, 1, 1), bool)
@@ -445,8 +507,7 @@ class SpecEngine:
                 tables=st.tables)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             li = self._draft_logits(params, hi[:, 0])
-            cur = _sample(li, jax.random.fold_in(k_draft, s_i),
-                          ecfg.temperature)
+            cur = draft_sample(li, jax.random.fold_in(k_draft, s_i))
             spec = spec.at[:, s_i + 1].set(cur)
             spec_logits = spec_logits.at[:, s_i + 1].set(li)
         # NOTE: draft cache rows for spec tokens 1..gamma-1 were written at
@@ -461,8 +522,12 @@ class SpecEngine:
             params, cfg, spec, pos_t, cmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables)
         ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
-        emit, correct_len, rng = _chain_accept(spec, spec_logits, ver_logits,
-                                               ecfg.temperature, rng)
+        if per_row:
+            emit, correct_len, rng = _chain_accept_rows(
+                spec, spec_logits, ver_logits, carry.temps, rng)
+        else:
+            emit, correct_len, rng = _chain_accept(
+                spec, spec_logits, ver_logits, ecfg.temperature, rng)
 
         adv = jnp.where(carry.done, 0, correct_len)
         adv, has_eos = _truncate_at_stop(cfg, emit, adv)
@@ -483,7 +548,8 @@ class SpecEngine:
         st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens_out,
                          st.tables)
         return GenCarry(st, acc_tokens_new, acc_len, output_ids, out_len, done,
-                        count, num, carry.rounds + 1, rng, carry.out_cap)
+                        count, num, carry.rounds + 1, rng, carry.out_cap,
+                        carry.temps)
 
     # ------------------------------------------------------------------
     # MagicDec / StreamingLLM self-speculation baseline
@@ -609,7 +675,8 @@ class SpecEngine:
         st = DecodeState(kv_k, kv_v, dkk, dkv, cache_lens, d_cache_lens,
                          st.tables)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
-                        count, num, carry.rounds + 1, rng, carry.out_cap)
+                        count, num, carry.rounds + 1, rng, carry.out_cap,
+                        carry.temps)
 
     # ------------------------------------------------------------------
     # Tree speculation (ref tree_spec_generate, llama_glide.py:915-1126)
@@ -646,7 +713,17 @@ class SpecEngine:
         father = jnp.zeros((b, N), jnp.int32)
         tmask = jnp.zeros((b, N, N), bool).at[:, :, 0].set(True)
         hist_logp = jnp.zeros((b, N), jnp.float32)
-        need_q = ecfg.temperature > 0.0
+        # per-row traced temperature: BOTH the greedy-beam and the
+        # i.i.d.-sampled expansion run on the shared draft logp (the heavy
+        # matmuls are shared; the extra cost is a top-k per level) and a
+        # per-row `where` picks; temp<=0 rows use a safe epsilon divisor and
+        # are discarded by the select.
+        per_row = ecfg.per_row_temperature
+        need_q = per_row or ecfg.temperature > 0.0
+        if per_row:
+            t_row = jnp.maximum(carry.temps, 1e-6)[:, None]       # [B, 1]
+            t_lvl = t_row[:, :, None]                             # [B, 1, 1]
+            row_g = carry.temps <= 0.0                            # [B]
         spec_logp = (jnp.zeros((b, N, cfg.vocab_size), jnp.float32)
                      if need_q else None)
         if need_q:
@@ -662,12 +739,17 @@ class SpecEngine:
         c1 = shape[0]
         if need_q:
             rng, k1 = jax.random.split(rng)
-            logq_root = jax.nn.log_softmax(root_logp / ecfg.temperature, -1)
+            logq_root = jax.nn.log_softmax(
+                root_logp / (t_row if per_row else ecfg.temperature), -1)
             ids1 = jax.random.categorical(
                 k1, jnp.broadcast_to(logq_root[:, None, :],
                                      (b, c1, cfg.vocab_size)),
                 axis=-1).astype(jnp.int32)
             logp1 = jnp.take_along_axis(logq_root, ids1, axis=1)
+            if per_row:
+                lg_g, id_g = jax.lax.top_k(root_logp, c1)
+                ids1 = jnp.where(row_g[:, None], id_g.astype(jnp.int32), ids1)
+                logp1 = jnp.where(row_g[:, None], lg_g, logp1)
         else:
             logp1, ids1 = self._beam_topk(params, root_h, c1)
         tree_tokens = jax.lax.dynamic_update_slice(tree_tokens, ids1, (0, 1))
@@ -718,7 +800,8 @@ class SpecEngine:
                 # which verify_stochastic's residual walk preserves the
                 # target law exactly.
                 rng, k_tok = jax.random.split(rng)
-                logq_l = jax.nn.log_softmax(logp_l / ecfg.temperature, -1)
+                logq_l = jax.nn.log_softmax(
+                    logp_l / (t_lvl if per_row else ecfg.temperature), -1)
                 hist_lvl = hist_logp[:, lo:hi]                   # [B, c_l]
                 t_alloc = jax.nn.softmax(hist_lvl, axis=-1) * c_next
                 k_base = jnp.floor(t_alloc)
@@ -737,6 +820,19 @@ class SpecEngine:
                 sel_v = (jnp.take_along_axis(hist_lvl, father_rel, 1) +
                          jnp.take_along_axis(logq_f, pred[:, :, None], -1)[..., 0])
                 father_l = father_rel + lo
+                if per_row:
+                    # greedy-beam expansion on the same logp for temp=0 rows
+                    vals_g, ids_g = jax.lax.top_k(logp_l, c_next)
+                    v_flat = (hist_lvl[:, :, None] + vals_g).reshape(
+                        b, c_l * c_next)
+                    i_flat = ids_g.reshape(b, c_l * c_next)
+                    sel_vg, sel = jax.lax.top_k(v_flat, c_next)
+                    father_g = (sel // c_next).astype(jnp.int32) + lo
+                    pred_g = jnp.take_along_axis(i_flat, sel,
+                                                 axis=1).astype(jnp.int32)
+                    pred = jnp.where(row_g[:, None], pred_g, pred)
+                    father_l = jnp.where(row_g[:, None], father_g, father_l)
+                    sel_v = jnp.where(row_g[:, None], sel_vg, sel_v)
             else:
                 # greedy beam: per-node top-k then flat top-k (== flat
                 # nodes x vocab top-k, `llama_glide.py:1064-1067`; the
@@ -772,7 +868,7 @@ class SpecEngine:
         tgt_logits = M.logits_at(params, hv)  # [B, N, V] fp32
 
         # ---- 4. accept ----
-        if ecfg.temperature == 0.0:
+        def greedy_verify():
             tgt_pred = jnp.argmax(tgt_logits, -1).astype(jnp.int32)
             ok = jnp.take_along_axis(tgt_pred, father, axis=1) == tree_tokens
             ok = ok.at[:, 0].set(True)
@@ -785,6 +881,20 @@ class SpecEngine:
             path_idx = jnp.argsort(order_key, axis=-1)[:, :A]  # [B, A]
             path_idx_c = jnp.minimum(path_idx, N - 1)
             emit = jnp.take_along_axis(tgt_pred, path_idx_c, axis=1)  # [B, A]
+            return emit, acc_num, path_idx_c
+
+        if per_row:
+            from .verify import verify_stochastic
+            emit_g, acc_g, path_g = greedy_verify()
+            rng, k_v = jax.random.split(rng)
+            emit_s, acc_s, path_s = verify_stochastic(
+                tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
+                carry.temps, k_v, ecfg)
+            emit = jnp.where(row_g[:, None], emit_g, emit_s)
+            acc_num = jnp.where(row_g, acc_g, acc_s)
+            path_idx_c = jnp.where(row_g[:, None], path_g, path_s)
+        elif ecfg.temperature == 0.0:
+            emit, acc_num, path_idx_c = greedy_verify()
         else:
             from .verify import verify_stochastic
             rng, k_v = jax.random.split(rng)
@@ -827,7 +937,8 @@ class SpecEngine:
         st = DecodeState(kv_k, kv_v, d_kv_k, d_kv_v, cache_lens, d_cache_lens,
                          st.tables)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
-                        count, num, carry.rounds + 1, rng, carry.out_cap)
+                        count, num, carry.rounds + 1, rng, carry.out_cap,
+                        carry.temps)
 
     # ------------------------------------------------------------------
     # Public generation APIs (timing excludes prefill, like the reference)
@@ -857,7 +968,9 @@ class SpecEngine:
             # `num` also excludes t0.
             count=jnp.zeros((), jnp.int32), num=jnp.zeros((), jnp.int32),
             rounds=jnp.zeros((), jnp.int32), rng=rng,
-            out_cap=jnp.full((b,), out_buf, jnp.int32))
+            out_cap=jnp.full((b,), out_buf, jnp.int32),
+            temps=(jnp.full((b,), self.ecfg.temperature, jnp.float32)
+                   if self.ecfg.per_row_temperature else None))
 
     def _spec_segment(self, round_fn, params, draft_params, carry, limit):
         def cond(c):
@@ -887,6 +1000,10 @@ class SpecEngine:
         input_ids = jnp.asarray(input_ids, jnp.int32)
         b, s = input_ids.shape
         prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+        if method == "magicdec" and ecfg.per_row_temperature:
+            raise NotImplementedError(
+                "per_row_temperature covers the served methods (tree/chain); "
+                "the magicdec baseline reads the scalar ecfg.temperature")
         n_sp = self._sp_n
         if n_sp > 1:
             if method == "magicdec":
@@ -920,12 +1037,18 @@ class SpecEngine:
         rng = jax.random.PRNGKey(seed)
         rng, k_pre, k_gen = jax.random.split(rng, 3)
 
+        # donate the freshly-allocated state into prefill: at 32k+ context the
+        # target KV cache is GBs and an undonated prefill holds input+output
+        # copies live simultaneously (observed RESOURCE_EXHAUSTED on a 16GB
+        # chip at ctx 32768 with a 5GB model)
         if method == "magicdec":
-            prefill = self._get_jit("magicdec_prefill", self._magicdec_prefill)
+            prefill = self._get_jit("magicdec_prefill", self._magicdec_prefill,
+                                    donate=(3,))
             state, t0, _ = prefill(self.params, input_ids, prompt_lens, state,
                                    k_pre)
         else:
-            prefill = self._get_jit("prefill", self._prefill_impl)
+            prefill = self._get_jit("prefill", self._prefill_impl,
+                                    donate=(4,))
             state, t0, _ = prefill(self.params, self.draft_params, input_ids,
                                    prompt_lens, state, k_pre)
         np.asarray(t0)  # force full sync (block_until_ready can be a no-op
@@ -933,9 +1056,12 @@ class SpecEngine:
 
         if method == "vanilla":
             carry = self._vanilla_carry(state, t0, max_gen_len, k_gen)
+            # donate the carry: the KV cache inside it updates in place
+            # across segment dispatches instead of double-buffering
             seg = self._get_jit(
                 ("vanilla_seg", max_gen_len),
-                functools.partial(self._vanilla_segment, max_gen_len=max_gen_len))
+                functools.partial(self._vanilla_segment, max_gen_len=max_gen_len),
+                donate=(1,))
 
             def run_seg(carry, limit):
                 return seg(self.params, carry, limit)
@@ -956,7 +1082,8 @@ class SpecEngine:
             raise ValueError(f"unknown method {method}")
         carry = self._spec_carry(state, t0, max_gen_len, k_gen, a_max)
         seg = self._get_jit((method, "seg"),
-                            functools.partial(self._spec_segment, round_fn))
+                            functools.partial(self._spec_segment, round_fn),
+                            donate=(2,))
 
         def run_seg(carry, limit):
             return seg(self.params, self._decode_draft_params, carry, limit)

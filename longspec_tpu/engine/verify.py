@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 
 def verify_stochastic(tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
-                      temperature: float, rng, ecfg):
+                      temperature, rng, ecfg):
     """Walk the tree accepting children by rejection sampling.
 
     tree_tokens: [B, N] proposed tokens (root = already-emitted bonus).
@@ -36,6 +36,9 @@ def verify_stochastic(tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
     tgt_logits: [B, N, V] fp32 target logits at each node.
     spec_logp: [B, N, V] fp32 draft log-softmax at each node (the proposal
         distribution for that node's children).
+    temperature: python float (compiled in) OR a traced [B] f32 vector for
+        per-row temperature serving (engine per_row_temperature mode; rows
+        at temp<=0 run on a safe epsilon and the caller discards them).
     Returns (emit [B, A], acc_num [B], path_idx [B, A]) where A = depth+1 max:
     emit[i] is the token emitted at step i (accepted child tokens then the
     final residual/target sample), acc_num the number of valid entries,
@@ -47,8 +50,10 @@ def verify_stochastic(tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
     gamma = ecfg.tree_depth
     A = gamma + 1
 
-    p_all = jax.nn.softmax(tgt_logits / temperature, axis=-1)
-    q_all = jax.nn.softmax(spec_logp / temperature, axis=-1)
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    t = t.reshape(-1, 1, 1) if t.ndim else t   # [B,1,1] when per-row
+    p_all = jax.nn.softmax(tgt_logits / t, axis=-1)
+    q_all = jax.nn.softmax(spec_logp / t, axis=-1)
 
     cur = jnp.zeros((b,), jnp.int32)           # current accepted node (root)
     alive = jnp.ones((b,), bool)               # still walking

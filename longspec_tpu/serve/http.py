@@ -126,22 +126,31 @@ class HttpFrontend:
                     stop = body.get("stop")
                     if isinstance(stop, str):
                         stop = [stop]
+                    temperature = None
                     if "temperature" in body:
-                        # temperature is a compile-time constant of the
-                        # jitted rounds: be honest instead of silently
-                        # sampling at the engine's setting
-                        t_eng = frontend.server.engine.ecfg.temperature
-                        if float(body["temperature"]) != t_eng:
+                        temperature = float(body["temperature"])
+                        ecfg = frontend.server.engine.ecfg
+                        if temperature < 0.0:
+                            raise ValueError("temperature must be >= 0")
+                        if (not ecfg.per_row_temperature
+                                and temperature != ecfg.temperature):
+                            # without the traced-temps engine mode,
+                            # temperature is a compile-time constant of the
+                            # jitted rounds: be honest instead of silently
+                            # sampling at the engine's setting
                             raise ValueError(
                                 f"this server decodes at temperature "
-                                f"{t_eng} (fixed at engine build); "
-                                f"per-request temperature is not supported")
+                                f"{ecfg.temperature} (fixed at engine "
+                                f"build); start the engine with "
+                                f"per_row_temperature=True for per-request "
+                                f"temperature")
                     if body.get("stream"):
                         self._stream(prompt, max_tokens, chat=chat,
-                                     stop=stop)
+                                     stop=stop, temperature=temperature)
                         return
                     out = frontend.complete(prompt, max_tokens=max_tokens,
-                                            stop=stop)
+                                            stop=stop,
+                                            temperature=temperature)
                     if chat:
                         out = frontend._to_chat(out)
                 except ValueError as e:
@@ -154,14 +163,15 @@ class HttpFrontend:
                                  + b"\n\n")
                 self.wfile.flush()
 
-            def _stream(self, prompt, max_tokens, chat=False, stop=None):
+            def _stream(self, prompt, max_tokens, chat=False, stop=None,
+                        temperature=None):
                 """Server-sent events, OpenAI streaming shape: one `data:`
                 chunk per token delta, then a usage-bearing final chunk and
                 `data: [DONE]`. Chat mode mirrors chat.completion.chunk
                 (delta.content instead of text)."""
                 try:
                     p = frontend._enqueue(prompt, max_tokens, stream=True,
-                                          stop=stop)
+                                          stop=stop, temperature=temperature)
                 except ValueError as e:
                     self._reply(400, {"error": str(e)})
                     return
@@ -243,7 +253,8 @@ class HttpFrontend:
     # ------------------------------------------------------------------
 
     def _enqueue(self, prompt: Union[str, Sequence[int]], max_tokens: int,
-                 stream: bool = False, stop=None) -> _Pending:
+                 stream: bool = False, stop=None,
+                 temperature: Optional[float] = None) -> _Pending:
         if stop and self.decode is None:
             raise ValueError("stop sequences need a `decode` tokenizer")
         if isinstance(prompt, str):
@@ -257,7 +268,7 @@ class HttpFrontend:
             raise ValueError("empty prompt")
         p = _Pending(stream=stream, stop=stop)
         with self._lock:
-            self._inbox.append((tokens, max_tokens, p))
+            self._inbox.append((tokens, max_tokens, temperature, p))
         return p
 
     def _format(self, c: Completion, stop=None) -> dict:
@@ -307,12 +318,13 @@ class HttpFrontend:
 
     def complete(self, prompt: Union[str, Sequence[int]],
                  max_tokens: int = 128, timeout: float = 600.0,
-                 stop=None) -> dict:
+                 stop=None, temperature: Optional[float] = None) -> dict:
         """Blocking completion (handler threads land here). `stop`: list of
         strings — generation is CANCELLED server-side when one appears in
         the decoded output (budget returned to the batch) and the text is
         trimmed at the match."""
-        p = self._enqueue(prompt, max_tokens, stop=stop)
+        p = self._enqueue(prompt, max_tokens, stop=stop,
+                          temperature=temperature)
         if not p.event.wait(timeout):
             raise TimeoutError(f"completion not ready after {timeout}s")
         if p.error:
@@ -358,10 +370,10 @@ class HttpFrontend:
                 srv.cancel(p.uid)
             else:
                 drop.add(id(p))               # not yet submitted: skip it
-        inbox = [x for x in inbox if id(x[2]) not in drop]
-        for tokens, max_new, p in inbox:
+        inbox = [x for x in inbox if id(x[3]) not in drop]
+        for tokens, max_new, temperature, p in inbox:
             try:
-                uid = srv.submit(tokens, max_new)
+                uid = srv.submit(tokens, max_new, temperature=temperature)
                 self._pending[uid] = p
                 p.uid = uid
             except ValueError as e:      # over-capacity prompt etc.

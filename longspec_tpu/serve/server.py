@@ -48,6 +48,11 @@ class Request:
     tokens: np.ndarray          # [l] int32 prompt
     max_new_tokens: int
     priority: int = 0           # higher = admitted first (policy="priority")
+    # per-request sampling temperature; needs an engine built with
+    # per_row_temperature=True (temps is then a traced [B] carry vector, so
+    # mixing greedy and stochastic rows never recompiles). None = the
+    # engine's ecfg.temperature.
+    temperature: Optional[float] = None
     enqueued_s: float = field(default_factory=time.perf_counter)
 
 
@@ -136,7 +141,11 @@ class SpecServer:
         eos = jnp.full((n_slots,), self.cfg.eos_token_id, jnp.int32)
         self._carry: GenCarry = engine._spec_carry(
             state, eos, max_new_cap, jax.random.PRNGKey(seed), a_max)
-        self._seg = engine._get_jit((method, "seg"), self._segment_fn())
+        # donate the carry (same cache key as generate()'s segment): the KV
+        # slabs update in place across decode segments instead of
+        # double-buffering — at serving scale the state is most of HBM
+        self._seg = engine._get_jit((method, "seg"), self._segment_fn(),
+                                    donate=(2,))
 
         # host-side slot table: uid or None per slot
         self._slot_uid: List[Optional[int]] = [None] * n_slots
@@ -158,12 +167,15 @@ class SpecServer:
         import functools
         return functools.partial(self.engine._spec_segment, self._round_fn)
 
-    def _insert(self, carry: GenCarry, pst: DecodeState, t0, slot, max_new):
+    def _insert(self, carry: GenCarry, pst: DecodeState, t0, slot, max_new,
+                temp, logits0, rng):
         """Scatter a batch-1 prefill into slot `slot` of the live carry."""
         if not hasattr(self, "_insert_jit"):
             eos = self.cfg.eos_token_id
+            per_row = self.engine.ecfg.per_row_temperature
+            from ..engine.engine import _sample_rows
 
-            def impl(carry, pst, t0, slot, max_new):
+            def impl(carry, pst, t0, slot, max_new, temp, logits0, rng):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
                 state = DecodeState(
@@ -175,11 +187,19 @@ class SpecServer:
                     d_cache_lens=st.d_cache_lens.at[slot].set(
                         pst.d_cache_lens[0]),
                 )
-                t = t0[0]
+                if per_row:
+                    # the shared prefill sampled t0 at the ENGINE temperature;
+                    # resample this request's first token at ITS temperature
+                    t = _sample_rows(logits0, rng, temp[None])[0]
+                else:
+                    t = t0[0]
                 acc_row = jnp.zeros((carry.acc_tokens.shape[1],),
                                     jnp.int32).at[0].set(t)
                 out_row = jnp.full((carry.output_ids.shape[1],), eos,
                                    jnp.int32).at[0].set(t)
+                kw = {}
+                if per_row:
+                    kw["temps"] = carry.temps.at[slot].set(temp)
                 return carry._replace(
                     state=state,
                     acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
@@ -191,14 +211,17 @@ class SpecServer:
                     # the moment it has emitted max_new tokens, so cache
                     # writes never outrun submit()'s capacity reservation
                     out_cap=carry.out_cap.at[slot].set(max_new),
+                    **kw,
                 )
 
             self._insert_jit = jax.jit(impl, donate_argnums=(0,))
         return self._insert_jit(carry, pst, t0, jnp.int32(slot),
-                                jnp.int32(max_new))
+                                jnp.int32(max_new), jnp.float32(temp),
+                                logits0, rng)
 
     def _insert_paged(self, carry: GenCarry, pst: DecodeState, t0, slot,
-                      max_new, trow: np.ndarray, bucket: int):
+                      max_new, trow: np.ndarray, bucket: int, temp, logits0,
+                      rng):
         """Paged admission: scatter the dense batch-1 prefill's first
         `bucket` KV rows into the pools through this request's page table.
         Rows past the allocation land in the scratch page (trow padding)."""
@@ -206,9 +229,11 @@ class SpecServer:
             self._insert_paged_jit = {}
         if bucket not in self._insert_paged_jit:
             eos = self.cfg.eos_token_id
+            per_row = self.engine.ecfg.per_row_temperature
             from ..ops.pallas_paged import write_paged_rows
+            from ..engine.engine import _sample_rows
 
-            def impl(carry, pst, t0, slot, max_new, trow):
+            def impl(carry, pst, t0, slot, max_new, trow, temp, logits0, rng):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
                 # [L, 1, Hkv, bucket, D] -> [L, 1, bucket, Hkv, D]
@@ -228,11 +253,17 @@ class SpecServer:
                         pst.d_cache_lens[0]),
                     tables=tables,
                 )
-                t = t0[0]
+                if per_row:
+                    t = _sample_rows(logits0, rng, temp[None])[0]
+                else:
+                    t = t0[0]
                 acc_row = jnp.zeros((carry.acc_tokens.shape[1],),
                                     jnp.int32).at[0].set(t)
                 out_row = jnp.full((carry.output_ids.shape[1],), eos,
                                    jnp.int32).at[0].set(t)
+                kw = {}
+                if per_row:
+                    kw["temps"] = carry.temps.at[slot].set(temp)
                 return carry._replace(
                     state=state,
                     acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
@@ -241,12 +272,17 @@ class SpecServer:
                     out_len=carry.out_len.at[slot].set(1),
                     done=carry.done.at[slot].set(t == eos),
                     out_cap=carry.out_cap.at[slot].set(max_new),
+                    **kw,
                 )
 
             self._insert_paged_jit[bucket] = jax.jit(impl, donate_argnums=(0,))
         return self._insert_paged_jit[bucket](
             carry, pst, t0, jnp.int32(slot), jnp.int32(max_new),
-            jnp.asarray(trow, jnp.int32))
+            jnp.asarray(trow, jnp.int32), jnp.float32(temp), logits0, rng)
+
+    def _req_temp(self, req: Request) -> float:
+        t = req.temperature
+        return float(self.engine.ecfg.temperature if t is None else t)
 
     def _bucketize(self, n: int) -> int:
         b = next((b for b in self.prefill_buckets if b >= n),
@@ -274,9 +310,10 @@ class SpecServer:
             self._admit_prefix_jit = {}
         key = (fbucket, sbucket)
         if key not in self._admit_prefix_jit:
-            from ..engine.engine import _sample
+            from ..engine.engine import _sample, _sample_rows
+            per_row = ecfg.per_row_temperature
 
-            def impl(carry, full, sfx, l, s0, trow, slot, max_new, rng):
+            def impl(carry, full, sfx, l, s0, trow, slot, max_new, rng, temp):
                 st = carry.state
                 tables = st.tables.at[slot].set(trow)
                 t1 = trow[None]
@@ -285,7 +322,10 @@ class SpecServer:
                 last_h = jax.lax.dynamic_index_in_dim(
                     h_sfx[0], l - s0 - 1, axis=0, keepdims=False)
                 logits0 = M.logits_at(eng.params, last_h[None])
-                t = _sample(logits0, rng, ecfg.temperature)[0]
+                if per_row:
+                    t = _sample_rows(logits0, rng, temp[None])[0]
+                else:
+                    t = _sample(logits0, rng, ecfg.temperature)[0]
                 # draft: full-prompt prefill (1 layer), CA over pooled KV
                 emb = M.embed(eng.params, full)
                 positions = jnp.broadcast_to(
@@ -309,6 +349,9 @@ class SpecServer:
                                     jnp.int32).at[0].set(t)
                 out_row = jnp.full((carry.output_ids.shape[1],), eos,
                                    jnp.int32).at[0].set(t)
+                kw = {}
+                if per_row:
+                    kw["temps"] = carry.temps.at[slot].set(temp)
                 return carry._replace(
                     state=state,
                     acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
@@ -317,6 +360,7 @@ class SpecServer:
                     out_len=carry.out_len.at[slot].set(1),
                     done=carry.done.at[slot].set(t == eos),
                     out_cap=carry.out_cap.at[slot].set(max_new),
+                    **kw,
                 )
 
             self._admit_prefix_jit[key] = jax.jit(impl, donate_argnums=(0,))
@@ -325,7 +369,8 @@ class SpecServer:
         self._carry = self._admit_prefix_jit[key](
             self._carry, jnp.asarray(full), jnp.asarray(sfx),
             jnp.int32(l), jnp.int32(s0), jnp.asarray(trow, jnp.int32),
-            jnp.int32(slot), jnp.int32(req.max_new_tokens), rng)
+            jnp.int32(slot), jnp.int32(req.max_new_tokens), rng,
+            jnp.float32(self._req_temp(req)))
 
     def _finish_slot(self, carry: GenCarry, slot):
         if not hasattr(self, "_finish_jit"):
@@ -337,8 +382,16 @@ class SpecServer:
     # -- public API -----------------------------------------------------
 
     def submit(self, tokens, max_new_tokens: int = 128,
-               priority: int = 0) -> int:
+               priority: int = 0,
+               temperature: Optional[float] = None) -> int:
         tokens = np.asarray(tokens, np.int32).reshape(-1)
+        ecfg = self.engine.ecfg
+        if temperature is not None and not ecfg.per_row_temperature \
+                and float(temperature) != ecfg.temperature:
+            raise ValueError(
+                f"this server decodes at temperature {ecfg.temperature} "
+                f"(compiled in); build the engine with "
+                f"per_row_temperature=True for per-request sampling")
         if len(tokens) + max_new_tokens + self.a_max + 8 > self.s_max:
             raise ValueError(f"prompt {len(tokens)} + max_new {max_new_tokens}"
                              f" exceeds slot capacity {self.s_max}")
@@ -353,7 +406,8 @@ class SpecServer:
         uid = self._next_uid
         self._next_uid += 1
         req = Request(uid=uid, tokens=tokens, priority=priority,
-                      max_new_tokens=min(max_new_tokens, self.max_new_cap))
+                      max_new_tokens=min(max_new_tokens, self.max_new_cap),
+                      temperature=temperature)
         self._requests[uid] = req
         self._queue.append(uid)
         return uid
@@ -452,20 +506,24 @@ class SpecServer:
             prefill = eng._get_jit(("serve", "prefill"), eng._prefill_impl,
                                    donate=(4,))
             rng = jax.random.fold_in(jax.random.PRNGKey(17), uid)
-            self._pstate, t0, _ = prefill(eng.params, eng.draft_params,
-                                          jnp.asarray(padded),
-                                          jnp.asarray([l], jnp.int32),
-                                          self._pstate, rng)
+            self._pstate, t0, logits0 = prefill(eng.params, eng.draft_params,
+                                                jnp.asarray(padded),
+                                                jnp.asarray([l], jnp.int32),
+                                                self._pstate, rng)
+            tval = self._req_temp(req)
+            k_ins = jax.random.fold_in(rng, 1)
             if self._pool is not None:
                 trow = self._pool.table(uid, self.n_chunks,
                                         pad=self._trash_page)
                 self._carry = self._insert_paged(self._carry, self._pstate,
                                                  t0, slot, req.max_new_tokens,
-                                                 trow, bucket)
+                                                 trow, bucket, tval, logits0,
+                                                 k_ins)
                 self._pool.register(uid, req.tokens)
             else:
                 self._carry = self._insert(self._carry, self._pstate, t0,
-                                           slot, req.max_new_tokens)
+                                           slot, req.max_new_tokens, tval,
+                                           logits0, k_ins)
             self._slot_uid[slot] = uid
             self._slot_max_new[slot] = req.max_new_tokens
 
