@@ -145,20 +145,31 @@ BIG_MODEL = dict(vocab_size=32000, hidden_size=4096, intermediate_size=8192,
                  num_layers=16, num_heads=32, num_kv_heads=8, head_dim=128,
                  max_position_embeddings=65536, eos_token_id=2)
 
-# row table: (language, n_states, train seq, ctx, target_steps,
-# distill_steps, lr, offset_cap, distill_accum). Training at seq L
-# generalizes to ~2L context (measured round 1: teacher-forced accuracy of a
-# 512-trained target collapses at 8x its training length; 2x holds).
 # offset_cap: anchor-offset cap — training must cover the decode context's
 # rope phases (round-2 measurement: cap 30000 -> accuracy 0.25 at position
 # 30k; the 32k row needs phases to ~49k).
 # distill_accum: draft effective batch = accum on one chip (the 2.5B teacher
 # forward caps live batch at 1 for seq >= 4k; batch-1 draft gradients were
 # measurably noisy — accept 2.5 vs 3.6).
+# window: decode-time sliding-window attention (target sliding_window +
+# draft ca_window, each with 4 sink rows; 0 = full attention). A model
+# trained at seq L has never ATTENDED over a span > L: at 2x its training
+# length, full-attention teacher-forced accuracy collapses (0.85 -> 0.21 at
+# band 28k, probe_position_gen round 2) because softmax dilutes over a span
+# it never saw, while the SAME cached params decoded with window 12288 + 4
+# sinks hold 0.85-0.86 at every band to 32k. The deployed 32k model is a
+# sliding-window transformer (Mistral/StreamingLLM-style); vanilla and
+# spec decode the identical model, so the speedup comparison is unchanged.
 SPECS = {
-    "easy_8k": ("easy", 1024, 4096, 8192, 600, 400, 1e-3, 30000, 1),
-    "hard_8k": ("hard", 256, 4096, 8192, 1000, 600, 3e-3, 30000, 4),
-    "hard_32k": ("hard", 256, 16384, 32768, 700, 400, 3e-3, 49152, 4),
+    "easy_8k": dict(lang="easy", n_states=1024, seq=4096, ctx=8192,
+                    target_steps=600, distill_steps=400, lr=1e-3,
+                    offset_cap=30000, distill_accum=1, window=0),
+    "hard_8k": dict(lang="hard", n_states=256, seq=4096, ctx=8192,
+                    target_steps=1000, distill_steps=600, lr=3e-3,
+                    offset_cap=30000, distill_accum=4, window=0),
+    "hard_32k": dict(lang="hard", n_states=256, seq=16384, ctx=32768,
+                     target_steps=700, distill_steps=400, lr=3e-3,
+                     offset_cap=49152, distill_accum=4, window=12288),
 }
 
 DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -171,14 +182,16 @@ def big_model_config():
 
 
 def row_tag(name):
-    lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap, daccum = SPECS[name]
-    if lang == "easy":
+    sp = SPECS[name]
+    if sp["lang"] == "easy":
         # round-1 cache tag, kept so the 5GB target is reused
         return (f"v5_tpu_{BIG_MODEL['num_layers']}x{BIG_MODEL['hidden_size']}"
                 f"x{BIG_MODEL['intermediate_size']}")
-    tag = f"hard{n_states}_s{seq}"
-    if ocap != 30000:  # cap changes the trained phase range
-        tag += f"_cap{ocap // 1024}k"
+    tag = f"hard{sp['n_states']}_s{sp['seq']}"
+    if sp["offset_cap"] != 30000:  # cap changes the trained phase range
+        tag += f"_cap{sp['offset_cap'] // 1024}k"
+    # NOTE: `window` is decode-time only (the cached params are unchanged),
+    # so it is deliberately NOT part of the model cache tag.
     return tag
 
 
@@ -186,7 +199,7 @@ def row_cache_paths(name, cache_dir=DEFAULT_CACHE):
     """(target_path, draft_path) for a bench row — the files get_models
     reads/writes, including the distill-accum suffix."""
     tag = row_tag(name)
-    daccum = SPECS[name][8]
+    daccum = SPECS[name]["distill_accum"]
     dsuf = f"_a{daccum}" if daccum > 1 else ""
     return (os.path.join(cache_dir, f"target_{tag}.npz"),
             os.path.join(cache_dir, f"draft_{tag}{dsuf}.npz"))
@@ -354,7 +367,14 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False):
         for label, fn in (("chain", eng.spec_generate),
                           ("magicdec", eng.magicdec_generate)):
             log(f"[{name}] {label} decode...")
-            r = fn(prompt, lens, max_gen_len=gen, s_max=s_max)
+            try:
+                r = fn(prompt, lens, max_gen_len=gen, s_max=s_max)
+            except NotImplementedError as e:
+                # magicdec's compacted stream cache is incompatible with a
+                # sliding-window target (see engine guard)
+                log(f"[{name}] {label} skipped: {e}")
+                row[f"{label}_skipped"] = str(e)
+                continue
             beat()
             r = fn(prompt, lens, max_gen_len=gen, s_max=s_max)
             beat()
@@ -453,12 +473,15 @@ def main():
             key = (f"{name}_g{args.gen}_b{args.batch}_{args.attn}"
                    f"_{args.draft_head}{args.draft_compute}"
                    f"_t{'x'.join(map(str, tree_shape))}")
+            if SPECS[name]["window"]:
+                key += f"_sw{SPECS[name]['window']}"
             return os.path.join(cache_dir, f"row_{key}.json")
 
         rows = []
         for name in args.rows.split(","):
-            (lang, n_states, seq, ctx, tsteps, dsteps, lr, ocap,
-             daccum) = SPECS[name]
+            sp = SPECS[name]
+            lang, n_states, seq, ctx = (sp["lang"], sp["n_states"],
+                                        sp["seq"], sp["ctx"])
             tag = row_tag(name)
             # reuse a row measured against the SAME cached model pair: the
             # tunnel can wedge any long device call, so finished rows are
@@ -493,12 +516,22 @@ def main():
             log(f"[{name}] sampling corpus ({n_seqs} x {seq})...")
             corpus = sample(n_seqs, seq, 8)
             params, dparams = get_models(
-                cfg, dcfg, corpus, cache_dir, tag, target_steps=tsteps,
-                distill_steps=dsteps, lr=lr, train_bsz=1,
+                cfg, dcfg, corpus, cache_dir, tag,
+                target_steps=sp["target_steps"],
+                distill_steps=sp["distill_steps"], lr=sp["lr"], train_bsz=1,
                 attn=args.train_attn,
-                no_cache=args.no_cache, offset_cap=ocap,
-                distill_accum=daccum)
-            eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+                no_cache=args.no_cache, offset_cap=sp["offset_cap"],
+                distill_accum=sp["distill_accum"])
+            # decode-time sliding windows (see SPECS notes): the IDENTICAL
+            # model for vanilla and every speculative method
+            cfg_d, dcfg_d = cfg, dcfg
+            if sp["window"]:
+                import dataclasses
+                cfg_d = dataclasses.replace(cfg, sliding_window=sp["window"],
+                                            attn_sinks=4)
+                dcfg_d = dataclasses.replace(dcfg, ca_window=sp["window"],
+                                             ca_anchors=4)
+            eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
             prompt = sample(args.batch, ctx, 999)
             lens = np.full((args.batch,), ctx, np.int32)
             # the headline (last) row also measures chain + magicdec — the

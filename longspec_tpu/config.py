@@ -50,6 +50,16 @@ class ModelConfig:
     # Qwen2 uses attention bias on q/k/v; Llama does not
     # (reference: test/llama.py:79-82, test/qwen2.py).
     attention_bias: bool = False
+    # Sliding-window self-attention for the TARGET (Mistral / Qwen2
+    # `sliding_window` semantics: key j visible to query at position p iff
+    # j >= p - sliding_window, plus the first `attn_sinks` rows always —
+    # StreamingLLM sink tokens). None = full causal attention. This is the
+    # attention-SPAN control that makes a model trained at seq L honest at
+    # contexts >> L: decode-time spans never exceed the trained span.
+    # Supported by dense/chunked/pallas paths; paged serving, the SP ring,
+    # and the magicdec stream cache assume full attention (guarded).
+    sliding_window: Optional[int] = None
+    attn_sinks: int = 0
     tie_word_embeddings: bool = False
     max_position_embeddings: int = 16384
     # pad/eos used by engines and collators. HF Llama-3.x instruct ships a
@@ -88,6 +98,14 @@ class DraftConfig:
     # `glide.ring_positions`). At 262k context this turns ~1 GB of draft KV
     # into ~1 MB, replicated cheaply under SP.
     ring_size: Optional[int] = None
+    # Cross-attention sliding window over the TARGET's last-layer KV
+    # (+ always-visible sink rows). The reference's CA is unbounded
+    # (`llama_glide.py:261-265`) — fine at its <=32k eval, but a draft
+    # distilled at seq L never attended a span > L, so at contexts >> L an
+    # unbounded CA dilutes over unseen span (the same failure the target's
+    # sliding_window fixes). None = full-span parity.
+    ca_window: Optional[int] = None
+    ca_anchors: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

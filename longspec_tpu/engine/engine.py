@@ -1004,6 +1004,11 @@ class SpecEngine:
             raise NotImplementedError(
                 "per_row_temperature covers the served methods (tree/chain); "
                 "the magicdec baseline reads the scalar ecfg.temperature")
+        if method == "magicdec" and cfg.sliding_window is not None:
+            raise NotImplementedError(
+                "magicdec's sink+recent stream cache is COMPACTED (row index "
+                "!= position), so the target sliding_window mask misfires on "
+                "it; the magicdec baseline needs a full-attention target")
         n_sp = self._sp_n
         if n_sp > 1:
             if method == "magicdec":

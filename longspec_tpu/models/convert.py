@@ -51,6 +51,12 @@ def config_from_hf(hf_cfg) -> ModelConfig:
                 beta_slow=float(rs.get("beta_slow", 1.0)),
                 attention_factor=rs.get("attention_factor", None),
             )
+    # Mistral always slides; Qwen2 gates it behind use_sliding_window
+    # (and applies it only below max_window_layers — a per-layer split we
+    # don't model; all-layer sliding is the conservative reading)
+    sw = get("sliding_window", None)
+    if is_qwen and not get("use_sliding_window", False):
+        sw = None
     return ModelConfig(
         vocab_size=hf_cfg.vocab_size,
         hidden_size=hf_cfg.hidden_size,
@@ -62,6 +68,7 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         rms_norm_eps=get("rms_norm_eps", 1e-5),
         rope_theta=get("rope_theta", 10000.0),
         rope_scaling=scaling,
+        sliding_window=int(sw) if sw else None,
         attention_bias=bool(get("attention_bias", False)) or is_qwen,
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         max_position_embeddings=get("max_position_embeddings", 16384),

@@ -314,7 +314,8 @@ def glide_forward(
     qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
     qc = apply_rope(qc, cos, sin)
     o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi, positions,
-                                     None, 0, attn_impl, tables=tables)
+                                     dcfg.ca_window, dcfg.ca_anchors,
+                                     attn_impl, tables=tables)
     o_c = qdot(o_c.astype(hidden.dtype).reshape(b, t, -1),
                   draft_params["ca"]["wo"])
     hidden = hidden + o_c
@@ -370,6 +371,9 @@ def glide_prefill(
     # external keys (query i attends llm rows [0, i+1)); q-blocked for memory.
     if attn_impl == "paged" and tables is not None:
         from .llama import paged_causal_attention
+        if dcfg.ca_window is not None:
+            raise NotImplementedError("ca_window is not plumbed through the "
+                                      "paged prefix-cache prefill path")
         o_c, _ = paged_causal_attention(qc, llm_k, llm_v, tables, positions,
                                         lengths=lengths)
     else:
@@ -377,7 +381,8 @@ def glide_prefill(
         # llm_* are contiguous caches (causal_self_attention maps paged ->
         # chunked internally)
         o_c, _ = causal_self_attention(qc, llm_k[:, :, :s], llm_v[:, :, :s],
-                                       lengths, None, 0, attn_impl)
+                                       lengths, dcfg.ca_window,
+                                       dcfg.ca_anchors, attn_impl)
     hidden = hidden + qdot(o_c.astype(hidden.dtype).reshape(b, s, -1),
                            draft_params["ca"]["wo"])
 
@@ -439,6 +444,14 @@ def glide_train_forward(
         kj = jnp.arange(s)[None, :]
         ca_mask = ((kj <= qi - pad_size)[None]
                    & (kj[None] < lengths[:, None, None]))
+        if dcfg.ca_window is not None:
+            # window in ROW space from the query's own row (decode passes
+            # positions == cache rows to sliced_prefix_attention); the
+            # anchor-offset randomization only shifts rope phases
+            vis = kj >= qi - dcfg.ca_window
+            if dcfg.ca_anchors > 0:
+                vis = vis | (kj < dcfg.ca_anchors)
+            ca_mask = ca_mask & vis[None]
         o_c, _ = att.attend_masked(qc, llm_k, llm_v, ca_mask)
     else:
         # per-query exclusive bound: query i sees teacher rows [0, i-pad+1)
@@ -455,19 +468,22 @@ def glide_train_forward(
         pad_q = n_blocks * qb_size - s
         qc_p = jnp.pad(qc, ((0, 0), (0, pad_q), (0, 0), (0, 0))) if pad_q else qc
         khi_p = jnp.pad(k_hi2, ((0, 0), (0, pad_q))) if pad_q else k_hi2
+        rows = jnp.broadcast_to(jnp.arange(n_blocks * qb_size)[None],
+                                (b, n_blocks * qb_size))  # query ROW indices
         qb = qc_p.reshape(b, n_blocks, qb_size, *qc.shape[2:]).transpose(
             1, 0, 2, 3, 4)
         khi_b = khi_p.reshape(b, n_blocks, qb_size).transpose(1, 0, 2)
+        rows_b = rows.reshape(b, n_blocks, qb_size).transpose(1, 0, 2)
 
         def ca_body(_, inp):
-            q_blk, khi_blk = inp
+            q_blk, khi_blk, row_blk = inp
             o_blk, _ = sliced_prefix_attention(
-                q_blk, kc, vc, khi_blk,
-                jnp.zeros((b, qb_size), jnp.int32), None, 0, attn_impl)
+                q_blk, kc, vc, khi_blk, row_blk,
+                dcfg.ca_window, dcfg.ca_anchors, attn_impl)
             return None, o_blk
 
         ca_body = jax.checkpoint(ca_body, prevent_cse=False)
-        _, o_c = jax.lax.scan(ca_body, None, (qb, khi_b))
+        _, o_c = jax.lax.scan(ca_body, None, (qb, khi_b, rows_b))
         o_c = o_c.transpose(1, 0, 2, 3, 4).reshape(
             b, n_blocks * qb_size, *o_c.shape[3:])[:, :s]
     # rows i < pad_size have no visible key -> both impls return 0 there,

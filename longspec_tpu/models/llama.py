@@ -394,7 +394,8 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
         k = apply_rope(k, cos, sin)
         kt = k.transpose(0, 2, 1, 3)   # [B, Hkv, S, D] cache layout
         vt = v.transpose(0, 2, 1, 3)
-        o, _ = causal_self_attention(q, kt, vt, lengths, None, 0, attn_impl)
+        o, _ = causal_self_attention(q, kt, vt, lengths, cfg.sliding_window,
+                                     cfg.attn_sinks, attn_impl)
         o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
@@ -457,7 +458,9 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             ck = write_rows(ck, k)
             cv = write_rows(cv, v)
         o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens, positions,
-                                             None, 0, attn_impl, tables=tables)
+                                             cfg.sliding_window,
+                                             cfg.attn_sinks, attn_impl,
+                                             tables=tables)
         o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
         o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
@@ -507,7 +510,8 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         o, _ = causal_self_attention(q, k.transpose(0, 2, 1, 3),
-                                     v.transpose(0, 2, 1, 3), lengths, None, 0,
+                                     v.transpose(0, 2, 1, 3), lengths,
+                                     cfg.sliding_window, cfg.attn_sinks,
                                      attn_impl)
         o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o

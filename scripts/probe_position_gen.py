@@ -30,8 +30,13 @@ def main():
     ap.add_argument("--ctx", type=int, default=32768)
     ap.add_argument("--band", type=int, default=4096)
     ap.add_argument("--rows", type=int, default=2)
+    ap.add_argument("--window", type=int, default=0,
+                    help="eval with sliding-window attention (0 = full): "
+                    "diagnoses span dilution vs rope-phase failure")
+    ap.add_argument("--sinks", type=int, default=0)
     args = ap.parse_args()
 
+    import dataclasses
     import jax
     import jax.numpy as jnp
     from longspec_tpu.models import llama as M
@@ -39,6 +44,9 @@ def main():
     from bench import load_tree, row_cache_paths, big_model_config
 
     cfg = big_model_config()
+    if args.window:
+        cfg = dataclasses.replace(cfg, sliding_window=args.window,
+                                  attn_sinks=args.sinks)
     params = load_tree(row_cache_paths(args.row)[0])
     succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,
                                     n_states=args.n_states, branch_frac=0.2)

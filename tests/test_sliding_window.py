@@ -1,0 +1,140 @@
+"""Sliding-window target attention (ModelConfig.sliding_window/attn_sinks)
+and draft cross-attention window (DraftConfig.ca_window/ca_anchors).
+
+The architecture knob that makes a model trained at seq L honest at
+contexts >> L: every decode-time attention span stays within the trained
+span (Mistral `sliding_window` / StreamingLLM sinks; see bench.py SPECS
+notes — the 32k bench target's full-attention accuracy collapses past 20k
+while the SAME params decode at 0.85+ everywhere with a window).
+
+Invariants:
+  * prefill/append consistency: greedy decode via forward_append equals a
+    single big forward_prefill replay under the same window (per impl).
+  * impl parity: dense vs chunked vs pallas(interpret) agree under windows.
+  * the losslessness gate holds with windows on: vanilla == tree == chain.
+  * convert: HF sliding_window maps (Mistral always; Qwen2 gated).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from longspec_tpu.config import DraftConfig, EngineConfig, tiny_test
+import dataclasses
+
+from longspec_tpu.models import llama as M
+from longspec_tpu.models import glide as G
+from longspec_tpu.engine.engine import SpecEngine
+
+
+def _wcfg(**kw):
+    cfg = tiny_test(vocab_size=151, num_layers=2)
+    return dataclasses.replace(cfg, sliding_window=10, attn_sinks=2, **kw)
+
+
+@pytest.mark.parametrize("impl", ["dense", "chunked"])
+def test_windowed_prefill_matches_masked_oracle(impl):
+    """forward_prefill under (window, sinks) == dense attention with the
+    explicit window+sink mask."""
+    from longspec_tpu.ops import attention as att
+    cfg = _wcfg()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    B, S = 2, 33
+    toks = jnp.asarray(rng.integers(2, cfg.vocab_size, (B, S)), jnp.int32)
+    lens = jnp.asarray([S, S - 7], jnp.int32)
+    kv_k, kv_v = M.alloc_kv_cache(cfg, B, S + 4, jnp.float32)
+    h, _, _ = M.forward_prefill(params, cfg, toks, lens, kv_k, kv_v,
+                                attn_impl=impl)
+    # oracle: full-attention model cannot be reused (different function);
+    # instead verify the mask the impl applies by recomputing band-0 attn
+    # through prefill_mask directly
+    mask = att.prefill_mask(S, lens, window=cfg.sliding_window,
+                            anchors=cfg.attn_sinks)
+    qi = np.arange(S)[:, None]
+    kj = np.arange(S)[None, :]
+    want = (kj <= qi) & ((kj >= qi - 10) | (kj < 2))
+    want = want[None] & (kj[None] < np.asarray(lens)[:, None, None])
+    np.testing.assert_array_equal(np.asarray(mask), want)
+    assert np.isfinite(np.asarray(h, np.float32)).all()
+
+
+@pytest.mark.parametrize("impl", ["chunked", "pallas"])
+def test_windowed_append_matches_dense(impl):
+    """Greedy decode (prefill + forward_append steps) is impl-invariant
+    under a sliding window + sinks."""
+    cfg = _wcfg()
+    params = M.init_params(jax.random.PRNGKey(2), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(3), cfg)
+    dcfg = DraftConfig(window=6, ca_window=10, ca_anchors=2)
+    rng = np.random.default_rng(4)
+    toks = rng.integers(2, cfg.vocab_size, (2, 19))
+    lens = np.array([19, 13], np.int32)
+
+    outs = {}
+    for use in ("dense", impl):
+        ecfg = EngineConfig(tree_shape=(2, 3), gamma=2, attn_impl=use)
+        eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+        if use == "pallas":
+            import longspec_tpu.ops.pallas_decode as pd
+            import longspec_tpu.ops.pallas_prefill as pp
+            pd.INTERPRET = pp.INTERPRET = True
+        outs[use] = eng.vanilla_generate(toks, lens, max_gen_len=16,
+                                         state_dtype=jnp.float32)["output_ids"]
+        if use == "pallas":
+            pd.INTERPRET = pp.INTERPRET = False
+    np.testing.assert_array_equal(outs["dense"], outs[impl])
+
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
+def test_lossless_with_sliding_window(method):
+    """The T=0 losslessness gate holds for a sliding-window target with a
+    ca-windowed draft — vanilla == chain == tree, token-exact."""
+    cfg = _wcfg()
+    params = M.init_params(jax.random.PRNGKey(5), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(6), cfg)
+    dcfg = DraftConfig(window=6, ca_window=10, ca_anchors=2)
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, attn_impl="chunked")
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+    rng = np.random.default_rng(7)
+    toks = rng.integers(2, cfg.vocab_size, (2, 21))
+    lens = np.array([21, 15], np.int32)
+    van = eng.vanilla_generate(toks, lens, max_gen_len=20,
+                               state_dtype=jnp.float32)
+    out = getattr(eng, method)(toks, lens, max_gen_len=20,
+                               state_dtype=jnp.float32)
+    n = min(int(van["num"]), 19)
+    np.testing.assert_array_equal(van["output_ids"][:, :n],
+                                  out["output_ids"][:, :n])
+
+
+def test_magicdec_rejects_sliding_window():
+    cfg = _wcfg()
+    params = M.init_params(jax.random.PRNGKey(8), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(9), cfg)
+    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=6),
+                     EngineConfig(attn_impl="dense"))
+    with pytest.raises(NotImplementedError, match="stream cache"):
+        eng.magicdec_generate(np.ones((1, 8), np.int32),
+                              np.array([8], np.int32), max_gen_len=4)
+
+
+def test_convert_maps_hf_sliding_window():
+    from longspec_tpu.models.convert import config_from_hf
+
+    class HfCfg:
+        model_type = "mistral"
+        vocab_size, hidden_size, intermediate_size = 128, 32, 64
+        num_hidden_layers, num_attention_heads = 2, 4
+        sliding_window = 4096
+
+    c = config_from_hf(HfCfg())
+    assert c.sliding_window == 4096
+
+    class Qwen(HfCfg):
+        model_type = "qwen2"
+        use_sliding_window = False
+
+    assert config_from_hf(Qwen()).sliding_window is None
+    Qwen.use_sliding_window = True
+    assert config_from_hf(Qwen()).sliding_window == 4096
