@@ -142,7 +142,9 @@ def load_engine(args):
                         temperature=args.temperature,
                         attn_impl=attn_impl, draft_head=args.draft_head,
                         draft_compute=args.draft_compute,
-                        beam_topk=args.beam_topk)
+                        beam_topk=args.beam_topk,
+                        per_row_temperature=getattr(
+                            args, "per_row_temperature", False))
     dcfg = DraftConfig(window=args.window,
                        ring_size=args.draft_ring or None)
     mesh = None

@@ -57,6 +57,14 @@ def get_args(argv=None):
     p.add_argument("--pool-pages", default=0, type=int,
                    help="total physical pages (0 = full slot capacity, i.e."
                    " no overcommit)")
+    p.add_argument("--paging", default="reserved",
+                   choices=["reserved", "elastic"],
+                   help="elastic (kv=paged): reserve prompt-only at "
+                   "admission, top up per segment, preempt the youngest "
+                   "request by hibernation-swap under pool pressure")
+    p.add_argument("--per-row-temperature", action="store_true",
+                   help="compile traced per-row temps so each request may "
+                   "set its own `temperature` in the HTTP body")
     return p.parse_args(argv)
 
 
@@ -72,7 +80,8 @@ def main(argv=None):
     from ..serve.http import HttpFrontend
     srv = SpecServer(eng, n_slots=args.n_slots, s_max=args.s_max,
                      max_new_cap=args.max_new_cap, policy=args.policy,
-                     kv=args.kv, pool_pages=args.pool_pages or None)
+                     kv=args.kv, pool_pages=args.pool_pages or None,
+                     paging=args.paging if args.kv == "paged" else "reserved")
     fe = HttpFrontend(
         srv, host=args.host, port=args.port,
         model_name=args.target_path.rstrip("/").rsplit("/", 1)[-1],

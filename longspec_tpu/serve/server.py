@@ -80,7 +80,8 @@ class SpecServer:
                  prefill_buckets=(128, 512, 2048, 8192),
                  state_dtype=jnp.bfloat16, seed: int = 0,
                  policy: str = "fifo", kv: str = "slots",
-                 pool_pages: Optional[int] = None):
+                 pool_pages: Optional[int] = None,
+                 paging: str = "reserved"):
         if method == "tree":
             self._round_fn = engine._tree_round
             a_max = engine.ecfg.tree_depth + 1
@@ -111,6 +112,26 @@ class SpecServer:
         # queue requests while the pool is full).
         if kv not in ("slots", "paged"):
             raise ValueError(f"unknown kv mode {kv!r}")
+        # paging="elastic" (kv="paged" only): admission reserves just the
+        # PROMPT pages plus one round's headroom instead of the request's
+        # whole token budget; before each decode segment every active row
+        # tops up (PagePool.extend) to cover that segment's worst case. On
+        # pool exhaustion the MOST RECENTLY admitted active request is
+        # PREEMPTED by hibernation: its used pages, draft-cache rows, and
+        # carry row are gathered to the host, its pages freed, and the
+        # request requeued at the front; restoration scatters the saved
+        # state into a free slot later — token-exact by construction (the
+        # KV bytes come back identical; nothing is recomputed). Progress is
+        # guaranteed: the oldest active request is never the victim, so it
+        # can eventually take the whole pool (submit() caps any single
+        # request to pool capacity).
+        if paging not in ("reserved", "elastic"):
+            raise ValueError(f"unknown paging mode {paging!r}")
+        if paging == "elastic" and kv != "paged":
+            raise ValueError("paging='elastic' requires kv='paged'")
+        self.paging = paging
+        self.preemptions = 0
+        self._hibernated: Dict[int, dict] = {}
         self.kv = kv
         self._pool = None
         if kv == "paged":
@@ -150,6 +171,8 @@ class SpecServer:
         # host-side slot table: uid or None per slot
         self._slot_uid: List[Optional[int]] = [None] * n_slots
         self._slot_max_new = np.zeros((n_slots,), np.int64)
+        self._slot_admit_seq = [0] * n_slots   # admission recency (elastic
+        self._admit_seq = 0                    # victim selection)
         self._requests: Dict[int, Request] = {}
         self._queue: List[int] = []
         self._next_uid = 0
@@ -379,6 +402,142 @@ class SpecServer:
                 donate_argnums=(0,))
         return self._finish_jit(carry, jnp.int32(slot))
 
+    def _retable(self, slot, row_or_page):
+        """Point slot's table row at `row_or_page` ([n_chunks] row or a
+        scalar page id broadcast across the row)."""
+        if not hasattr(self, "_retable_jit"):
+            self._retable_jit = jax.jit(
+                lambda c, s, p: c._replace(state=c.state._replace(
+                    tables=c.state.tables.at[s].set(p))),
+                donate_argnums=(0,))
+        return self._retable_jit(self._carry, jnp.int32(slot),
+                                 jnp.asarray(row_or_page, jnp.int32))
+
+    # -- elastic paging: hibernate / restore / per-segment top-up --------
+
+    def _gather_slot(self, slot) -> dict:
+        """Pull one slot's full decode state to the host: its page CONTENTS
+        (gathered through the table row, logical order), draft-cache rows,
+        and carry row — everything needed to resume the request bit-exact
+        in any slot later."""
+        if not hasattr(self, "_gather_jit"):
+            def impl(carry, slot):
+                st = carry.state
+                trow = st.tables[slot]
+                out = dict(
+                    pages_k=jnp.take(st.kv_k, trow, axis=1),
+                    pages_v=jnp.take(st.kv_v, trow, axis=1),
+                    d_k=st.d_kv_k[slot], d_v=st.d_kv_v[slot],
+                    cache_len=st.cache_lens[slot],
+                    d_cache_len=st.d_cache_lens[slot],
+                    acc_tokens=carry.acc_tokens[slot],
+                    acc_len=carry.acc_len[slot],
+                    output_ids=carry.output_ids[slot],
+                    out_len=carry.out_len[slot],
+                    out_cap=carry.out_cap[slot],
+                    done=carry.done[slot],
+                )
+                if carry.temps is not None:
+                    out["temp"] = carry.temps[slot]
+                return out
+
+            self._gather_jit = jax.jit(impl)
+        sv = self._gather_jit(self._carry, jnp.int32(slot))
+        return {k: np.asarray(v) for k, v in sv.items()}
+
+    def _restore_slot(self, sv: dict, slot: int, trow: np.ndarray):
+        """Scatter a hibernated request back: page contents into freshly
+        allocated pages (padded table entries write into scratch), slot
+        rows into the carry."""
+        if not hasattr(self, "_restore_jit"):
+            def impl(carry, sv, slot, trow):
+                st = carry.state
+                upd = jax.lax.dynamic_update_index_in_dim
+                state = DecodeState(
+                    kv_k=st.kv_k.at[:, trow].set(sv["pages_k"]),
+                    kv_v=st.kv_v.at[:, trow].set(sv["pages_v"]),
+                    d_kv_k=upd(st.d_kv_k, sv["d_k"], slot, 0),
+                    d_kv_v=upd(st.d_kv_v, sv["d_v"], slot, 0),
+                    cache_lens=st.cache_lens.at[slot].set(sv["cache_len"]),
+                    d_cache_lens=st.d_cache_lens.at[slot].set(
+                        sv["d_cache_len"]),
+                    tables=st.tables.at[slot].set(trow),
+                )
+                kw = {}
+                if carry.temps is not None:
+                    kw["temps"] = carry.temps.at[slot].set(sv["temp"])
+                return carry._replace(
+                    state=state,
+                    acc_tokens=carry.acc_tokens.at[slot].set(sv["acc_tokens"]),
+                    acc_len=carry.acc_len.at[slot].set(sv["acc_len"]),
+                    output_ids=carry.output_ids.at[slot].set(sv["output_ids"]),
+                    out_len=carry.out_len.at[slot].set(sv["out_len"]),
+                    done=carry.done.at[slot].set(sv["done"]),
+                    out_cap=carry.out_cap.at[slot].set(sv["out_cap"]),
+                    **kw)
+
+            self._restore_jit = jax.jit(impl, donate_argnums=(0,))
+        self._carry = self._restore_jit(
+            self._carry, {k: jnp.asarray(v) for k, v in sv.items()},
+            jnp.int32(slot), jnp.asarray(trow, jnp.int32))
+
+    def _hibernate(self, slot: int):
+        """Preempt the request in `slot`: save its state to the host, free
+        its pages, park the slot on scratch, requeue the uid at the FRONT."""
+        uid = self._slot_uid[slot]
+        self._hibernated[uid] = self._gather_slot(slot)
+        self._slot_uid[slot] = None
+        self._carry = self._finish_slot(self._carry, slot)
+        self._carry = self._retable(slot, self._trash_page)
+        self._pool.free(uid)
+        self._queue.insert(0, uid)
+        self.preemptions += 1
+
+    def _preempt_youngest(self, protect_slot: int) -> bool:
+        """Hibernate the most recently ADMITTED active request that is
+        younger than `protect_slot`'s (never an older one — the oldest
+        request must always be able to finish). Returns False if no such
+        victim exists."""
+        mine = self._slot_admit_seq[protect_slot]
+        victims = [s for s in range(self.n_slots)
+                   if self._slot_uid[s] is not None and s != protect_slot
+                   and self._slot_admit_seq[s] > mine]
+        if not victims:
+            return False
+        self._hibernate(max(victims, key=lambda s: self._slot_admit_seq[s]))
+        return True
+
+    def _topup(self, rounds: int):
+        """Elastic paging: before a decode segment, grow every active row's
+        allocation to cover the segment's worst-case token writes (rounds x
+        a_max per row, capped at the request's remaining budget). On pool
+        exhaustion, preempt younger rows; a row that cannot be satisfied
+        even then hibernates ITSELF (resumes when pages free up)."""
+        lens = np.asarray(self._carry.state.cache_lens)
+        for slot in range(self.n_slots):
+            uid = self._slot_uid[slot]
+            if uid is None:
+                continue
+            req = self._requests[uid]
+            full = (len(req.tokens) + req.max_new_tokens + self.a_max + 8)
+            want = min(int(lens[slot]) + rounds * self.a_max + 8, full)
+            cur = self._pool.len_of(uid)
+            if want <= cur:
+                continue
+            while True:
+                try:
+                    fresh = self._pool.extend(uid, want - cur)
+                    break
+                except MemoryError:
+                    if not self._preempt_youngest(slot):
+                        self._hibernate(slot)
+                        fresh = None
+                        break
+            if fresh:
+                self._carry = self._retable(
+                    slot, self._pool.table(uid, self.n_chunks,
+                                           pad=self._trash_page))
+
     # -- public API -----------------------------------------------------
 
     def submit(self, tokens, max_new_tokens: int = 128,
@@ -459,14 +618,37 @@ class SpecServer:
             uid = self._pop_next()
             req = self._requests[uid]
             l = len(req.tokens)
+            if uid in self._hibernated:
+                # preempted request: restore its saved pages/state verbatim
+                sv = self._hibernated[uid]
+                need = int(sv["cache_len"]) + self.a_max + 8
+                if not self._pool.can_alloc(need):
+                    self._queue.insert(0, uid)
+                    break
+                self._hibernated.pop(uid)
+                self._pool.alloc(uid, need)
+                trow = self._pool.table(uid, self.n_chunks,
+                                        pad=self._trash_page)
+                self._restore_slot(sv, slot, trow)
+                self._slot_uid[slot] = uid
+                self._slot_max_new[slot] = req.max_new_tokens
+                self._admit_seq += 1
+                self._slot_admit_seq[slot] = self._admit_seq
+                continue
             shared_s0 = 0
             if self._pool is not None:
-                # paged: reserve exactly this request's capacity; if the
-                # pool is full, requeue and wait for a harvest to free pages.
+                # paged: reserve this request's capacity — the WHOLE token
+                # budget under paging="reserved" (cannot deadlock; holds the
+                # budget for the request's lifetime), or just the prompt +
+                # one round's headroom under "elastic" (top-up per segment,
+                # preemption under pressure). If the pool is full, requeue
+                # and wait for a harvest to free pages.
                 # Prefix cache: page-aligned prompt prefixes already resident
                 # (live or LRU-retained) are SHARED — refcount instead of
                 # fresh pages, and their L-layer prefill is skipped below.
                 need = l + req.max_new_tokens + self.a_max + 8
+                if self.paging == "elastic":
+                    need = l + self.a_max + 8
                 m_pages, shared = self._pool.match_prefix(req.tokens)
                 if not self._pool.can_alloc_shared(shared, need):
                     self._queue.insert(0, uid)
@@ -480,6 +662,8 @@ class SpecServer:
                 self._pool.register(uid, req.tokens)
                 self._slot_uid[slot] = uid
                 self._slot_max_new[slot] = req.max_new_tokens
+                self._admit_seq += 1
+                self._slot_admit_seq[slot] = self._admit_seq
                 continue
             bucket = next((b for b in self.prefill_buckets if b >= l),
                           self.prefill_buckets[-1])
@@ -526,6 +710,8 @@ class SpecServer:
                                            logits0, k_ins)
             self._slot_uid[slot] = uid
             self._slot_max_new[slot] = req.max_new_tokens
+            self._admit_seq += 1
+            self._slot_admit_seq[slot] = self._admit_seq
 
     def _harvest(self) -> List[Completion]:
         """Collect finished rows; free their slots."""
@@ -568,14 +754,7 @@ class SpecServer:
                 # pages are freed: done rows still scatter KV through their
                 # table every round (the jitted commit has no done mask), and
                 # a stale row would corrupt pages reallocated to another slot
-                if not hasattr(self, "_retable_jit"):
-                    self._retable_jit = jax.jit(
-                        lambda c, s, p: c._replace(state=c.state._replace(
-                            tables=c.state.tables.at[s].set(p))),
-                        donate_argnums=(0,))
-                self._carry = self._retable_jit(
-                    self._carry, jnp.int32(slot),
-                    jnp.int32(self._trash_page))
+                self._carry = self._retable(slot, self._trash_page)
                 self._pool.free(uid)
             self.tokens_served += len(row)
             self.completions_served += 1
@@ -590,6 +769,7 @@ class SpecServer:
         if uid in self._queue:
             self._queue.remove(uid)
             self._requests.pop(uid, None)
+            self._hibernated.pop(uid, None)
             return True
         for slot in range(self.n_slots):
             if self._slot_uid[slot] == uid:
@@ -624,6 +804,8 @@ class SpecServer:
         if self._t_serve_start is None:
             self._t_serve_start = time.perf_counter()
         self._admit()
+        if self.paging == "elastic" and self.active_slots:
+            self._topup(rounds)
         if self.active_slots:
             limit = self._carry.rounds + rounds
             self._carry, status = self._seg(
@@ -654,4 +836,7 @@ class SpecServer:
             out["pool"] = self._pool.stats()
             out["prefix_hits"] = self.prefix_hits
             out["prefix_tokens_reused"] = self.prefix_tokens_reused
+            out["paging"] = self.paging
+            out["preemptions"] = self.preemptions
+            out["hibernated"] = len(self._hibernated)
         return out
