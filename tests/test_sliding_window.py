@@ -108,6 +108,62 @@ def test_lossless_with_sliding_window(method):
                                   out["output_ids"][:, :n])
 
 
+@pytest.fixture(scope="module")
+def distilled_pair():
+    """Same recipe as tests/test_lossless.distilled_pair (tiny Markov-trained
+    target + distilled GLIDE draft) for real multi-token acceptance."""
+    from longspec_tpu.train import trainer as T
+    from longspec_tpu.train.distill import distill_draft
+    from longspec_tpu.train.synthetic import make_markov_lm, sample_corpus_fast
+
+    cfg = tiny_test(vocab_size=128, num_layers=2)
+    succ, probs = make_markov_lm(cfg.vocab_size, branch_frac=0.05, seed=3,
+                                 n_states=48)
+    corpus = sample_corpus_fast(succ, probs, 64, 96, seed=4)
+    params = M.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    opt = T.make_adafactor(lr=1e-2, warmup_steps=10)
+    st = T.init_train_state(params, opt)
+    step_fn = T.make_lm_train_step(cfg, opt, attn_impl="dense")
+    rng = np.random.default_rng(11)
+    for i in range(100):
+        idx = rng.integers(0, corpus.shape[0], (8,))
+        st, _ = step_fn(st, jnp.asarray(corpus[idx]), jax.random.PRNGKey(i))
+    params = st.draft_params
+    dcfg = DraftConfig(window=32)
+    dparams, _ = distill_draft(params, cfg, dcfg, corpus, steps=80, batch=8,
+                               lr=3e-3, attn_impl="dense")
+    prompt = sample_corpus_fast(succ, probs, 2, 48, seed=77)
+    return cfg, dcfg, params, dparams, prompt
+
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
+def test_lossless_windowed_distilled_draft(method, distilled_pair):
+    """The 32k bench configuration in miniature: a TRAINED pair decoded with
+    decode-time sliding windows (target window+sinks, draft ca_window). The
+    multi-token-accept commit paths must stay token-exact under windows —
+    and acceptance must stay real (>= 2), i.e. the window doesn't gut the
+    draft."""
+    from tests.test_lossless import first_eos_trim
+    cfg, dcfg, params, dparams, prompt = distilled_pair
+    cfg_w = dataclasses.replace(cfg, sliding_window=24, attn_sinks=4)
+    dcfg_w = dataclasses.replace(dcfg, ca_window=24, ca_anchors=4)
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, attn_impl="chunked")
+    eng = SpecEngine(params, dparams, cfg_w, dcfg_w, ecfg)
+    B, S = prompt.shape
+    lens = np.array([S, S - 7], np.int32)
+    van = eng.vanilla_generate(prompt, lens, max_gen_len=32,
+                               state_dtype=jnp.float32)
+    out = getattr(eng, method)(prompt, lens, max_gen_len=32,
+                               state_dtype=jnp.float32)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:32], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:32], cfg.eos_token_id)
+        m = min(len(v), len(s), 32)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+    mean_accept = (out["count"] + out["num"]) / max(out["num"], 1)
+    assert mean_accept >= 2.0, mean_accept
+
+
 def test_magicdec_rejects_sliding_window():
     cfg = _wcfg()
     params = M.init_params(jax.random.PRNGKey(8), cfg)
