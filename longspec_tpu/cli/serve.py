@@ -81,7 +81,7 @@ def main(argv=None):
     srv = SpecServer(eng, n_slots=args.n_slots, s_max=args.s_max,
                      max_new_cap=args.max_new_cap, policy=args.policy,
                      kv=args.kv, pool_pages=args.pool_pages or None,
-                     paging=args.paging if args.kv == "paged" else "reserved")
+                     paging=args.paging)
     fe = HttpFrontend(
         srv, host=args.host, port=args.port,
         model_name=args.target_path.rstrip("/").rsplit("/", 1)[-1],

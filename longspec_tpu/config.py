@@ -50,10 +50,13 @@ class ModelConfig:
     # Qwen2 uses attention bias on q/k/v; Llama does not
     # (reference: test/llama.py:79-82, test/qwen2.py).
     attention_bias: bool = False
-    # Sliding-window self-attention for the TARGET (Mistral / Qwen2
-    # `sliding_window` semantics: key j visible to query at position p iff
-    # j >= p - sliding_window, plus the first `attn_sinks` rows always —
-    # StreamingLLM sink tokens). None = full causal attention. This is the
+    # Sliding-window self-attention for the TARGET: key j visible to query
+    # at position p iff j >= p - sliding_window (span = window+1 keys incl.
+    # self — flash-attn window_size=(w,-1) semantics, like the draft's
+    # window), plus the first `attn_sinks` rows always (StreamingLLM sink
+    # tokens). HF Mistral/Qwen2 masks `kv_idx > q_idx - sliding_window`
+    # (span = sw), so convert.py maps HF checkpoints as sliding_window =
+    # hf_sw - 1 for exact parity. None = full causal attention. This is the
     # attention-SPAN control that makes a model trained at seq L honest at
     # contexts >> L: decode-time spans never exceed the trained span.
     # Supported by dense/chunked/pallas paths; paged serving, the SP ring,

@@ -306,6 +306,16 @@ class SpecEngine:
             vals, ids = jax.lax.top_k(logp, k)
         return vals, ids.astype(jnp.int32)
 
+    def _logp_topk(self, logp, k: int):
+        """Top-k over precomputed draft logp, honoring ecfg.beam_topk — the
+        per-row-temperature greedy arm must select the same candidates the
+        scalar-T=0 program would (token-exactness across modes)."""
+        if self.ecfg.beam_topk == "approx":
+            vals, ids = jax.lax.approx_max_k(logp, k, recall_target=0.95)
+        else:
+            vals, ids = jax.lax.top_k(logp, k)
+        return vals, ids.astype(jnp.int32)
+
     def _draft_logits(self, params, h):
         """Draft-side scoring logits [.., V] fp32 (quantized when enabled)."""
         if self._qhead is None:
@@ -747,8 +757,8 @@ class SpecEngine:
                 axis=-1).astype(jnp.int32)
             logp1 = jnp.take_along_axis(logq_root, ids1, axis=1)
             if per_row:
-                lg_g, id_g = jax.lax.top_k(root_logp, c1)
-                ids1 = jnp.where(row_g[:, None], id_g.astype(jnp.int32), ids1)
+                lg_g, id_g = self._logp_topk(root_logp, c1)
+                ids1 = jnp.where(row_g[:, None], id_g, ids1)
                 logp1 = jnp.where(row_g[:, None], lg_g, logp1)
         else:
             logp1, ids1 = self._beam_topk(params, root_h, c1)
@@ -822,7 +832,7 @@ class SpecEngine:
                 father_l = father_rel + lo
                 if per_row:
                     # greedy-beam expansion on the same logp for temp=0 rows
-                    vals_g, ids_g = jax.lax.top_k(logp_l, c_next)
+                    vals_g, ids_g = self._logp_topk(logp_l, c_next)
                     v_flat = (hist_lvl[:, :, None] + vals_g).reshape(
                         b, c_l * c_next)
                     i_flat = ids_g.reshape(b, c_l * c_next)

@@ -51,12 +51,23 @@ def config_from_hf(hf_cfg) -> ModelConfig:
                 beta_slow=float(rs.get("beta_slow", 1.0)),
                 attention_factor=rs.get("attention_factor", None),
             )
-    # Mistral always slides; Qwen2 gates it behind use_sliding_window
-    # (and applies it only below max_window_layers — a per-layer split we
-    # don't model; all-layer sliding is the conservative reading)
+    # Mistral always slides; Qwen2 gates it behind use_sliding_window.
+    # Qwen2 additionally applies the window only to a SUBSET of layers
+    # (max_window_layers) — a per-layer split we don't model, so we honor
+    # the flag only when it covers every layer (silently narrowing HF's
+    # full-attention layers would diverge from transformers).
     sw = get("sliding_window", None)
     if is_qwen and not get("use_sliding_window", False):
         sw = None
+    if is_qwen and sw and get("max_window_layers",
+                              hf_cfg.num_hidden_layers) < hf_cfg.num_hidden_layers:
+        sw = None
+    # HF masks `kv_idx > q_idx - sliding_window` (span = sw keys incl. self);
+    # our rule is `kj >= p - window` (span = window+1, flash-attn
+    # window_size=(w,-1) semantics, which the reference draft uses). sw-1
+    # makes the two spans identical, so logits match transformers exactly.
+    if sw:
+        sw = int(sw) - 1
     return ModelConfig(
         vocab_size=hf_cfg.vocab_size,
         hidden_size=hf_cfg.hidden_size,
@@ -68,7 +79,7 @@ def config_from_hf(hf_cfg) -> ModelConfig:
         rms_norm_eps=get("rms_norm_eps", 1e-5),
         rope_theta=get("rope_theta", 10000.0),
         rope_scaling=scaling,
-        sliding_window=int(sw) if sw else None,
+        sliding_window=sw if sw else None,
         attention_bias=bool(get("attention_bias", False)) or is_qwen,
         tie_word_embeddings=bool(get("tie_word_embeddings", False)),
         max_position_embeddings=get("max_position_embeddings", 16384),

@@ -344,6 +344,12 @@ def paged_prefill_extend(params, cfg: ModelConfig, tokens: jnp.ndarray,
     prefix pages causally — the compute-reuse half of prefix caching (the
     prefix's L-layer prefill is skipped entirely; only the suffix is run).
     Returns (hidden [B, Tsfx, Dm], kv_k, kv_v)."""
+    if cfg.sliding_window is not None:
+        # paged_causal_attention has no window plumbing: silently running
+        # the suffix with full attention would diverge from the windowed
+        # decode path (SpecServer gates prefix admissions on this)
+        raise NotImplementedError("prefix-cache suffix prefill does not "
+                                  "support sliding_window targets")
     from ..ops.pallas_paged import write_paged_rows
     b, t = tokens.shape
     hd = cfg.head_dim_

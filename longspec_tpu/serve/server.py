@@ -146,6 +146,14 @@ class SpecServer:
             if pool_pages is None:
                 pool_pages = n_slots * self.n_chunks + 1
             self._pool = PagePool(pool_pages, page)
+            # prefix-cache compute reuse is FULL-attention only: the
+            # suffix-extend prefill path (paged_prefill_extend /
+            # paged_causal_attention) has no window plumbing. Windowed
+            # models take the plain admission path instead — paged DECODE
+            # supports sliding_window/ca_window fine; only the shared-prefix
+            # prefill shortcut is skipped.
+            self._prefix_ok = (engine.cfg.sliding_window is None
+                               and engine.dcfg.ca_window is None)
             # reserved scratch page: table rows are padded with it so
             # fixed-width prefill scatters past a request's allocation land
             # in scratch instead of another sequence's page
@@ -415,15 +423,16 @@ class SpecServer:
 
     # -- elastic paging: hibernate / restore / per-segment top-up --------
 
-    def _gather_slot(self, slot) -> dict:
-        """Pull one slot's full decode state to the host: its page CONTENTS
-        (gathered through the table row, logical order), draft-cache rows,
-        and carry row — everything needed to resume the request bit-exact
-        in any slot later."""
+    def _gather_slot(self, slot, trow_k: np.ndarray) -> dict:
+        """Pull one slot's decode state to the host: the CONTENTS of its
+        USED pages only (`trow_k`: host-side page ids, power-of-two
+        bucketed so jit specializations stay bounded — a preemption's
+        device->host traffic scales with the request's usage, not s_max),
+        draft-cache rows, and carry row — everything needed to resume the
+        request bit-exact in any slot later."""
         if not hasattr(self, "_gather_jit"):
-            def impl(carry, slot):
+            def impl(carry, slot, trow):
                 st = carry.state
-                trow = st.tables[slot]
                 out = dict(
                     pages_k=jnp.take(st.kv_k, trow, axis=1),
                     pages_v=jnp.take(st.kv_v, trow, axis=1),
@@ -442,20 +451,23 @@ class SpecServer:
                 return out
 
             self._gather_jit = jax.jit(impl)
-        sv = self._gather_jit(self._carry, jnp.int32(slot))
+        sv = self._gather_jit(self._carry, jnp.int32(slot),
+                              jnp.asarray(trow_k, jnp.int32))
         return {k: np.asarray(v) for k, v in sv.items()}
 
-    def _restore_slot(self, sv: dict, slot: int, trow: np.ndarray):
-        """Scatter a hibernated request back: page contents into freshly
-        allocated pages (padded table entries write into scratch), slot
-        rows into the carry."""
+    def _restore_slot(self, sv: dict, slot: int, trow: np.ndarray,
+                      ids: np.ndarray):
+        """Scatter a hibernated request back: saved page contents into the
+        freshly allocated pages (`ids`, trash-padded to the saved bucket
+        width so surplus saved buckets land in scratch), slot rows into the
+        carry, and the FULL table row onto the slot."""
         if not hasattr(self, "_restore_jit"):
-            def impl(carry, sv, slot, trow):
+            def impl(carry, sv, slot, trow, ids):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
                 state = DecodeState(
-                    kv_k=st.kv_k.at[:, trow].set(sv["pages_k"]),
-                    kv_v=st.kv_v.at[:, trow].set(sv["pages_v"]),
+                    kv_k=st.kv_k.at[:, ids].set(sv["pages_k"]),
+                    kv_v=st.kv_v.at[:, ids].set(sv["pages_v"]),
                     d_kv_k=upd(st.d_kv_k, sv["d_k"], slot, 0),
                     d_kv_v=upd(st.d_kv_v, sv["d_v"], slot, 0),
                     cache_lens=st.cache_lens.at[slot].set(sv["cache_len"]),
@@ -479,13 +491,20 @@ class SpecServer:
             self._restore_jit = jax.jit(impl, donate_argnums=(0,))
         self._carry = self._restore_jit(
             self._carry, {k: jnp.asarray(v) for k, v in sv.items()},
-            jnp.int32(slot), jnp.asarray(trow, jnp.int32))
+            jnp.int32(slot), jnp.asarray(trow, jnp.int32),
+            jnp.asarray(ids, jnp.int32))
 
     def _hibernate(self, slot: int):
         """Preempt the request in `slot`: save its state to the host, free
         its pages, park the slot on scratch, requeue the uid at the FRONT."""
         uid = self._slot_uid[slot]
-        self._hibernated[uid] = self._gather_slot(slot)
+        pages = self._pool.pages_of(uid)
+        k = 1
+        while k < len(pages):
+            k *= 2
+        k = min(k, self.n_chunks)
+        trow_k = (pages + [self._trash_page] * k)[:k]
+        self._hibernated[uid] = self._gather_slot(slot, trow_k)
         self._slot_uid[slot] = None
         self._carry = self._finish_slot(self._carry, slot)
         self._carry = self._retable(slot, self._trash_page)
@@ -545,12 +564,15 @@ class SpecServer:
                temperature: Optional[float] = None) -> int:
         tokens = np.asarray(tokens, np.int32).reshape(-1)
         ecfg = self.engine.ecfg
-        if temperature is not None and not ecfg.per_row_temperature \
-                and float(temperature) != ecfg.temperature:
-            raise ValueError(
-                f"this server decodes at temperature {ecfg.temperature} "
-                f"(compiled in); build the engine with "
-                f"per_row_temperature=True for per-request sampling")
+        if temperature is not None:
+            if float(temperature) < 0.0:
+                raise ValueError("temperature must be >= 0")
+            if not ecfg.per_row_temperature \
+                    and float(temperature) != ecfg.temperature:
+                raise ValueError(
+                    f"this server decodes at temperature {ecfg.temperature} "
+                    f"(compiled in); build the engine with "
+                    f"per_row_temperature=True for per-request sampling")
         if len(tokens) + max_new_tokens + self.a_max + 8 > self.s_max:
             raise ValueError(f"prompt {len(tokens)} + max_new {max_new_tokens}"
                              f" exceeds slot capacity {self.s_max}")
@@ -626,10 +648,15 @@ class SpecServer:
                     self._queue.insert(0, uid)
                     break
                 self._hibernated.pop(uid)
-                self._pool.alloc(uid, need)
+                pages_new = self._pool.alloc(uid, need)
                 trow = self._pool.table(uid, self.n_chunks,
                                         pad=self._trash_page)
-                self._restore_slot(sv, slot, trow)
+                # saved bucket i holds logical chunk i; scatter into the new
+                # page ids (surplus saved buckets -> scratch; new pages past
+                # the saved data are written by decode before any read)
+                k_s = int(sv["pages_k"].shape[1])
+                ids = (list(pages_new) + [self._trash_page] * k_s)[:k_s]
+                self._restore_slot(sv, slot, trow, np.asarray(ids, np.int32))
                 self._slot_uid[slot] = uid
                 self._slot_max_new[slot] = req.max_new_tokens
                 self._admit_seq += 1
@@ -649,7 +676,8 @@ class SpecServer:
                 need = l + req.max_new_tokens + self.a_max + 8
                 if self.paging == "elastic":
                     need = l + self.a_max + 8
-                m_pages, shared = self._pool.match_prefix(req.tokens)
+                m_pages, shared = (self._pool.match_prefix(req.tokens)
+                                   if self._prefix_ok else (0, []))
                 if not self._pool.can_alloc_shared(shared, need):
                     self._queue.insert(0, uid)
                     break
@@ -703,7 +731,8 @@ class SpecServer:
                                                  t0, slot, req.max_new_tokens,
                                                  trow, bucket, tval, logits0,
                                                  k_ins)
-                self._pool.register(uid, req.tokens)
+                if self._prefix_ok:
+                    self._pool.register(uid, req.tokens)
             else:
                 self._carry = self._insert(self._carry, self._pstate, t0,
                                            slot, req.max_new_tokens, tval,

@@ -175,6 +175,38 @@ def test_magicdec_rejects_sliding_window():
                               np.array([8], np.int32), max_gen_len=4)
 
 
+def test_windowed_logits_match_hf_mistral():
+    """Exact logits parity with transformers' Mistral (the sliding-window
+    reference implementation) at context > window — pins the off-by-one:
+    HF masks kv > q - sw, ours kj >= p - (sw-1)."""
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+    from longspec_tpu.models.convert import (config_from_hf,
+                                             params_from_hf_state_dict)
+    torch.manual_seed(0)
+    hf_cfg = MistralConfig(vocab_size=97, hidden_size=64,
+                           intermediate_size=128, num_hidden_layers=2,
+                           num_attention_heads=4, num_key_value_heads=2,
+                           max_position_embeddings=128, rope_theta=10000.0,
+                           sliding_window=8, attn_implementation="eager")
+    hf = MistralForCausalLM(hf_cfg).eval().to(torch.float32)
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.sliding_window == 7
+    params = params_from_hf_state_dict(hf.state_dict(), cfg, jnp.float32)
+
+    rng = np.random.default_rng(5)
+    S = 24  # > window so the mask bites
+    toks = rng.integers(2, cfg.vocab_size, (1, S))
+    with torch.no_grad():
+        want = hf(torch.tensor(toks)).logits.numpy()
+    kv_k, kv_v = M.alloc_kv_cache(cfg, 1, S + 4, jnp.float32)
+    h, _, _ = M.forward_prefill(params, cfg, jnp.asarray(toks),
+                                jnp.asarray([S], jnp.int32), kv_k, kv_v,
+                                attn_impl="dense")
+    got = np.asarray(M.logits_at(params, h))
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-4)
+
+
 def test_convert_maps_hf_sliding_window():
     from longspec_tpu.models.convert import config_from_hf
 
@@ -184,8 +216,10 @@ def test_convert_maps_hf_sliding_window():
         num_hidden_layers, num_attention_heads = 2, 4
         sliding_window = 4096
 
+    # HF masks kv > q - sw (span sw); ours is kj >= p - w (span w+1), so
+    # the mapping is w = sw - 1 for exact parity
     c = config_from_hf(HfCfg())
-    assert c.sliding_window == 4096
+    assert c.sliding_window == 4095
 
     class Qwen(HfCfg):
         model_type = "qwen2"
@@ -193,4 +227,8 @@ def test_convert_maps_hf_sliding_window():
 
     assert config_from_hf(Qwen()).sliding_window is None
     Qwen.use_sliding_window = True
-    assert config_from_hf(Qwen()).sliding_window == 4096
+    assert config_from_hf(Qwen()).sliding_window == 4095
+    # Qwen2 windows only a SUBSET of layers via max_window_layers: honored
+    # only when it covers every layer
+    Qwen.max_window_layers = 1
+    assert config_from_hf(Qwen()).sliding_window is None
