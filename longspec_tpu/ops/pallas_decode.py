@@ -49,8 +49,18 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     n_used = nchunk_ref[0]
+    c_lo = nchunk_ref[1]
 
-    @pl.when(c < n_used)
+    # skip chunks above every query's k_hi AND (with a window) chunks below
+    # every query's window start — chunk 0 stays live iff anchor sinks exist
+    live = c < n_used
+    if window is not None:
+        in_win = c >= c_lo
+        if anchors > 0:
+            in_win = jnp.logical_or(in_win, c == 0)
+        live = jnp.logical_and(live, in_win)
+
+    @pl.when(live)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
         k = k_ref[0, 0].astype(jnp.float32)          # [chunk, D]
@@ -91,6 +101,16 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         lse = jnp.where(valid, m_safe + jnp.log(jnp.where(valid, l, 1.0)),
                         -jnp.inf)
         lse_ref[0, 0] = lse
+
+
+def _kv_index_map(i, j, c, nu):
+    """KV block fetch index: skipped grid steps re-point at an already-
+    fetched block so Pallas copies nothing for them — chunks past n_used
+    (nu[0]) clamp to the last useful chunk; with a window, dead chunks
+    below c_lo (nu[1], except anchor chunk 0) point at the window-start
+    chunk."""
+    cc = jnp.where(c < nu[1], jnp.where(c == 0, 0, nu[1]), c)
+    return (i, j, jnp.minimum(cc, nu[0] - 1), 0)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "anchors", "chunk",
@@ -141,7 +161,15 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     # chunks actually needed (max over batch of max k_hi); scalar prefetch
     max_hi = jnp.max(k_hi)
     n_used = jnp.clip((max_hi + chunk - 1) // chunk, 1, n_chunks).astype(jnp.int32)
-    n_used_arr = jnp.broadcast_to(n_used, (1,))
+    # with a window, chunks wholly below EVERY query's window start carry no
+    # visible keys (except anchor sinks, which live in chunk 0): at 32k
+    # context with a 12k window this skips ~60% of the HBM read per step
+    if window is not None:
+        lo_col = jnp.maximum(jnp.min(q_pos) - window, 0)
+        c_lo = (lo_col // chunk).astype(jnp.int32)
+    else:
+        c_lo = jnp.int32(0)
+    n_used_arr = jnp.stack([n_used, c_lo])
 
     kernel = functools.partial(_decode_kernel, scale=d ** -0.5, chunk=chunk,
                                window=window, anchors=anchors, t=t, g=g)
@@ -157,12 +185,8 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                          memory_space=vm),
             pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
                          memory_space=vm),
-            pl.BlockSpec((1, 1, chunk, d),
-                         lambda i, j, c, nu: (i, j, jnp.minimum(c, nu[0] - 1), 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1, chunk, d),
-                         lambda i, j, c, nu: (i, j, jnp.minimum(c, nu[0] - 1), 0),
-                         memory_space=vm),
+            pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
+            pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),

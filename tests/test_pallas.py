@@ -34,6 +34,27 @@ def test_flash_decode_vs_dense(t, h, hkv):
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=1e-5, rtol=1e-4)
 
 
+def test_flash_decode_window_chunk_skip_batch():
+    """Low-side chunk skipping (window start) uses the MIN q_pos across the
+    batch: rows deep in the sequence must not skip chunks a shallow row
+    still needs."""
+    from longspec_tpu.models.llama import sliced_prefix_attention
+    b, t, h, hkv, d, s = 2, 4, 4, 2, 32, 640
+    q, k, v = mk(b, t, h, hkv, d, s, seed=9)
+    # row 0 shallow (pos ~40), row 1 deep (pos ~600): c_lo from row 0
+    q_pos = jnp.asarray([[40 + i for i in range(t)],
+                         [600 + i for i in range(t)]], jnp.int32)
+    k_hi = jnp.asarray([[40] * t, [600] * t], jnp.int32)
+    for window, anchors in [(64, 0), (64, 4), (200, 2)]:
+        o_ref, lse_ref = sliced_prefix_attention(q, k, v, k_hi, q_pos, window,
+                                                 anchors, "dense")
+        o, lse = flash_decode(q, k, v, k_hi, q_pos, window, anchors, chunk=128)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=1e-5,
+                                   rtol=1e-4, err_msg=f"w={window} a={anchors}")
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_flash_decode_window_anchors():
     b, t, h, hkv, d, s = 1, 6, 4, 2, 32, 400
     q, k, v = mk(b, t, h, hkv, d, s, seed=3)
