@@ -415,8 +415,6 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False):
             try:
                 r = fn(prompt, lens, max_gen_len=gen, s_max=s_max)
             except NotImplementedError as e:
-                # magicdec's compacted stream cache is incompatible with a
-                # sliding-window target (see engine guard)
                 log(f"[{name}] {label} skipped: {e}")
                 row[f"{label}_skipped"] = str(e)
                 continue

@@ -26,6 +26,7 @@ tok/s = (count+num)/elapsed (`inference_long-bench.py:257-260`).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import time
 from typing import NamedTuple, Optional, Tuple
@@ -620,6 +621,13 @@ class SpecEngine:
         b = carry.acc_tokens.shape[0]
         st = carry.state
         rng, k_draft = jax.random.split(carry.rng)
+        # The stream cache is COMPACTED (row index != position), so the
+        # position-derived sliding-window cut would mask the wrong rows.
+        # Draft steps therefore attend the full stream cache (it is itself
+        # a sink+recent window view); only VERIFICATION (full cache, row ==
+        # position) must match the target exactly, and it keeps `cfg`.
+        cfg_s = (dataclasses.replace(cfg, sliding_window=None, attn_sinks=0)
+                 if cfg.sliding_window is not None else cfg)
 
         # ---- 1. stream-cache re-encode of accepted tokens ----
         # acc_tokens[j] sits at sequence position cache_lens - acc_len + 1 + j
@@ -627,7 +635,7 @@ class SpecEngine:
         pos = (st.cache_lens - carry.acc_len + 1)[:, None] + jnp.arange(A)[None, :]
         cmaskA = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
         h, d_kv_k, d_kv_v = M.forward_append(
-            params, cfg, carry.acc_tokens, pos, cmaskA, st.d_cache_lens,
+            params, cfg_s, carry.acc_tokens, pos, cmaskA, st.d_cache_lens,
             st.d_kv_k, st.d_kv_v, attn_impl=ecfg.attn_impl,
             write_at=st.d_cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
@@ -649,7 +657,7 @@ class SpecEngine:
         pos_cur = st.cache_lens + 1  # true position of `cur` (d1 follows bonus)
         for s_i in range(1, gamma):
             hi, dkk, dkv = M.forward_append(
-                params, cfg, cur[:, None], pos_cur[:, None], smask1, dcl,
+                params, cfg_s, cur[:, None], pos_cur[:, None], smask1, dcl,
                 dkk, dkv, attn_impl=ecfg.attn_impl, write_at=dcl)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             pos_cur = pos_cur + 1
@@ -1014,11 +1022,6 @@ class SpecEngine:
             raise NotImplementedError(
                 "per_row_temperature covers the served methods (tree/chain); "
                 "the magicdec baseline reads the scalar ecfg.temperature")
-        if method == "magicdec" and cfg.sliding_window is not None:
-            raise NotImplementedError(
-                "magicdec's sink+recent stream cache is COMPACTED (row index "
-                "!= position), so the target sliding_window mask misfires on "
-                "it; the magicdec baseline needs a full-attention target")
         n_sp = self._sp_n
         if n_sp > 1:
             if method == "magicdec":

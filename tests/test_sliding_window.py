@@ -164,15 +164,32 @@ def test_lossless_windowed_distilled_draft(method, distilled_pair):
     assert mean_accept >= 2.0, mean_accept
 
 
-def test_magicdec_rejects_sliding_window():
+@pytest.mark.parametrize("trunc", [False, True])
+def test_magicdec_lossless_with_sliding_window(trunc):
+    """MagicDec under a sliding-window target: the compacted stream cache
+    (row index != position) cannot use the position-derived window cut, so
+    the DRAFT steps attend the full stream view; VERIFICATION runs the real
+    windowed target over the full cache (row == position) and keeps T=0
+    output token-exact vs windowed vanilla."""
     cfg = _wcfg()
     params = M.init_params(jax.random.PRNGKey(8), cfg)
     dparams = G.init_draft_params(jax.random.PRNGKey(9), cfg)
+    kw = dict(magicdec_sink=4, magicdec_window=8) if trunc else {}
     eng = SpecEngine(params, dparams, cfg, DraftConfig(window=6),
-                     EngineConfig(attn_impl="dense"))
-    with pytest.raises(NotImplementedError, match="stream cache"):
-        eng.magicdec_generate(np.ones((1, 8), np.int32),
-                              np.array([8], np.int32), max_gen_len=4)
+                     EngineConfig(attn_impl="chunked", gamma=3, **kw))
+    rng = np.random.default_rng(10)
+    toks = rng.integers(2, cfg.vocab_size, (2, 21))
+    lens = np.array([21, 15], np.int32)
+    van = eng.vanilla_generate(toks, lens, max_gen_len=20,
+                               state_dtype=jnp.float32)
+    out = eng.magicdec_generate(toks, lens, max_gen_len=20,
+                                state_dtype=jnp.float32)
+    from tests.test_lossless import first_eos_trim
+    for b in range(2):
+        v = first_eos_trim(van["output_ids"][b][:20], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:20], cfg.eos_token_id)
+        m = min(len(v), len(s), 20)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
 
 
 def test_windowed_logits_match_hf_mistral():
