@@ -453,6 +453,9 @@ def main():
     ap.add_argument("--draft-head", type=str, default="int8")
     ap.add_argument("--draft-compute", type=str, default="int8")
     ap.add_argument("--tree-shape", type=str, default="4,16,16,16,16")
+    ap.add_argument("--kv-quant", type=str, default="none",
+                    help="target KV cache storage: none | int8 "
+                    "(ops/quantkv.py; spec-vs-vanilla exactness preserved)")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--fresh-rows", action="store_true",
                     help="re-measure rows even when a cached row result "
@@ -510,7 +513,8 @@ def main():
         ecfg = EngineConfig(tree_shape=tree_shape, gamma=4,
                             temperature=0.0, attn_impl=args.attn,
                             draft_head=args.draft_head,
-                            draft_compute=args.draft_compute)
+                            draft_compute=args.draft_compute,
+                            kv_quant=args.kv_quant)
 
         def row_result_path(name):
             key = (f"{name}_g{args.gen}_b{args.batch}_{args.attn}"
@@ -518,6 +522,8 @@ def main():
                    f"_t{'x'.join(map(str, tree_shape))}")
             if SPECS[name]["window"]:
                 key += f"_sw{SPECS[name]['window']}"
+            if args.kv_quant != "none":
+                key += f"_kv{args.kv_quant}"
             return os.path.join(cache_dir, f"row_{key}.json")
 
         rows = []

@@ -155,6 +155,16 @@ class EngineConfig:
     # verification share the same quantized q). Training always uses the
     # full-precision params.
     draft_compute: str = "bf16"  # "bf16" | "int8" | "int4"
+    # TARGET KV-cache storage precision. "int8" stores the cache as
+    # symmetric-absmax int8 with per-row-per-head f32 scales
+    # (`ops/quantkv.py`): half the HBM read per decode step and double the
+    # context per chip. Spec-vs-vanilla token exactness is preserved by
+    # construction (quantize-on-write / dequant-on-read + suffix
+    # quant-dequant; see quantkv.py docstring) — but the quantized cache is
+    # a (slightly) different target function than the bf16 cache, so outputs
+    # differ from kv_quant="none" the way any serving-side KV quantization
+    # does. Draft cache and training are untouched.
+    kv_quant: str = "none"  # "none" | "int8"
     # Beam top-k over the draft scoring logits at T=0. "approx" uses the
     # TPU-native approx_max_k (recall ~0.95, several x faster than the exact
     # sort-based TopK over V=32k+). Losslessness is structural either way —

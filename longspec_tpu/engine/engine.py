@@ -344,9 +344,24 @@ class SpecEngine:
         return 1
 
     def init_state(self, batch: int, s_max: int, dtype=jnp.bfloat16) -> DecodeState:
+        if self.ecfg.kv_quant == "int8" and (
+                self.ecfg.attn_impl not in ("dense", "chunked", "pallas")):
+            raise NotImplementedError(
+                "kv_quant='int8' covers the dense/chunked/pallas cache "
+                "layouts; the sp and paged layouts keep bf16 rows")
         n_sp = self._sp_n
         s_max = -(-s_max // n_sp) * n_sp  # sp shards need equal slices
-        kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch, s_max, dtype)
+        if self.ecfg.kv_quant == "int8":
+            if self.mesh is not None:
+                raise NotImplementedError(
+                    "kv_quant='int8' state sharding (scale arrays need their "
+                    "own PartitionSpecs) is not wired yet")
+            from ..ops.quantkv import alloc_quant_kv
+            shape = (self.cfg.num_layers, batch, self.cfg.num_kv_heads,
+                     s_max, self.cfg.head_dim_)
+            kv_k, kv_v = alloc_quant_kv(shape), alloc_quant_kv(shape)
+        else:
+            kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch, s_max, dtype)
         hd = self.cfg.head_dim_
         d_rows = self.dcfg.ring_size if self.dcfg.ring_size else s_max
         d_shape = (batch, self.cfg.num_kv_heads, d_rows, hd)
@@ -597,6 +612,15 @@ class SpecEngine:
 
         def gather_stream(cache):
             # cache [L, B, Hkv, S, D] -> [L, B, Hkv, sink+win, D]
+            from ..ops.quantkv import QuantKV
+            if isinstance(cache, QuantKV):
+                # the bf16 stream cache holds DEQUANTIZED rows — the same
+                # values every read of the quantized main cache sees
+                qv = jnp.take_along_axis(cache.qv,
+                                         src[None, :, None, :, None], axis=3)
+                sc = jnp.take_along_axis(cache.scale,
+                                         src[None, :, None, :], axis=3)
+                return qv.astype(jnp.float32) * sc[..., None]
             return jnp.take_along_axis(
                 cache, src[None, :, None, :, None], axis=3)
 
@@ -1042,7 +1066,13 @@ class SpecEngine:
             # stream cache replaces the draft cache: [L, B, Hkv, S_stream, D]
             sink, win = ecfg.magicdec_sink, ecfg.magicdec_window
             s_stream = sink + win + max_gen_len + ecfg.gamma + 8
-            kv_k, kv_v = M.alloc_kv_cache(cfg, b, s_max, state_dtype)
+            if ecfg.kv_quant == "int8":
+                from ..ops.quantkv import alloc_quant_kv
+                qshape = (cfg.num_layers, b, cfg.num_kv_heads, s_max,
+                          cfg.head_dim_)
+                kv_k, kv_v = alloc_quant_kv(qshape), alloc_quant_kv(qshape)
+            else:
+                kv_k, kv_v = M.alloc_kv_cache(cfg, b, s_max, state_dtype)
             d_shape = (cfg.num_layers, b, cfg.num_kv_heads, s_stream,
                        cfg.head_dim_)
             state = DecodeState(kv_k, kv_v,

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops import attention as att
+from ..ops import quantkv as qkv8
 from ..ops.rope import rope_cos_sin, apply_rope
 
 
@@ -110,14 +111,28 @@ def qkv(x, lp, cfg: ModelConfig):
             v.reshape(b, t, cfg.num_kv_heads, hd))
 
 
-def write_cache_rows(cache: jnp.ndarray, new: jnp.ndarray, starts: jnp.ndarray):
+def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
     """Write new[b] (T rows) into cache[b] at sequence offset starts[b].
 
     cache: [B, Hkv, S, D] (TPU-native layout: contiguous (chunk, D) tiles per
-    head for the Pallas decode kernel); new: [B, T, Hkv, D]; starts: [B].
+    head for the Pallas decode kernel) or a `QuantKV` (rows are quantized on
+    write); new: [B, T, Hkv, D]; starts: [B].
     Implemented as a vmapped dynamic_update_slice (XLA lowers this to an
     in-place DUS when the buffer is donated/aliased).
     """
+    if isinstance(cache, qkv8.QuantKV):
+        q8, sc = qkv8.quantize(new)                    # [B,T,H,D], [B,T,H]
+
+        def one_q(cq, cs, nq, ns, st):
+            cq = jax.lax.dynamic_update_slice(cq, nq, (0, st, 0))
+            cs = jax.lax.dynamic_update_slice(cs, ns, (0, st))
+            return cq, cs
+
+        qv, scale = jax.vmap(one_q)(cache.qv, cache.scale,
+                                    q8.transpose(0, 2, 1, 3),
+                                    sc.transpose(0, 2, 1), starts)
+        return qkv8.QuantKV(qv, scale)
+
     def one(c, n, s):
         return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, s, 0))
     return jax.vmap(one)(cache, new.transpose(0, 2, 1, 3), starts)
@@ -141,8 +156,14 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
         # paging only changes where the cache rows are STORED (the server
         # scatters them into the pool at admission)
         attn_impl = "chunked"
+    if isinstance(k, qkv8.QuantKV) and attn_impl == "pallas":
+        # quantized reads ride the chunked online-softmax path (the Pallas
+        # PREFILL kernel has no scale plumbing; decode — the hot loop — does)
+        attn_impl = "chunked"
     if attn_impl == "dense":
         mask = att.prefill_mask(s, lengths, window=window, anchors=anchors)
+        if isinstance(k, qkv8.QuantKV):
+            k, v = qkv8.dequant(k), qkv8.dequant(v)
         return att.attend_masked(q, k.transpose(0, 2, 1, 3),
                                  v.transpose(0, 2, 1, 3), mask)
     if attn_impl == "pallas":
@@ -209,6 +230,8 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
             if anchors > 0:
                 vis = vis | (kj < anchors)
             mask = mask & vis
+        if isinstance(k_cache, qkv8.QuantKV):
+            k_cache, v_cache = qkv8.dequant(k_cache), qkv8.dequant(v_cache)
         return att.attend_masked(q, k_cache.transpose(0, 2, 1, 3),
                                  v_cache.transpose(0, 2, 1, 3), mask)
     elif attn_impl == "chunked":
@@ -239,20 +262,34 @@ def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
     b, tq, h, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
     groups = h // hkv
+    quant = isinstance(k_cache, qkv8.QuantKV)
     # [B, Hkv, G, Tq, D]
     qf = (q.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
     qf = qf.reshape(b, hkv, groups, tq, d)
     n_chunks = max(1, -(-s // chunk))
     pad = n_chunks * chunk - s
-    if pad:
-        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    kc = k_cache.reshape(b, hkv, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
-    vc = v_cache.reshape(b, hkv, n_chunks, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    def chunked(cache):
+        # [B, Hkv, S(+pad), ...] -> [n_chunks, B, Hkv, chunk, ...]
+        arr = cache
+        if pad:
+            widths = ((0, 0), (0, 0), (0, pad)) + ((0, 0),) * (arr.ndim - 3)
+            arr = jnp.pad(arr, widths)
+        arr = arr.reshape((b, hkv, n_chunks, chunk) + arr.shape[3:])
+        return jnp.moveaxis(arr, 2, 0)
+
+    if quant:
+        kc = (chunked(k_cache.qv), chunked(k_cache.scale))
+        vc = (chunked(v_cache.qv), chunked(v_cache.scale))
+    else:
+        kc, vc = chunked(k_cache), chunked(v_cache)
 
     def body(carry, inp):
         m_run, l_run, acc = carry
         kch, vch, c_idx = inp                      # [B, Hkv, chunk, D]
+        if quant:
+            kch = kch[0].astype(jnp.float32) * kch[1][..., None]
+            vch = vch[0].astype(jnp.float32) * vch[1][..., None]
         kj = c_idx * chunk + jnp.arange(chunk)
         mask = kj[None, None, :] < k_hi2[:, :, None]  # [B, Tq, chunk]
         if window is not None:
@@ -406,8 +443,16 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
-        ck = ck.at[:, :, :s].set(kt.astype(ck.dtype))
-        cv = cv.at[:, :, :s].set(vt.astype(cv.dtype))
+
+        def set_rows(c, new):
+            if isinstance(c, qkv8.QuantKV):
+                q8, sc = qkv8.quantize(new)
+                return qkv8.QuantKV(c.qv.at[:, :, :s].set(q8),
+                                    c.scale.at[:, :, :s].set(sc))
+            return c.at[:, :, :s].set(new.astype(c.dtype))
+
+        ck = set_rows(ck, kt)
+        cv = set_rows(cv, vt)
         return h, (ck, cv)
 
     h, (kv_k, kv_v) = jax.lax.scan(layer, h, (params["layers"], (kv_k, kv_v)))
@@ -467,7 +512,15 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                                              cfg.sliding_window,
                                              cfg.attn_sinks, attn_impl,
                                              tables=tables)
-        o_s, lse_s = att.attend_masked(q, k, v, suffix_mask)
+        if isinstance(ck, qkv8.QuantKV):
+            # suffix attention sees exactly what a later CACHED read of these
+            # rows will see — required for spec-vs-vanilla token exactness
+            # (quantkv.py rule 2). collect_kv still returns RAW k/v: the
+            # engine's commit re-quantizes them to bit-identical ints.
+            k_s, v_s = qkv8.quant_dequant(k), qkv8.quant_dequant(v)
+        else:
+            k_s, v_s = k, v
+        o_s, lse_s = att.attend_masked(q, k_s, v_s, suffix_mask)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
         o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
         h = h + o

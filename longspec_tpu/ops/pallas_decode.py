@@ -38,8 +38,14 @@ NEG_INF = -1e30
 
 
 def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
-                   o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                   *, scale, chunk, window, anchors, t, g):
+                   *rest, scale, chunk, window, anchors, t, g, quant=False):
+    if quant:
+        # int8 KV + per-row scales (ops.quantkv): dequantize in VMEM — the
+        # HBM read is half-width, the VPU multiply is free next to the DMA
+        (ks_ref, vs_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
+    else:
+        ks_ref = vs_ref = None
+        (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
     c = pl.program_id(2)
 
     @pl.when(c == 0)
@@ -64,6 +70,8 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
         k = k_ref[0, 0].astype(jnp.float32)          # [chunk, D]
+        if quant:
+            k = k * ks_ref[0, 0]                     # [chunk, 1] scales
         s = jax.lax.dot_general(q * scale, k,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [R, chunk]
@@ -85,6 +93,8 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         alpha = jnp.exp(m_prev - m_new)               # [R, 1]
         l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, 0].astype(jnp.float32)           # [chunk, D]
+        if quant:
+            v = v * vs_ref[0, 0]
         pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [R, D]
         acc_scr[:] = acc_scr[:] * alpha + pv
@@ -127,6 +137,12 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     oracle `ops.attention.attend_masked` / `sliced_prefix_attention` exactly
     (tests/test_pallas.py).
     """
+    from .quantkv import QuantKV
+    quant = isinstance(k_cache, QuantKV)
+    if quant:
+        k_scale = k_cache.scale[..., None]   # [B, Hkv, S, 1]
+        v_scale = v_cache.scale[..., None]
+        k_cache, v_cache = k_cache.qv, v_cache.qv
     b, t, h, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
     g = h // hkv
@@ -157,6 +173,9 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     if s_pad != s:
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+        if quant:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
 
     # chunks actually needed (max over batch of max k_hi); scalar prefetch
     max_hi = jnp.max(k_hi)
@@ -172,22 +191,31 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     n_used_arr = jnp.stack([n_used, c_lo])
 
     kernel = functools.partial(_decode_kernel, scale=d ** -0.5, chunk=chunk,
-                               window=window, anchors=anchors, t=t, g=g)
+                               window=window, anchors=anchors, t=t, g=g,
+                               quant=quant)
 
     vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
+        pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
+    ]
+    inputs = [n_used_arr, khi_rows, qpos_rows, qg, k_cache, v_cache]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, chunk, 1), _kv_index_map, memory_space=vm),
+            pl.BlockSpec((1, 1, chunk, 1), _kv_index_map, memory_space=vm),
+        ]
+        inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hkv, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
-            pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
                          memory_space=vm),
@@ -208,7 +236,7 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             jax.ShapeDtypeStruct((b, hkv, r_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(n_used_arr, khi_rows, qpos_rows, qg, k_cache, v_cache)
+    )(*inputs)
 
     o = o[:, :, :r].reshape(b, hkv, g, t, d).transpose(0, 3, 1, 2, 4)
     o = o.reshape(b, t, h, d)

@@ -90,6 +90,12 @@ class SpecServer:
             a_max = engine.ecfg.gamma + 1
         else:
             raise ValueError(f"unknown method {method}")
+        if engine.ecfg.kv_quant != "none":
+            raise NotImplementedError(
+                "SpecServer's slot insert/hibernate surgery operates on bf16 "
+                "cache rows; kv_quant='int8' currently covers the "
+                "generate()/bench paths — build the serving engine with "
+                "kv_quant='none'")
         self.engine = engine
         self.cfg: ModelConfig = engine.cfg
         self.n_slots = n_slots

@@ -1,0 +1,192 @@
+"""Int8 KV-cache quantization (`EngineConfig.kv_quant="int8"`,
+`ops/quantkv.py`) — beyond the reference (bf16/fp16 cache, `llama.py:219`).
+
+Two properties gate the feature:
+  1. EXACTNESS: with the quantized cache, T=0 spec output must still be
+     token-exact vs vanilla on the same quantized cache (the quantize-on-
+     write / dequant-on-read / suffix-qd construction, quantkv.py rules 1-3).
+  2. FIDELITY: the quantized decode must stay CLOSE to the bf16 decode —
+     scales actually applied, not zeroing/garbling the cache.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig, tiny_test
+from longspec_tpu.models import llama as M
+from longspec_tpu.models import glide as G
+from longspec_tpu.ops import quantkv as qk
+from longspec_tpu.engine.engine import SpecEngine
+from tests.test_lossless import first_eos_trim
+
+
+def test_quantize_roundtrip_props():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 7, 3, 32))
+    q8, s = qk.quantize(x)
+    assert q8.dtype == jnp.int8
+    xd = q8.astype(jnp.float32) * s[..., None]
+    # absmax scaling: error bounded by scale/2 per element
+    assert float(jnp.max(jnp.abs(xd - x) - s[..., None] / 2)) <= 1e-6
+    # re-quantizing dequantized values is a fixed point (bit-identical ints)
+    q2, s2 = qk.quantize(xd)
+    assert bool(jnp.all(q2 == q8)) and bool(jnp.all(s2 == s))
+    # zero rows stay zero with scale 1 (no NaN/inf)
+    qz, sz = qk.quantize(jnp.zeros((4, 8)))
+    assert bool(jnp.all(qz == 0)) and bool(jnp.all(sz == 1.0))
+
+
+@pytest.mark.parametrize("impl", ["chunked", "pallas"])
+def test_quant_prefix_attention_matches_dense(impl):
+    """sliced_prefix_attention over a QuantKV cache: chunked and pallas
+    (interpret) agree with the dense dequantized oracle."""
+    rng = jax.random.PRNGKey(1)
+    b, hkv, g, s, d, tq = 2, 2, 3, 70, 32, 5
+    ks = jax.random.split(rng, 4)
+    q = jax.random.normal(ks[0], (b, tq, hkv * g, d))
+    kc = jax.random.normal(ks[1], (b, hkv, s, d))
+    vc = jax.random.normal(ks[2], (b, hkv, s, d))
+    qkv_k = qk.QuantKV(*qk.quantize(kc))
+    qkv_v = qk.QuantKV(*qk.quantize(vc))
+    k_hi = jnp.array([61, 37], jnp.int32)
+    q_pos = k_hi[:, None] + jnp.arange(tq)[None, :]
+
+    if impl == "pallas":
+        import longspec_tpu.ops.pallas_decode as pd
+        pd.INTERPRET = True
+    try:
+        o_ref, lse_ref = M.sliced_prefix_attention(
+            q, qkv_k, qkv_v, k_hi, q_pos, None, 0, "dense")
+        o, lse = M.sliced_prefix_attention(
+            q, qkv_k, qkv_v, k_hi, q_pos, None, 0, impl, chunk=32)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                                   rtol=2e-5, atol=2e-5)
+        # windowed variant
+        o_refw, _ = M.sliced_prefix_attention(
+            q, qkv_k, qkv_v, k_hi, q_pos, 24, 2, "dense")
+        ow, _ = M.sliced_prefix_attention(
+            q, qkv_k, qkv_v, k_hi, q_pos, 24, 2, impl, chunk=32)
+        np.testing.assert_allclose(np.asarray(ow), np.asarray(o_refw),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        if impl == "pallas":
+            pd.INTERPRET = False
+
+
+def build_engine(attn_impl="chunked", window=None, **ekw):
+    cfg = tiny_test(vocab_size=211, num_layers=2)
+    if window is not None:
+        cfg = dataclasses.replace(cfg, sliding_window=window, attn_sinks=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, attn_impl=attn_impl,
+                        kv_quant="int8", **ekw)
+    return SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg), cfg
+
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate",
+                                    "magicdec_generate"])
+@pytest.mark.parametrize("impl", ["dense", "chunked"])
+def test_lossless_with_int8_kv(method, impl):
+    """T=0 spec output on the int8 cache is token-exact vs vanilla on the
+    SAME int8 cache — the exactness contract of quantkv.py."""
+    eng, cfg = build_engine(attn_impl=impl)
+    rng = np.random.default_rng(7)
+    B, S = 2, 19
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 6], np.int32)
+    max_gen = 22
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    out = getattr(eng, method)(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.float32)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
+        m = min(len(v), len(s), max_gen)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+def test_lossless_int8_kv_pallas_engine():
+    """Whole engine on the pallas kernels (interpret mode) with int8 KV."""
+    import longspec_tpu.ops.pallas_decode as pd
+    import longspec_tpu.ops.pallas_prefill as pp
+    eng, cfg = build_engine(attn_impl="pallas")
+    rng = np.random.default_rng(9)
+    toks = rng.integers(2, cfg.vocab_size, (2, 17))
+    lens = np.array([17, 12], np.int32)
+    pd.INTERPRET = pp.INTERPRET = True
+    try:
+        van = eng.vanilla_generate(toks, lens, max_gen_len=16,
+                                   state_dtype=jnp.float32)
+        out = eng.tree_spec_generate(toks, lens, max_gen_len=16,
+                                     state_dtype=jnp.float32)
+    finally:
+        pd.INTERPRET = pp.INTERPRET = False
+    for b in range(2):
+        v = first_eos_trim(van["output_ids"][b][:16], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:16], cfg.eos_token_id)
+        m = min(len(v), len(s), 16)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+def test_lossless_int8_kv_with_sliding_window():
+    """int8 KV composes with decode-time sliding windows (the 32k bench
+    configuration)."""
+    eng, cfg = build_engine(attn_impl="chunked", window=10)
+    rng = np.random.default_rng(11)
+    toks = rng.integers(2, cfg.vocab_size, (2, 21))
+    lens = np.array([21, 14], np.int32)
+    van = eng.vanilla_generate(toks, lens, max_gen_len=20,
+                               state_dtype=jnp.float32)
+    out = eng.tree_spec_generate(toks, lens, max_gen_len=20,
+                                 state_dtype=jnp.float32)
+    for b in range(2):
+        v = first_eos_trim(van["output_ids"][b][:20], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:20], cfg.eos_token_id)
+        m = min(len(v), len(s), 20)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+def test_int8_kv_close_to_bf16_decode():
+    """Fidelity: greedy continuations from the quantized cache track the
+    full-precision ones closely on a peaked (near-deterministic) model —
+    catches scale-application bugs that exactness tests cannot (a zeroed
+    cache would still be 'lossless' in the spec-vs-vanilla sense)."""
+    cfg = tiny_test(vocab_size=97, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(3), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(4), cfg)
+    rng = np.random.default_rng(5)
+    toks = rng.integers(2, cfg.vocab_size, (2, 24))
+    lens = np.array([24, 24], np.int32)
+    outs = {}
+    for kvq in ("none", "int8"):
+        ecfg = EngineConfig(tree_shape=(2, 3), gamma=2, attn_impl="chunked",
+                            kv_quant=kvq)
+        eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg)
+        outs[kvq] = np.asarray(eng.vanilla_generate(
+            toks, lens, max_gen_len=24, state_dtype=jnp.float32)["output_ids"])
+    agree = float(np.mean(outs["none"][:, :8] == outs["int8"][:, :8]))
+    # a random-init model is not peaked, so demand agreement early in the
+    # continuation rather than everywhere (divergence compounds after the
+    # first mismatch); a garbled cache agrees at chance ~1/97
+    assert agree >= 0.5, (agree, outs["none"][:, :8], outs["int8"][:, :8])
+
+
+def test_server_gates_kv_quant():
+    from longspec_tpu.serve.server import SpecServer
+    eng, _ = build_engine()
+    with pytest.raises(NotImplementedError, match="kv_quant"):
+        SpecServer(eng, n_slots=2, s_max=64)
+
+
+def test_sp_gates_kv_quant():
+    # the sp cache layout keeps bf16 rows: rejected at state construction
+    eng, _ = build_engine(attn_impl="chunked")
+    eng.ecfg = dataclasses.replace(eng.ecfg, attn_impl="sp")
+    with pytest.raises(NotImplementedError, match="kv_quant"):
+        eng.init_state(1, 32)
