@@ -173,9 +173,16 @@ SPECS = {
     # divergence margin 4.4e-3; the language's true top-2 gaps are all
     # >= 0.3, so a converged model has no near-ties — hard_8k's 1000-step
     # target is exactly lossless).
+    # attn_best/tree_best: measured-best decode config per row (round-2
+    # sweep, row caches): at 8k the XLA chunked path wins vanilla decode
+    # (82 vs 71 tok/s — too few 2048-chunks to amortize the kernel's
+    # sequential grid) and ties tree; at 32k the pallas kernel's chunk
+    # skipping + VMEM streaming wins (tree 138 vs 123 tok/s) and a depth-6
+    # tree adds accept ~0.55 nearly free (verify is bandwidth-bound).
     "hard_32k": dict(lang="hard", n_states=256, seq=16384, ctx=32768,
                      target_steps=1100, distill_steps=400, lr=3e-3,
-                     offset_cap=49152, distill_accum=4, window=12288),
+                     offset_cap=49152, distill_accum=4, window=12288,
+                     attn_best="pallas", tree_best="4,16,16,16,16,16"),
 }
 
 DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -427,8 +434,15 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False):
             row[f"{label}_tok_s"] = round(float(tps), 2)
             row[f"{label}_accept"] = round(float(acc), 4)
             row[f"{label}_speedup"] = round(float(tps / van_tps), 4)
-            row[f"{label}_lossless"] = bool(np.array_equal(
+            ll = bool(np.array_equal(
                 van["output_ids"][:, :nc], r["output_ids"][:, :nc]))
+            row[f"{label}_lossless"] = ll
+            if not ll:
+                # same forensics as the tree gate: a tiny replayed top-2
+                # margin marks a bf16 verify-vs-decode tie flip, not an
+                # acceptance-logic failure
+                row.update({f"{label}_{k}": v for k, v in _dissect_divergence(
+                    eng, prompt, lens, van, r, nc).items()})
 
     log(f"[{name}] {json.dumps(row)}")
     return row
@@ -441,8 +455,9 @@ def main():
                     help="comma-separated subset of easy_8k,hard_8k,hard_32k")
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--attn", type=str, default="chunked",
-                    help="engine (decode/verify) attention impl")
+    ap.add_argument("--attn", type=str, default=None,
+                    help="engine (decode/verify) attention impl; default = "
+                    "each row's measured-best (SPECS attn_best)")
     ap.add_argument("--train-attn", type=str, default="chunked",
                     help="attention impl for target pretraining + distill "
                     "(cache contents are attn-agnostic params; kept chunked "
@@ -452,7 +467,9 @@ def main():
     # target verification is untouched, so T=0 output is exact regardless)
     ap.add_argument("--draft-head", type=str, default="int8")
     ap.add_argument("--draft-compute", type=str, default="int8")
-    ap.add_argument("--tree-shape", type=str, default="4,16,16,16,16")
+    ap.add_argument("--tree-shape", type=str, default=None,
+                    help="default = each row's measured-best (SPECS "
+                    "tree_best, falling back to the reference's 4,16^4)")
     ap.add_argument("--kv-quant", type=str, default="none",
                     help="target KV cache storage: none | int8 "
                     "(ops/quantkv.py; spec-vs-vanilla exactness preserved)")
@@ -461,7 +478,12 @@ def main():
                     help="re-measure rows even when a cached row result "
                     "matching the cached models exists")
     args = ap.parse_args()
-    tree_shape = tuple(int(x) for x in args.tree_shape.split(","))
+    def resolve_row_cfg(sp):
+        """(attn, tree_shape) for a row: CLI override > measured-best."""
+        attn = args.attn or sp.get("attn_best", "chunked")
+        ts = args.tree_shape or sp.get("tree_best", "4,16,16,16,16")
+        return attn, tuple(int(x) for x in ts.split(","))
+
     global WD
     WD = Watchdog(stall_s=1500)
 
@@ -492,7 +514,8 @@ def main():
                           max_position_embeddings=4096, eos_token_id=1)
         dcfg = DraftConfig(window=64)
         ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=4, temperature=0.0,
-                            attn_impl=args.attn, draft_head=args.draft_head,
+                            attn_impl=args.attn or "chunked",
+                            draft_head=args.draft_head,
                             draft_compute=args.draft_compute)
         succ, probs = make_markov_lm(cfg.vocab_size, seed=7,
                                      n_states=cfg.vocab_size - 2)
@@ -510,16 +533,11 @@ def main():
     else:
         cfg = big_model_config()
         dcfg = DraftConfig(window=512)
-        ecfg = EngineConfig(tree_shape=tree_shape, gamma=4,
-                            temperature=0.0, attn_impl=args.attn,
-                            draft_head=args.draft_head,
-                            draft_compute=args.draft_compute,
-                            kv_quant=args.kv_quant)
 
-        def row_result_path(name):
-            key = (f"{name}_g{args.gen}_b{args.batch}_{args.attn}"
+        def row_result_path(name, attn, ts):
+            key = (f"{name}_g{args.gen}_b{args.batch}_{attn}"
                    f"_{args.draft_head}{args.draft_compute}"
-                   f"_t{'x'.join(map(str, tree_shape))}")
+                   f"_t{'x'.join(map(str, ts))}")
             if SPECS[name]["window"]:
                 key += f"_sw{SPECS[name]['window']}"
             if args.kv_quant != "none":
@@ -529,6 +547,12 @@ def main():
         rows = []
         for name in args.rows.split(","):
             sp = SPECS[name]
+            row_attn, row_tree = resolve_row_cfg(sp)
+            ecfg = EngineConfig(tree_shape=row_tree, gamma=4,
+                                temperature=0.0, attn_impl=row_attn,
+                                draft_head=args.draft_head,
+                                draft_compute=args.draft_compute,
+                                kv_quant=args.kv_quant)
             lang, n_states, seq, ctx = (sp["lang"], sp["n_states"],
                                         sp["seq"], sp["ctx"])
             tag = row_tag(name)
@@ -537,7 +561,7 @@ def main():
             # persisted and restarts (and the driver's end-of-round run)
             # skip straight to unfinished work
             last = name == args.rows.split(",")[-1]
-            rpath = row_result_path(name)
+            rpath = row_result_path(name, row_attn, row_tree)
             tpath_c, dpath_c = row_cache_paths(name, cache_dir)
             if (not args.no_cache and not args.fresh_rows
                     and os.path.exists(rpath) and os.path.exists(tpath_c)
@@ -588,6 +612,8 @@ def main():
             row = measure_row(name, eng, prompt, lens, args.gen,
                               ctx + args.gen + ecfg.tree_size + 16,
                               extras=last)
+            row["attn"] = row_attn
+            row["tree_shape"] = "x".join(map(str, row_tree))
             rows.append(row)
             with open(rpath + ".tmp", "w") as f:
                 json.dump(row, f)

@@ -90,12 +90,11 @@ class SpecServer:
             a_max = engine.ecfg.gamma + 1
         else:
             raise ValueError(f"unknown method {method}")
-        if engine.ecfg.kv_quant != "none":
+        if engine.ecfg.kv_quant != "none" and kv != "slots":
             raise NotImplementedError(
-                "SpecServer's slot insert/hibernate surgery operates on bf16 "
-                "cache rows; kv_quant='int8' currently covers the "
-                "generate()/bench paths — build the serving engine with "
-                "kv_quant='none'")
+                "kv_quant='int8' serving covers the dense slot layout; the "
+                "paged pools (page-table scatter, hibernation swap, prefix "
+                "pages) keep bf16 rows — use kv='slots' or kv_quant='none'")
         self.engine = engine
         self.cfg: ModelConfig = engine.cfg
         self.n_slots = n_slots
@@ -215,9 +214,20 @@ class SpecServer:
             def impl(carry, pst, t0, slot, max_new, temp, logits0, rng):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
+
+                def upd_kv(c, p):
+                    # target caches may be QuantKV (kv_quant="int8"): the
+                    # batch axis (1) indexes both the int8 rows and their
+                    # scales, so the slot scatter applies to each leaf
+                    from ..ops.quantkv import QuantKV
+                    if isinstance(c, QuantKV):
+                        return QuantKV(upd(c.qv, p.qv[:, 0], slot, 1),
+                                       upd(c.scale, p.scale[:, 0], slot, 1))
+                    return upd(c, p[:, 0], slot, 1)
+
                 state = DecodeState(
-                    kv_k=upd(st.kv_k, pst.kv_k[:, 0], slot, 1),
-                    kv_v=upd(st.kv_v, pst.kv_v[:, 0], slot, 1),
+                    kv_k=upd_kv(st.kv_k, pst.kv_k),
+                    kv_v=upd_kv(st.kv_v, pst.kv_v),
                     d_kv_k=upd(st.d_kv_k, pst.d_kv_k[0], slot, 0),
                     d_kv_v=upd(st.d_kv_v, pst.d_kv_v[0], slot, 0),
                     cache_lens=st.cache_lens.at[slot].set(pst.cache_lens[0]),

@@ -177,11 +177,39 @@ def test_int8_kv_close_to_bf16_decode():
     assert agree >= 0.5, (agree, outs["none"][:, :8], outs["int8"][:, :8])
 
 
-def test_server_gates_kv_quant():
+def test_serving_with_int8_kv_token_exact():
+    """Continuous-batching over int8 KV slots: every served completion is
+    token-exact vs a standalone tree_spec_generate on the same int8 engine."""
+    from longspec_tpu.serve import SpecServer
+    eng, cfg = build_engine(attn_impl="dense")
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(2, cfg.vocab_size, (l,)).tolist()
+               for l in (11, 7, 15)]
+    max_new = [10, 14, 8]
+    srv = SpecServer(eng, n_slots=2, s_max=64, max_new_cap=16,
+                     prefill_buckets=(32,), state_dtype=jnp.float32)
+    uids = [srv.submit(p, m) for p, m in zip(prompts, max_new)]
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    assert sorted(comps) == sorted(uids)
+    eos = cfg.eos_token_id
+    for uid, p, m in zip(uids, prompts, max_new):
+        out = eng.tree_spec_generate(np.asarray([p]),
+                                     np.asarray([len(p)], np.int32),
+                                     max_gen_len=m, state_dtype=jnp.float32)
+        row = out["output_ids"][0]
+        stop = np.nonzero(row == eos)[0]
+        want = row[:min(stop[0] if len(stop) else len(row), m)].tolist()
+        got = comps[uid].tokens
+        n = min(len(want), len(got))
+        assert got[:n] == want[:n], f"req {uid}: {got[:n]} vs {want[:n]}"
+
+
+def test_server_gates_kv_quant_paged():
     from longspec_tpu.serve.server import SpecServer
+    from longspec_tpu.ops.pallas_paged import PagedAttn
     eng, _ = build_engine()
     with pytest.raises(NotImplementedError, match="kv_quant"):
-        SpecServer(eng, n_slots=2, s_max=64)
+        SpecServer(eng, n_slots=2, s_max=64, kv="paged")
 
 
 def test_sp_gates_kv_quant():
