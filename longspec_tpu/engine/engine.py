@@ -352,10 +352,6 @@ class SpecEngine:
         n_sp = self._sp_n
         s_max = -(-s_max // n_sp) * n_sp  # sp shards need equal slices
         if self.ecfg.kv_quant == "int8":
-            if self.mesh is not None:
-                raise NotImplementedError(
-                    "kv_quant='int8' state sharding (scale arrays need their "
-                    "own PartitionSpecs) is not wired yet")
             from ..ops.quantkv import alloc_quant_kv
             shape = (self.cfg.num_layers, batch, self.cfg.num_kv_heads,
                      s_max, self.cfg.head_dim_)
@@ -375,10 +371,19 @@ class SpecEngine:
             from ..parallel import shardings as sh
             # a ring draft cache is ~window-sized: keep it replicated over sp
             sp = sh.state_pspecs(sp=n_sp > 1,
-                                 ring=self.dcfg.ring_size is not None)
+                                 ring=self.dcfg.ring_size is not None,
+                                 kv_quant=self.ecfg.kv_quant == "int8")
+            P = jax.sharding.PartitionSpec
+
+            def put(x, spec):
+                # spec may be a QuantKV-of-PartitionSpecs matching x
+                shard = jax.tree.map(
+                    lambda s: jax.sharding.NamedSharding(self.mesh, s),
+                    spec, is_leaf=lambda y: isinstance(y, P))
+                return jax.device_put(x, shard)
+
             state = DecodeState(*[
-                x if x is None else jax.device_put(
-                    x, jax.sharding.NamedSharding(self.mesh, sp[f]))
+                x if x is None else put(x, sp[f])
                 for f, x in zip(DecodeState._fields, state)])
         return state
 

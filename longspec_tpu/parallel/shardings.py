@@ -80,18 +80,26 @@ def draft_pspecs() -> dict:
     }
 
 
-def state_pspecs(sp: bool = False, ring: bool = False) -> dict:
+def state_pspecs(sp: bool = False, ring: bool = False,
+                 kv_quant: bool = False) -> dict:
     """PartitionSpecs for engine.DecodeState (as a dict by field name).
 
     With ``sp=True`` the caches are additionally sharded on the SEQUENCE axis
     over the mesh's `sp` axis (engine attn_impl="sp"; parallel/ring.py).
     With ``ring=True`` the draft cache is a ~window-sized ring buffer
-    (DraftConfig.ring_size) and stays replicated over `sp`."""
+    (DraftConfig.ring_size) and stays replicated over `sp`.
+    With ``kv_quant=True`` the target caches are `ops.quantkv.QuantKV`
+    pytrees: the int8 rows shard like the bf16 cache and the per-row scales
+    [L, B, Hkv, S] shard identically minus the head-dim axis."""
     seq = "sp" if sp else None
     dseq = None if ring else seq
+    kv = P(None, "dp", "tp", seq, None)
+    if kv_quant:
+        from ..ops.quantkv import QuantKV
+        kv = QuantKV(kv, P(None, "dp", "tp", seq))
     return {
-        "kv_k": P(None, "dp", "tp", seq, None),
-        "kv_v": P(None, "dp", "tp", seq, None),
+        "kv_k": kv,
+        "kv_v": kv,
         "d_kv_k": P("dp", None, dseq, None),
         "d_kv_v": P("dp", None, dseq, None),
         "cache_lens": P("dp"),

@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--row", type=str, default="hard_8k",
                     help="bench row whose cached pair to profile")
     ap.add_argument("--n-states", type=int, default=256)
+    ap.add_argument("--window", type=int, default=0,
+                    help="decode-time sliding window + 4 sinks (bench "
+                    "hard_32k uses 12288)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run (logic check only)")
     args = ap.parse_args()
@@ -88,6 +91,11 @@ def main():
     else:
         cfg = big_model_config()
         dcfg = DraftConfig(window=512)
+    if args.window:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sliding_window=args.window,
+                                  attn_sinks=4)
+        dcfg = dataclasses.replace(dcfg, ca_window=args.window, ca_anchors=4)
     ecfg = EngineConfig(tree_shape=tuple(int(x) for x in
                                          args.tree_shape.split(",")),
                         gamma=4, temperature=0.0, attn_impl=args.attn,

@@ -80,3 +80,26 @@ def test_sharded_tree_spec_lossless(mesh_and_models):
     n = 14
     assert np.array_equal(van["output_ids"][:, :n], tree["output_ids"][:, :n]), \
         (van["output_ids"][:, :n], tree["output_ids"][:, :n])
+
+
+def test_sharded_tree_spec_lossless_int8_kv(mesh_and_models):
+    """Same gate with the int8 KV cache: QuantKV rows shard on kv-heads over
+    tp (scales alongside, minus the head-dim axis) and the sharded T=0
+    lossless invariant holds."""
+    from longspec_tpu.engine.engine import SpecEngine
+    mesh, cfg, dcfg, params, dparams = mesh_and_models
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, attn_impl="chunked",
+                        kv_quant="int8")
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+    eng.mesh = mesh
+    B = 2
+    prompts = np.random.default_rng(3).integers(2, cfg.vocab_size, (B, 24))
+    lens = np.array([24, 17], np.int32)
+    with mesh:
+        van = eng.vanilla_generate(prompts, lens, max_gen_len=16,
+                                   state_dtype=jnp.float32)
+        tree = eng.tree_spec_generate(prompts, lens, max_gen_len=16,
+                                      state_dtype=jnp.float32)
+    n = 14
+    assert np.array_equal(van["output_ids"][:, :n], tree["output_ids"][:, :n]), \
+        (van["output_ids"][:, :n], tree["output_ids"][:, :n])
