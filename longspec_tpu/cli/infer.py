@@ -103,6 +103,11 @@ def get_args(argv=None):
                    choices=["bf16", "int8", "int4"],
                    help="draft-layer matmul precision at decode time")
     p.add_argument("--beam-topk", default="exact", choices=["exact", "approx"])
+    p.add_argument("--kv-quant", default="none", choices=["none", "int8"],
+                   help="target KV cache storage (ops/quantkv.py): int8 "
+                        "halves decode HBM reads and doubles context per "
+                        "chip; spec output stays token-exact vs vanilla on "
+                        "the same cache")
     p.add_argument("--batch", default=1, type=int)
     p.add_argument("--out-dir", default="longbench_results")
     return p.parse_args(argv)
@@ -143,6 +148,7 @@ def load_engine(args):
                         attn_impl=attn_impl, draft_head=args.draft_head,
                         draft_compute=args.draft_compute,
                         beam_topk=args.beam_topk,
+                        kv_quant=getattr(args, "kv_quant", "none"),
                         per_row_temperature=getattr(
                             args, "per_row_temperature", False))
     dcfg = DraftConfig(window=args.window,

@@ -32,7 +32,8 @@ def get_args(argv=None):
                     ("--draft-ring", base.draft_ring),
                     ("--draft-head", base.draft_head),
                     ("--draft-compute", base.draft_compute),
-                    ("--beam-topk", base.beam_topk)):
+                    ("--beam-topk", base.beam_topk),
+                    ("--kv-quant", base.kv_quant)):
         p.add_argument(name, default=d, type=type(d))
     p.add_argument("--tree-shape", default=base.tree_shape, type=int, nargs="+")
     p.add_argument("--rope-scaling", default=None,

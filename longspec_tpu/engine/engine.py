@@ -344,11 +344,11 @@ class SpecEngine:
         return 1
 
     def init_state(self, batch: int, s_max: int, dtype=jnp.bfloat16) -> DecodeState:
-        if self.ecfg.kv_quant == "int8" and (
-                self.ecfg.attn_impl not in ("dense", "chunked", "pallas")):
+        if self.ecfg.kv_quant == "int8" and self.ecfg.attn_impl == "sp":
             raise NotImplementedError(
-                "kv_quant='int8' covers the dense/chunked/pallas cache "
-                "layouts; the sp and paged layouts keep bf16 rows")
+                "kv_quant='int8' covers the dense/chunked/pallas/paged "
+                "cache layouts; the sequence-sharded (sp) layout keeps "
+                "bf16 rows")
         n_sp = self._sp_n
         s_max = -(-s_max // n_sp) * n_sp  # sp shards need equal slices
         if self.ecfg.kv_quant == "int8":
@@ -401,8 +401,13 @@ class SpecEngine:
         pool = (cfg.num_layers, n_pages, cfg.num_kv_heads, page, hd)
         d_rows = self.dcfg.ring_size if self.dcfg.ring_size else n_chunks * page
         d_shape = (batch, cfg.num_kv_heads, d_rows, hd)
+        if self.ecfg.kv_quant == "int8":
+            from ..ops.quantkv import alloc_quant_kv
+            kv_k, kv_v = alloc_quant_kv(pool), alloc_quant_kv(pool)
+        else:
+            kv_k, kv_v = jnp.zeros(pool, dtype), jnp.zeros(pool, dtype)
         return DecodeState(
-            kv_k=jnp.zeros(pool, dtype), kv_v=jnp.zeros(pool, dtype),
+            kv_k=kv_k, kv_v=kv_v,
             d_kv_k=jnp.zeros(d_shape, dtype), d_kv_v=jnp.zeros(d_shape, dtype),
             cache_lens=jnp.zeros((batch,), jnp.int32),
             d_cache_lens=jnp.zeros((batch,), jnp.int32),

@@ -40,8 +40,10 @@ NEG_INF = -1e30
 def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
                    *rest, scale, chunk, window, anchors, t, g, quant=False):
     if quant:
-        # int8 KV + per-row scales (ops.quantkv): dequantize in VMEM — the
-        # HBM read is half-width, the VPU multiply is free next to the DMA
+        # int8 KV + per-row scales (ops.quantkv). Scales ride as [1, chunk]
+        # lane-major tiles (a (chunk, 1) block would pad to 128 lanes and
+        # cost as much DMA as the int8 KV itself) and are applied to the
+        # score/probability matrices — sum_d q_d*(k_d*s) == (sum_d q_d*k_d)*s
         (ks_ref, vs_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
     else:
         ks_ref = vs_ref = None
@@ -70,11 +72,11 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
         k = k_ref[0, 0].astype(jnp.float32)          # [chunk, D]
-        if quant:
-            k = k * ks_ref[0, 0]                     # [chunk, 1] scales
         s = jax.lax.dot_general(q * scale, k,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [R, chunk]
+        if quant:
+            s = s * ks_ref[0, 0]                     # [1, chunk] K scales
         col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         khi = khi_ref[0]                              # [R, 1]
         mask = col < khi
@@ -93,9 +95,8 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         alpha = jnp.exp(m_prev - m_new)               # [R, 1]
         l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, 0].astype(jnp.float32)           # [chunk, D]
-        if quant:
-            v = v * vs_ref[0, 0]
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        pv_in = p * vs_ref[0, 0] if quant else p      # [1, chunk] V scales
+        pv = jax.lax.dot_general(pv_in, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [R, D]
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
@@ -123,6 +124,12 @@ def _kv_index_map(i, j, c, nu):
     return (i, j, jnp.minimum(cc, nu[0] - 1), 0)
 
 
+def _scale_index_map(i, j, c, nu):
+    """Same clamping for the lane-major [B, Hkv, 1, S] scale blocks."""
+    cc = jnp.where(c < nu[1], jnp.where(c == 0, 0, nu[1]), c)
+    return (i, j, 0, jnp.minimum(cc, nu[0] - 1))
+
+
 @functools.partial(jax.jit, static_argnames=("window", "anchors", "chunk",
                                              "interpret"))
 def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
@@ -140,8 +147,8 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     from .quantkv import QuantKV
     quant = isinstance(k_cache, QuantKV)
     if quant:
-        k_scale = k_cache.scale[..., None]   # [B, Hkv, S, 1]
-        v_scale = v_cache.scale[..., None]
+        k_scale = k_cache.scale[:, :, None, :]   # [B, Hkv, 1, S] lane-major
+        v_scale = v_cache.scale[:, :, None, :]
         k_cache, v_cache = k_cache.qv, v_cache.qv
     b, t, h, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
@@ -174,8 +181,8 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         if quant:
-            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
-            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
 
     # chunks actually needed (max over batch of max k_hi); scalar prefetch
     max_hi = jnp.max(k_hi)
@@ -208,8 +215,8 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     inputs = [n_used_arr, khi_rows, qpos_rows, qg, k_cache, v_cache]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, chunk, 1), _kv_index_map, memory_space=vm),
-            pl.BlockSpec((1, 1, chunk, 1), _kv_index_map, memory_space=vm),
+            pl.BlockSpec((1, 1, 1, chunk), _scale_index_map, memory_space=vm),
+            pl.BlockSpec((1, 1, 1, chunk), _scale_index_map, memory_space=vm),
         ]
         inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(

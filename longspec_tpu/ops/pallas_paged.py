@@ -55,8 +55,15 @@ class PagedAttn(str):
 
 
 def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
-                  o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                  *, scale, page, window, anchors):
+                  *rest, scale, page, window, anchors, quant=False):
+    if quant:
+        # int8 pools + per-row scales (ops.quantkv), lane-major [1, page]
+        # scale tiles applied to the score/probability matrices (see
+        # pallas_decode._decode_kernel)
+        (ks_ref, vs_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
+    else:
+        ks_ref = vs_ref = None
+        (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
     b = pl.program_id(0)
     c = pl.program_id(2)
 
@@ -75,6 +82,8 @@ def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         s = jax.lax.dot_general(q * scale, k,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [R, page]
+        if quant:
+            s = s * ks_ref[0, 0]                     # [1, page] K scales
         # logical position of column j in this page: c*page + j (the page
         # table maps logical chunks to physical pages; logical order is
         # contiguous per sequence)
@@ -94,7 +103,8 @@ def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, 0].astype(jnp.float32)           # [page, D]
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        pv_in = p * vs_ref[0, 0] if quant else p      # [1, page] V scales
+        pv = jax.lax.dot_general(pv_in, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
@@ -126,6 +136,12 @@ def paged_flash_decode(q: jnp.ndarray, k_pool: jnp.ndarray,
     Returns (o fp32 [B, T, H, D], lse fp32 [B, T, H]) — same contract as
     `flash_decode` on the equivalent contiguous cache (tests/test_paged.py).
     """
+    from .quantkv import QuantKV
+    quant = isinstance(k_pool, QuantKV)
+    if quant:
+        k_scale = k_pool.scale[:, :, None, :]   # [n_pages, Hkv, 1, page]
+        v_scale = v_pool.scale[:, :, None, :]
+        k_pool, v_pool = k_pool.qv, v_pool.qv
     b, t, h, d = q.shape
     n_pages, hkv, page, _ = k_pool.shape
     n_chunks = page_table.shape[1]
@@ -159,26 +175,38 @@ def paged_flash_decode(q: jnp.ndarray, k_pool: jnp.ndarray,
     pt_safe = jnp.take_along_axis(pt, safe_idx, axis=1)   # [B, n_chunks]
 
     kernel = functools.partial(_paged_kernel, scale=d ** -0.5, page=page,
-                               window=window, anchors=anchors)
+                               window=window, anchors=anchors, quant=quant)
     vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu, pt_: (i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu, pt_: (i, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, r_pad, d),
+                     lambda i, j, c, nu, pt_: (i, j, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, page, d),
+                     lambda i, j, c, nu, pt_: (pt_[i, c], j, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, page, d),
+                     lambda i, j, c, nu, pt_: (pt_[i, c], j, 0, 0),
+                     memory_space=vm),
+    ]
+    inputs = [n_used, pt_safe, khi_rows, qpos_rows, qg, k_pool, v_pool]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, 1, 1, page),
+                         lambda i, j, c, nu, pt_: (pt_[i, c], j, 0, 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, 1, 1, page),
+                         lambda i, j, c, nu, pt_: (pt_[i, c], j, 0, 0),
+                         memory_space=vm),
+        ]
+        inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # (n_used, page_table)
         grid=(b, hkv, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu, pt_: (i, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu, pt_: (i, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1, r_pad, d),
-                         lambda i, j, c, nu, pt_: (i, j, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1, page, d),
-                         lambda i, j, c, nu, pt_: (pt_[i, c], j, 0, 0),
-                         memory_space=vm),
-            pl.BlockSpec((1, 1, page, d),
-                         lambda i, j, c, nu, pt_: (pt_[i, c], j, 0, 0),
-                         memory_space=vm),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, r_pad, d),
                          lambda i, j, c, nu, pt_: (i, j, 0, 0),
@@ -201,7 +229,7 @@ def paged_flash_decode(q: jnp.ndarray, k_pool: jnp.ndarray,
             jax.ShapeDtypeStruct((b, hkv, r_pad, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(n_used, pt_safe, khi_rows, qpos_rows, qg, k_pool, v_pool)
+    )(*inputs)
 
     o = o[:, :, :r].reshape(b, hkv, g, t, d).transpose(0, 3, 1, 2, 4)
     o = o.reshape(b, t, h, d)
@@ -210,15 +238,18 @@ def paged_flash_decode(q: jnp.ndarray, k_pool: jnp.ndarray,
 
 
 @jax.jit
-def write_paged_rows(k_pool: jnp.ndarray, new: jnp.ndarray,
+def write_paged_rows(k_pool, new: jnp.ndarray,
                      page_table: jnp.ndarray, starts: jnp.ndarray):
     """Scatter new[b] (T rows) into the pool at logical offsets starts[b]...
 
-    pool: [n_pages, Hkv, page, D]; new: [B, T, Hkv, D]; page_table:
+    pool: [n_pages, Hkv, page, D] (or a `QuantKV` — rows are quantized on
+    write, ops/quantkv.py rule 1); new: [B, T, Hkv, D]; page_table:
     [B, n_chunks]; starts: [B]. Returns the updated pool (alias/donate the
     input under jit for an in-place write). Functional counterpart of
     `models/llama.write_cache_rows` for paged layouts.
     """
+    from .quantkv import QuantKV, quantize
+    qpool = isinstance(k_pool, QuantKV)
     n_pages, hkv, page, d = k_pool.shape
     b, t = new.shape[:2]
     pos = starts[:, None] + jnp.arange(t)[None, :]          # [B, T] logical
@@ -228,5 +259,10 @@ def write_paged_rows(k_pool: jnp.ndarray, new: jnp.ndarray,
     # scatter [B*T] rows: index (phys, :, off, :)
     phys_f = phys.reshape(-1)
     off_f = off.reshape(-1)
+    if qpool:
+        q8, sc = quantize(new)                              # [B,T,H,D], [B,T,H]
+        return QuantKV(
+            k_pool.qv.at[phys_f, :, off_f, :].set(q8.reshape(b * t, hkv, d)),
+            k_pool.scale.at[phys_f, :, off_f].set(sc.reshape(b * t, hkv)))
     rows = new.reshape(b * t, hkv, d)
     return k_pool.at[phys_f, :, off_f, :].set(rows.astype(k_pool.dtype))

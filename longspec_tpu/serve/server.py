@@ -90,11 +90,6 @@ class SpecServer:
             a_max = engine.ecfg.gamma + 1
         else:
             raise ValueError(f"unknown method {method}")
-        if engine.ecfg.kv_quant != "none" and kv != "slots":
-            raise NotImplementedError(
-                "kv_quant='int8' serving covers the dense slot layout; the "
-                "paged pools (page-table scatter, hibernation swap, prefix "
-                "pages) keep bf16 rows — use kv='slots' or kv_quant='none'")
         self.engine = engine
         self.cfg: ModelConfig = engine.cfg
         self.n_slots = n_slots
@@ -157,8 +152,15 @@ class SpecServer:
             # models take the plain admission path instead — paged DECODE
             # supports sliding_window/ca_window fine; only the shared-prefix
             # prefill shortcut is skipped.
+            # prefix-cache compute reuse is OFF under int8 KV: a cached
+            # prefix is read DEQUANTIZED by the suffix prefill, while an
+            # uncached admission attends the fresh full-precision prompt —
+            # the two t0 laws would differ, breaking served-vs-standalone
+            # token exactness (quantkv.py's contract covers decode reads,
+            # where both sides see the same cache)
             self._prefix_ok = (engine.cfg.sliding_window is None
-                               and engine.dcfg.ca_window is None)
+                               and engine.dcfg.ca_window is None
+                               and engine.ecfg.kv_quant == "none")
             # reserved scratch page: table rows are padded with it so
             # fixed-width prefill scatters past a request's allocation land
             # in scratch instead of another sequence's page
@@ -283,9 +285,16 @@ class SpecServer:
             def impl(carry, pst, t0, slot, max_new, trow, temp, logits0, rng):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
+                from ..ops.quantkv import QuantKV, dequant
+                kk, vv = pst.kv_k, pst.kv_v
+                if isinstance(kk, QuantKV):
+                    # dequantize the dense prefill rows; the pool write below
+                    # re-quantizes them to bit-identical ints (quantize of
+                    # dequantized values is a fixed point, ops/quantkv.py)
+                    kk, vv = dequant(kk), dequant(vv)
                 # [L, 1, Hkv, bucket, D] -> [L, 1, bucket, Hkv, D]
-                rk = pst.kv_k[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
-                rv = pst.kv_v[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
+                rk = kk[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
+                rv = vv[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
                 tables = st.tables.at[slot].set(trow)
                 t1 = tables[slot][None]              # [1, n_chunks]
                 z = jnp.zeros((1,), jnp.int32)
@@ -449,9 +458,19 @@ class SpecServer:
         if not hasattr(self, "_gather_jit"):
             def impl(carry, slot, trow):
                 st = carry.state
+                from ..ops.quantkv import QuantKV
+
+                def take_pages(c):
+                    # QuantKV pools hibernate as (int8 rows, scales) — the
+                    # restore is bit-exact either way
+                    if isinstance(c, QuantKV):
+                        return {"qv": jnp.take(c.qv, trow, axis=1),
+                                "scale": jnp.take(c.scale, trow, axis=1)}
+                    return jnp.take(c, trow, axis=1)
+
                 out = dict(
-                    pages_k=jnp.take(st.kv_k, trow, axis=1),
-                    pages_v=jnp.take(st.kv_v, trow, axis=1),
+                    pages_k=take_pages(st.kv_k),
+                    pages_v=take_pages(st.kv_v),
                     d_k=st.d_kv_k[slot], d_v=st.d_kv_v[slot],
                     cache_len=st.cache_lens[slot],
                     d_cache_len=st.d_cache_lens[slot],
@@ -469,7 +488,7 @@ class SpecServer:
             self._gather_jit = jax.jit(impl)
         sv = self._gather_jit(self._carry, jnp.int32(slot),
                               jnp.asarray(trow_k, jnp.int32))
-        return {k: np.asarray(v) for k, v in sv.items()}
+        return jax.tree.map(np.asarray, sv)
 
     def _restore_slot(self, sv: dict, slot: int, trow: np.ndarray,
                       ids: np.ndarray):
@@ -481,9 +500,17 @@ class SpecServer:
             def impl(carry, sv, slot, trow, ids):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
+                from ..ops.quantkv import QuantKV
+
+                def put_pages(c, saved):
+                    if isinstance(c, QuantKV):
+                        return QuantKV(c.qv.at[:, ids].set(saved["qv"]),
+                                       c.scale.at[:, ids].set(saved["scale"]))
+                    return c.at[:, ids].set(saved)
+
                 state = DecodeState(
-                    kv_k=st.kv_k.at[:, ids].set(sv["pages_k"]),
-                    kv_v=st.kv_v.at[:, ids].set(sv["pages_v"]),
+                    kv_k=put_pages(st.kv_k, sv["pages_k"]),
+                    kv_v=put_pages(st.kv_v, sv["pages_v"]),
                     d_kv_k=upd(st.d_kv_k, sv["d_k"], slot, 0),
                     d_kv_v=upd(st.d_kv_v, sv["d_v"], slot, 0),
                     cache_lens=st.cache_lens.at[slot].set(sv["cache_len"]),

@@ -204,12 +204,78 @@ def test_serving_with_int8_kv_token_exact():
         assert got[:n] == want[:n], f"req {uid}: {got[:n]} vs {want[:n]}"
 
 
-def test_server_gates_kv_quant_paged():
-    from longspec_tpu.serve.server import SpecServer
+def _paged_int8_engines(page=16):
     from longspec_tpu.ops.pallas_paged import PagedAttn
-    eng, _ = build_engine()
-    with pytest.raises(NotImplementedError, match="kv_quant"):
-        SpecServer(eng, n_slots=2, s_max=64, kv="paged")
+    cfg = tiny_test(vocab_size=151, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    dcfg = DraftConfig(window=8)
+    dense = SpecEngine(params, dparams, cfg, dcfg,
+                       EngineConfig(tree_shape=(2, 3, 3), gamma=3,
+                                    attn_impl="dense", kv_quant="int8"))
+    paged = SpecEngine(params, dparams, cfg, dcfg,
+                       EngineConfig(tree_shape=(2, 3, 3), gamma=3,
+                                    attn_impl=PagedAttn(page),
+                                    kv_quant="int8"))
+    return cfg, dense, paged
+
+
+def test_paged_server_int8_token_exact():
+    """Paged pools hold int8 rows + scales: continuous batching over the
+    quantized pools emits exactly the dense int8 engine's tokens."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_int8_engines()
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     prefill_buckets=(32,), state_dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(2, cfg.vocab_size, (l,)).tolist()
+               for l in (11, 7, 19)]
+    uids = [srv.submit(p, 12) for p in prompts]
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    from tests.test_paged import _standalone
+    for uid, p in zip(uids, prompts):
+        assert comps[uid].tokens == _standalone(dense, p, 12), uid
+
+
+def test_paged_elastic_int8_hibernation_exact():
+    """Elastic paging under int8 KV: hibernation-swap preemption saves the
+    int8 pages + scales and restores them bit-exact — preempted requests
+    still finish token-identical to the dense int8 engine."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_int8_engines()
+    # tiny pool forces preemption pressure (mirrors test_elastic patterns)
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     prefill_buckets=(32,), state_dtype=jnp.float32,
+                     paging="elastic", pool_pages=10)
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(2, cfg.vocab_size, (l,)).tolist()
+               for l in (13, 11, 9, 15)]
+    uids = [srv.submit(p, 12) for p in prompts]
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    assert sorted(comps) == sorted(uids)
+    from tests.test_paged import _standalone
+    for uid, p in zip(uids, prompts):
+        assert comps[uid].tokens == _standalone(dense, p, 12), uid
+
+
+def test_prefix_cache_disabled_under_int8():
+    """Prefix-cache compute reuse is OFF with int8 KV (a cached prefix is
+    read dequantized while an uncached admission attends the fresh prompt —
+    t0 laws would differ); admissions fall back to full prefill and stay
+    exact."""
+    from longspec_tpu.serve import SpecServer
+    cfg, dense, paged = _paged_int8_engines()
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
+                     prefill_buckets=(32,), state_dtype=jnp.float32)
+    assert not srv._prefix_ok
+    p = np.random.default_rng(29).integers(2, cfg.vocab_size, (12,)).tolist()
+    u1 = srv.submit(p, 8)
+    u2 = srv.submit(p, 8)   # identical prompt: would hit the prefix cache
+    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    assert srv.prefix_hits == 0
+    from tests.test_paged import _standalone
+    want = _standalone(dense, p, 8)
+    assert comps[u1].tokens == want and comps[u2].tokens == want
 
 
 def test_sp_gates_kv_quant():
