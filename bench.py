@@ -365,7 +365,8 @@ def _dissect_divergence(eng, prompt, lens, van, tree, n_cmp):
     }
 
 
-def measure_row(name, eng, prompt, lens, gen, s_max, extras=False):
+def measure_row(name, eng, prompt, lens, gen, s_max, extras=False,
+                eng_t1=None):
     """Vanilla vs tree-spec on one engine; returns the row dict.
 
     Metric definitions match the reference harness
@@ -443,6 +444,25 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False):
                 # acceptance-logic failure
                 row.update({f"{label}_{k}": v for k, v in _dissect_divergence(
                     eng, prompt, lens, van, r, nc).items()})
+
+    if eng_t1 is not None:
+        # stochastic (T=1) tree speculation — the reference reports ~2.5x
+        # at T=1 vs the (temperature-independent) autoregressive baseline
+        # (`index.html:292`); output-law exactness at T>0 is CI-gated by the
+        # engine-level chi-square test (tests/test_stochastic.py), so the
+        # bench only measures throughput/accept here
+        log(f"[{name}] tree-spec decode @ T=1...")
+        t1 = eng_t1.tree_spec_generate(prompt, lens, max_gen_len=gen,
+                                       s_max=s_max)
+        beat()
+        t1 = eng_t1.tree_spec_generate(prompt, lens, max_gen_len=gen,
+                                       s_max=s_max)
+        beat()
+        t1_tps = (t1["count"] + t1["num"]) / t1["elapsed"]
+        row["t1_tree_tok_s"] = round(float(t1_tps), 2)
+        row["t1_accept"] = round(float((t1["count"] + t1["num"])
+                                       / max(t1["num"], 1)), 4)
+        row["t1_speedup"] = round(float(t1_tps / van_tps), 4)
 
     log(f"[{name}] {json.dumps(row)}")
     return row
@@ -605,13 +625,19 @@ def main():
                 dcfg_d = dataclasses.replace(dcfg, ca_window=sp["window"],
                                              ca_anchors=4)
             eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
+            eng_t1 = None
+            if last:
+                import dataclasses as _dc
+                eng_t1 = SpecEngine(params, dparams, cfg_d, dcfg_d,
+                                    _dc.replace(ecfg, temperature=1.0))
             prompt = sample(args.batch, ctx, 999)
             lens = np.full((args.batch,), ctx, np.int32)
-            # the headline (last) row also measures chain + magicdec — the
-            # reference's full method comparison at north-star context
+            # the headline (last) row also measures chain + magicdec + T=1
+            # tree — the reference's full method comparison at north-star
+            # context
             row = measure_row(name, eng, prompt, lens, args.gen,
                               ctx + args.gen + ecfg.tree_size + 16,
-                              extras=last)
+                              extras=last, eng_t1=eng_t1)
             row["attn"] = row_attn
             row["tree_shape"] = "x".join(map(str, row_tree))
             rows.append(row)
@@ -619,7 +645,7 @@ def main():
                 json.dump(row, f)
             os.replace(rpath + ".tmp", rpath)
             # drop this row's 5GB of device buffers before the next row loads
-            del eng, params, dparams, corpus
+            del eng, eng_t1, params, dparams, corpus
             gc.collect()
 
     head = rows[-1]
@@ -632,6 +658,7 @@ def main():
         "vanilla_tok_s": head["vanilla_tok_s"],
         "tree_tok_s": head["tree_tok_s"],
         "lossless": head["lossless"],
+        "t1_speedup": head.get("t1_speedup"),
         "ctx": head["ctx"],
         "gen": head["gen"],
         "headline_row": head["name"],
