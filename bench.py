@@ -335,8 +335,13 @@ def get_models(cfg, dcfg, corpus, cache_dir, tag, *, target_steps,
 
 def _dissect_divergence(eng, prompt, lens, van, tree, n_cmp):
     """First-divergence forensics for a failed exactness gate: replay the
-    vanilla prefix through prefill and report the target's top-2 logit
-    margin at the divergent position (see debug_window_lossless.py)."""
+    divergent position under the ENGINE's decode law — its cache layout
+    (kv_quant="int8" forensics read a quantized cache, not a bf16 one) and
+    its attn_impl — and report the target's top-2 logit margin there (see
+    debug_window_lossless.py). The divergent token is reproduced by a real
+    decode append over a prefix prefill, not by prefill logits alone, so
+    the margin is measured under the same target function the engine's
+    vanilla loop used."""
     import jax.numpy as jnp
     from longspec_tpu.models import llama as M
     a = van["output_ids"][0, :n_cmp]
@@ -346,17 +351,34 @@ def _dissect_divergence(eng, prompt, lens, van, tree, n_cmp):
         return {"first_div_pos": -1}
     i = int(d[0])
     plen = int(lens[0])
-    full = np.concatenate([np.asarray(prompt[0][:plen]),
-                           np.asarray(a[:i])])[None]
-    flens = np.asarray([full.shape[1]], np.int32)
     cfg = eng.cfg
-    kv_k, kv_v = M.alloc_kv_cache(cfg, 1, full.shape[1] + 8, jnp.bfloat16)
-    h, _, _ = M.forward_prefill(eng.params, cfg, jnp.asarray(full), flens,
-                                kv_k, kv_v, attn_impl="chunked")
-    lg = np.asarray(M.logits_at(eng.params, h[0, -1]))
+    impl = eng.ecfg.attn_impl
+    if not (isinstance(impl, str) and impl in ("dense", "chunked", "pallas")):
+        impl = "chunked"  # paged/sp engines: closest dense-layout law
+    prefix = np.concatenate([np.asarray(prompt[0][:plen]), np.asarray(a[:i])])
+    state = eng.init_state(1, len(prefix) + 8, jnp.bfloat16)
+    if i == 0:
+        # token 0 is sampled from prefill logits
+        h, _, _ = M.forward_prefill(
+            eng.params, cfg, jnp.asarray(prefix[None]),
+            jnp.asarray([len(prefix)], jnp.int32), state.kv_k, state.kv_v,
+            attn_impl=impl)
+        lg = np.asarray(M.logits_at(eng.params, h[0, -1]))
+    else:
+        # token i came from an append of a[i-1] over the committed prefix
+        pre = jnp.asarray(prefix[None, :-1])
+        cl = jnp.asarray([len(prefix) - 1], jnp.int32)
+        _, kv_k, kv_v = M.forward_prefill(eng.params, cfg, pre, cl,
+                                          state.kv_k, state.kv_v,
+                                          attn_impl=impl)
+        h, _, _ = M.forward_append(
+            eng.params, cfg, jnp.asarray([[int(prefix[-1])]], jnp.int32),
+            cl[:, None], jnp.ones((1, 1, 1), bool), cl, kv_k, kv_v,
+            attn_impl=impl)
+        lg = np.asarray(M.logits_at(eng.params, h[:, 0])[0])
     top2 = np.argsort(lg)[-2:][::-1]
     margin = float(lg[top2[0]] - lg[top2[1]])
-    del kv_k, kv_v, h
+    del state
     return {
         "first_div_pos": i,
         "first_div_margin": round(margin, 6),
@@ -491,6 +513,7 @@ def main():
                     help="default = each row's measured-best (SPECS "
                     "tree_best, falling back to the reference's 4,16^4)")
     ap.add_argument("--kv-quant", type=str, default="none",
+                    choices=["none", "int8"],
                     help="target KV cache storage: none | int8 "
                     "(ops/quantkv.py; spec-vs-vanilla exactness preserved)")
     ap.add_argument("--no-cache", action="store_true")
@@ -590,7 +613,11 @@ def main():
                         os.path.getmtime(tpath_c), os.path.getmtime(dpath_c))):
                 with open(rpath) as f:
                     row = json.load(f)
-                if not last or "chain_tok_s" in row:
+                # the headline (last) row must carry every extras field the
+                # summary reads — a stale cached row missing chain or T=1
+                # measurements is re-measured, not reused
+                if not last or ("chain_tok_s" in row
+                                and "t1_tree_tok_s" in row):
                     log(f"[{name}] reusing cached row result {row}")
                     rows.append(row)
                     continue

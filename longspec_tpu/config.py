@@ -172,6 +172,22 @@ class EngineConfig:
     # can only lower the accept rate, never change emitted tokens.
     beam_topk: str = "exact"  # "exact" | "approx"
 
+    def __post_init__(self):
+        # a typo'd kv_quant/draft precision would silently run (and label
+        # itself as) the wrong configuration — reject at construction
+        if self.kv_quant not in ("none", "int8"):
+            raise ValueError(f"kv_quant must be 'none' or 'int8', "
+                             f"got {self.kv_quant!r}")
+        if self.draft_head not in ("bf16", "int8", "int4"):
+            raise ValueError(f"draft_head must be bf16|int8|int4, "
+                             f"got {self.draft_head!r}")
+        if self.draft_compute not in ("bf16", "int8", "int4"):
+            raise ValueError(f"draft_compute must be bf16|int8|int4, "
+                             f"got {self.draft_compute!r}")
+        if self.beam_topk not in ("exact", "approx"):
+            raise ValueError(f"beam_topk must be exact|approx, "
+                             f"got {self.beam_topk!r}")
+
     @property
     def tree_size(self) -> int:
         """Total tree nodes including root."""

@@ -622,15 +622,15 @@ class SpecEngine:
 
         def gather_stream(cache):
             # cache [L, B, Hkv, S, D] -> [L, B, Hkv, sink+win, D]
-            from ..ops.quantkv import QuantKV
+            from ..ops.quantkv import QuantKV, dequant
             if isinstance(cache, QuantKV):
                 # the bf16 stream cache holds DEQUANTIZED rows — the same
                 # values every read of the quantized main cache sees
-                qv = jnp.take_along_axis(cache.qv,
-                                         src[None, :, None, :, None], axis=3)
-                sc = jnp.take_along_axis(cache.scale,
-                                         src[None, :, None, :], axis=3)
-                return qv.astype(jnp.float32) * sc[..., None]
+                return dequant(QuantKV(
+                    jnp.take_along_axis(cache.qv,
+                                        src[None, :, None, :, None], axis=3),
+                    jnp.take_along_axis(cache.scale,
+                                        src[None, :, None, :], axis=3)))
             return jnp.take_along_axis(
                 cache, src[None, :, None, :, None], axis=3)
 

@@ -288,8 +288,8 @@ def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
         m_run, l_run, acc = carry
         kch, vch, c_idx = inp                      # [B, Hkv, chunk, D]
         if quant:
-            kch = kch[0].astype(jnp.float32) * kch[1][..., None]
-            vch = vch[0].astype(jnp.float32) * vch[1][..., None]
+            kch = qkv8.dequant(qkv8.QuantKV(*kch))
+            vch = qkv8.dequant(qkv8.QuantKV(*vch))
         kj = c_idx * chunk + jnp.arange(chunk)
         mask = kj[None, None, :] < k_hi2[:, :, None]  # [B, Tq, chunk]
         if window is not None:

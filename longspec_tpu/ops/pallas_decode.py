@@ -60,12 +60,13 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
     c_lo = nchunk_ref[1]
 
     # skip chunks above every query's k_hi AND (with a window) chunks below
-    # every query's window start — chunk 0 stays live iff anchor sinks exist
+    # every query's window start — the chunks holding anchor sinks (all
+    # ceil(anchors/chunk) of them, not just chunk 0) stay live
     live = c < n_used
     if window is not None:
         in_win = c >= c_lo
         if anchors > 0:
-            in_win = jnp.logical_or(in_win, c == 0)
+            in_win = jnp.logical_or(in_win, c < -(-anchors // chunk))
         live = jnp.logical_and(live, in_win)
 
     @pl.when(live)
@@ -114,19 +115,19 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         lse_ref[0, 0] = lse
 
 
-def _kv_index_map(i, j, c, nu):
+def _kv_index_map(i, j, c, nu, *, a_chunks=1):
     """KV block fetch index: skipped grid steps re-point at an already-
     fetched block so Pallas copies nothing for them — chunks past n_used
     (nu[0]) clamp to the last useful chunk; with a window, dead chunks
-    below c_lo (nu[1], except anchor chunk 0) point at the window-start
-    chunk."""
-    cc = jnp.where(c < nu[1], jnp.where(c == 0, 0, nu[1]), c)
+    below c_lo (nu[1], except the `a_chunks` anchor-sink chunks) point at
+    the window-start chunk."""
+    cc = jnp.where(c < nu[1], jnp.where(c < a_chunks, c, nu[1]), c)
     return (i, j, jnp.minimum(cc, nu[0] - 1), 0)
 
 
-def _scale_index_map(i, j, c, nu):
+def _scale_index_map(i, j, c, nu, *, a_chunks=1):
     """Same clamping for the lane-major [B, Hkv, 1, S] scale blocks."""
-    cc = jnp.where(c < nu[1], jnp.where(c == 0, 0, nu[1]), c)
+    cc = jnp.where(c < nu[1], jnp.where(c < a_chunks, c, nu[1]), c)
     return (i, j, 0, jnp.minimum(cc, nu[0] - 1))
 
 
@@ -201,6 +202,9 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                                window=window, anchors=anchors, t=t, g=g,
                                quant=quant)
 
+    a_chunks = -(-anchors // chunk) if anchors > 0 else 0
+    kv_map = functools.partial(_kv_index_map, a_chunks=a_chunks)
+    sc_map = functools.partial(_scale_index_map, a_chunks=a_chunks)
     vm = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
@@ -209,14 +213,14 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                      memory_space=vm),
         pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
-        pl.BlockSpec((1, 1, chunk, d), _kv_index_map, memory_space=vm),
+        pl.BlockSpec((1, 1, chunk, d), kv_map, memory_space=vm),
+        pl.BlockSpec((1, 1, chunk, d), kv_map, memory_space=vm),
     ]
     inputs = [n_used_arr, khi_rows, qpos_rows, qg, k_cache, v_cache]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, chunk), _scale_index_map, memory_space=vm),
-            pl.BlockSpec((1, 1, 1, chunk), _scale_index_map, memory_space=vm),
+            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=vm),
+            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=vm),
         ]
         inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -243,13 +243,18 @@ def write_paged_rows(k_pool, new: jnp.ndarray,
     """Scatter new[b] (T rows) into the pool at logical offsets starts[b]...
 
     pool: [n_pages, Hkv, page, D] (or a `QuantKV` — rows are quantized on
-    write, ops/quantkv.py rule 1); new: [B, T, Hkv, D]; page_table:
-    [B, n_chunks]; starts: [B]. Returns the updated pool (alias/donate the
-    input under jit for an in-place write). Functional counterpart of
-    `models/llama.write_cache_rows` for paged layouts.
+    write, ops/quantkv.py rule 1); new: [B, T, Hkv, D] (or a `QuantKV` of
+    already-quantized rows, scattered verbatim — bit-exact by construction,
+    no dequant->requant round-trip); page_table: [B, n_chunks]; starts: [B].
+    Returns the updated pool (alias/donate the input under jit for an
+    in-place write). Functional counterpart of `models/llama.write_cache_rows`
+    for paged layouts.
     """
     from .quantkv import QuantKV, quantize
     qpool = isinstance(k_pool, QuantKV)
+    qnew = isinstance(new, QuantKV)
+    if qnew and not qpool:
+        raise TypeError("quantized rows into an unquantized pool")
     n_pages, hkv, page, d = k_pool.shape
     b, t = new.shape[:2]
     pos = starts[:, None] + jnp.arange(t)[None, :]          # [B, T] logical
@@ -260,7 +265,7 @@ def write_paged_rows(k_pool, new: jnp.ndarray,
     phys_f = phys.reshape(-1)
     off_f = off.reshape(-1)
     if qpool:
-        q8, sc = quantize(new)                              # [B,T,H,D], [B,T,H]
+        q8, sc = (new.qv, new.scale) if qnew else quantize(new)
         return QuantKV(
             k_pool.qv.at[phys_f, :, off_f, :].set(q8.reshape(b * t, hkv, d)),
             k_pool.scale.at[phys_f, :, off_f].set(sc.reshape(b * t, hkv)))

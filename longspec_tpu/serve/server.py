@@ -285,16 +285,22 @@ class SpecServer:
             def impl(carry, pst, t0, slot, max_new, trow, temp, logits0, rng):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
-                from ..ops.quantkv import QuantKV, dequant
+                from ..ops.quantkv import QuantKV
                 kk, vv = pst.kv_k, pst.kv_v
-                if isinstance(kk, QuantKV):
-                    # dequantize the dense prefill rows; the pool write below
-                    # re-quantizes them to bit-identical ints (quantize of
-                    # dequantized values is a fixed point, ops/quantkv.py)
-                    kk, vv = dequant(kk), dequant(vv)
-                # [L, 1, Hkv, bucket, D] -> [L, 1, bucket, Hkv, D]
-                rk = kk[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
-                rv = vv[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
+
+                def rows(c):
+                    # [L, 1, Hkv, bucket, D] -> [L, 1, bucket, Hkv, D];
+                    # QuantKV rows pass through VERBATIM (already-quantized
+                    # ints + scales scatter bit-exact into the pool — no
+                    # dequant->requant round-trip, which is NOT a fixed
+                    # point for scales at the 1-ulp level)
+                    if isinstance(c, QuantKV):
+                        return QuantKV(
+                            c.qv[:, :, :, :bucket].transpose(0, 1, 3, 2, 4),
+                            c.scale[:, :, :, :bucket].transpose(0, 1, 3, 2))
+                    return c[:, :, :, :bucket].transpose(0, 1, 3, 2, 4)
+
+                rk, rv = rows(kk), rows(vv)
                 tables = st.tables.at[slot].set(trow)
                 t1 = tables[slot][None]              # [1, n_chunks]
                 z = jnp.zeros((1,), jnp.int32)
@@ -533,7 +539,7 @@ class SpecServer:
 
             self._restore_jit = jax.jit(impl, donate_argnums=(0,))
         self._carry = self._restore_jit(
-            self._carry, {k: jnp.asarray(v) for k, v in sv.items()},
+            self._carry, jax.tree.map(jnp.asarray, sv),
             jnp.int32(slot), jnp.asarray(trow, jnp.int32),
             jnp.asarray(ids, jnp.int32))
 
@@ -697,7 +703,8 @@ class SpecServer:
                 # saved bucket i holds logical chunk i; scatter into the new
                 # page ids (surplus saved buckets -> scratch; new pages past
                 # the saved data are written by decode before any read)
-                k_s = int(sv["pages_k"].shape[1])
+                pk = sv["pages_k"]  # ndarray, or {qv, scale} under QuantKV
+                k_s = int((pk["qv"] if isinstance(pk, dict) else pk).shape[1])
                 ids = (list(pages_new) + [self._trash_page] * k_s)[:k_s]
                 self._restore_slot(sv, slot, trow, np.asarray(ids, np.int32))
                 self._slot_uid[slot] = uid

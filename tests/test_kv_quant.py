@@ -30,9 +30,14 @@ def test_quantize_roundtrip_props():
     xd = q8.astype(jnp.float32) * s[..., None]
     # absmax scaling: error bounded by scale/2 per element
     assert float(jnp.max(jnp.abs(xd - x) - s[..., None] / 2)) <= 1e-6
-    # re-quantizing dequantized values is a fixed point (bit-identical ints)
+    # re-quantizing dequantized values reproduces the ints bit-identically;
+    # scales only to 1 ulp (fl(fl(127*s)/127) != s for ~0.8% of f32 values —
+    # which is why pre-quantized rows must pass through verbatim rather than
+    # round-trip, see serve/server._insert_paged + ops/pallas_paged)
     q2, s2 = qk.quantize(xd)
-    assert bool(jnp.all(q2 == q8)) and bool(jnp.all(s2 == s))
+    assert bool(jnp.all(q2 == q8))
+    ulp = jnp.spacing(s.astype(jnp.float32))
+    assert float(jnp.max(jnp.abs(s2 - s))) <= float(jnp.max(ulp))
     # zero rows stay zero with scale 1 (no NaN/inf)
     qz, sz = qk.quantize(jnp.zeros((4, 8)))
     assert bool(jnp.all(qz == 0)) and bool(jnp.all(sz == 1.0))
@@ -243,19 +248,24 @@ def test_paged_elastic_int8_hibernation_exact():
     still finish token-identical to the dense int8 engine."""
     from longspec_tpu.serve import SpecServer
     cfg, dense, paged = _paged_int8_engines()
-    # tiny pool forces preemption pressure (mirrors test_elastic patterns)
-    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=32, kv="paged",
-                     prefill_buckets=(32,), state_dtype=jnp.float32,
-                     paging="elastic", pool_pages=10)
+    # same pressure geometry as test_elastic_preempts_and_stays_token_exact:
+    # two growing 10+40-token requests cannot coexist in a 7-page pool, so
+    # the younger MUST hibernate (asserted below — this gate is only real if
+    # the int8 save/restore path actually runs)
+    srv = SpecServer(paged, n_slots=2, s_max=96, max_new_cap=64, kv="paged",
+                     prefill_buckets=(16,), state_dtype=jnp.float32,
+                     paging="elastic", pool_pages=7)
     rng = np.random.default_rng(23)
-    prompts = [rng.integers(2, cfg.vocab_size, (l,)).tolist()
-               for l in (13, 11, 9, 15)]
-    uids = [srv.submit(p, 12) for p in prompts]
-    comps = {c.uid: c for c in srv.run(rounds_per_step=3)}
+    prompts = [rng.integers(2, cfg.vocab_size, (10,)).tolist()
+               for _ in range(3)]
+    max_new = 40
+    uids = [srv.submit(p, max_new) for p in prompts]
+    comps = {c.uid: c for c in srv.run(rounds_per_step=4)}
     assert sorted(comps) == sorted(uids)
+    assert srv.preemptions >= 1, srv.stats()
     from tests.test_paged import _standalone
     for uid, p in zip(uids, prompts):
-        assert comps[uid].tokens == _standalone(dense, p, 12), uid
+        assert comps[uid].tokens == _standalone(dense, p, max_new), uid
 
 
 def test_prefix_cache_disabled_under_int8():
@@ -284,3 +294,31 @@ def test_sp_gates_kv_quant():
     eng.ecfg = dataclasses.replace(eng.ecfg, attn_impl="sp")
     with pytest.raises(NotImplementedError, match="kv_quant"):
         eng.init_state(1, 32)
+
+
+def test_bench_divergence_forensics_respects_engine_law():
+    """bench._dissect_divergence replays the divergent position under the
+    ENGINE's decode law (kv_quant cache + attn_impl), via a real append
+    step — not a fixed bf16/chunked prefill. Exercise both cache laws and
+    both branch arms (i=0 prefill, i>0 append)."""
+    import bench
+
+    for quant in ("none", "int8"):
+        eng, cfg = build_engine(attn_impl="chunked")
+        if quant == "none":
+            eng.ecfg = dataclasses.replace(eng.ecfg, kv_quant="none")
+        prompt = np.asarray(
+            [np.random.default_rng(31).integers(2, cfg.vocab_size, (9,))])
+        lens = np.asarray([9], np.int32)
+        van = {"output_ids": np.asarray([[5, 7, 9, 11]], np.int32)}
+        tree = {"output_ids": np.asarray([[5, 7, 8, 11]], np.int32)}
+        out = bench._dissect_divergence(eng, prompt, lens, van, tree, 4)
+        assert out["first_div_pos"] == 2
+        assert out["first_div_tokens"] == [9, 8]
+        assert np.isfinite(out["first_div_margin"])
+        assert out["first_div_margin"] >= 0
+        # i=0 arm: divergence at the prefill-sampled token
+        tree0 = {"output_ids": np.asarray([[6, 7, 9, 11]], np.int32)}
+        out0 = bench._dissect_divergence(eng, prompt, lens, van, tree0, 4)
+        assert out0["first_div_pos"] == 0
+        assert np.isfinite(out0["first_div_margin"])

@@ -60,7 +60,10 @@ def test_flash_decode_window_anchors():
     q, k, v = mk(b, t, h, hkv, d, s, seed=3)
     q_pos = jnp.asarray([[300 + i for i in range(t)]], jnp.int32)
     k_hi = jnp.full((b, t), 300, jnp.int32)
-    for window, anchors in [(64, 0), (64, 4), (16, 2)]:
+    # anchors=160 > chunk=128: anchor sinks span TWO chunks, both of which
+    # must stay live in the window chunk-skip (regression: only chunk 0 was
+    # revived, silently dropping anchor keys 128..159)
+    for window, anchors in [(64, 0), (64, 4), (16, 2), (32, 160)]:
         o_ref, lse_ref = sliced_prefix_attention(q, k, v, k_hi, q_pos, window,
                                                  anchors, "dense")
         o, lse = flash_decode(q, k, v, k_hi, q_pos, window, anchors, chunk=128)
