@@ -108,6 +108,14 @@ def get_args(argv=None):
                         "halves decode HBM reads and doubles context per "
                         "chip; spec output stays token-exact vs vanilla on "
                         "the same cache")
+    p.add_argument("--target-quant", default="none",
+                   choices=["none", "int8"],
+                   help="target WEIGHT storage (ops/quantparams.py): int8 "
+                        "layer kernels halve the weight HBM read that "
+                        "dominates vanilla decode (W8A16). A quantized "
+                        "target is a (slightly) different model function; "
+                        "spec-vs-vanilla exactness holds on the same "
+                        "quantized weights")
     p.add_argument("--batch", default=1, type=int)
     p.add_argument("--out-dir", default="longbench_results")
     return p.parse_args(argv)
@@ -124,6 +132,9 @@ def load_engine(args):
 
     tokenizer = AutoTokenizer.from_pretrained(args.target_path)
     cfg, params = load_hf_checkpoint(args.target_path, jnp.bfloat16)
+    if getattr(args, "target_quant", "none") == "int8":
+        from ..ops.quantparams import quantize_target_params
+        params = quantize_target_params(params)
     if args.rope_scaling:
         import dataclasses
         from ..config import RopeScaling

@@ -47,6 +47,12 @@ def main(argv=None):
     else:
         cfg = ModelConfig(**exp["model"])
         target_params = M.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if exp.get("target_quant") == "int8":
+        # kbit-style frozen-base training (ref train/models/mixin.py:34-120,
+        # prepare_model_for_kbit_training): layer kernels live int8 in HBM,
+        # dequantized one layer at a time inside the teacher forward
+        from ..ops.quantparams import quantize_target_params
+        target_params = quantize_target_params(target_params)
     dcfg = DraftConfig(**exp.get("draft", {}))
     if exp.get("draft_path"):
         from ..train.checkpoint import load_draft

@@ -344,11 +344,6 @@ class SpecEngine:
         return 1
 
     def init_state(self, batch: int, s_max: int, dtype=jnp.bfloat16) -> DecodeState:
-        if self.ecfg.kv_quant == "int8" and self.ecfg.attn_impl == "sp":
-            raise NotImplementedError(
-                "kv_quant='int8' covers the dense/chunked/pallas/paged "
-                "cache layouts; the sequence-sharded (sp) layout keeps "
-                "bf16 rows")
         n_sp = self._sp_n
         s_max = -(-s_max // n_sp) * n_sp  # sp shards need equal slices
         if self.ecfg.kv_quant == "int8":

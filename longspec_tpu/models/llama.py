@@ -90,18 +90,29 @@ def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (normed.astype(x.dtype) * w.astype(x.dtype))
 
 
+def _w(w, like=None):
+    """Point-of-use dequant for int8 frozen weights (ops/quantparams.py):
+    a QuantParam kernel becomes a transient bf16 (or `like`-dtype) tensor
+    right before its matmul — inside the layer scan only one layer's
+    kernels are ever live in full precision."""
+    from ..ops.quantparams import QuantParam, dequant_param
+    if isinstance(w, QuantParam):
+        return dequant_param(w, like.dtype if like is not None else jnp.bfloat16)
+    return w
+
+
 def mlp(x, lp):
-    g = jnp.dot(x, lp["w_gate"])
-    u = jnp.dot(x, lp["w_up"])
-    return jnp.dot(jax.nn.silu(g) * u, lp["w_down"])
+    g = jnp.dot(x, _w(lp["w_gate"], x))
+    u = jnp.dot(x, _w(lp["w_up"], x))
+    return jnp.dot(jax.nn.silu(g) * u, _w(lp["w_down"], x))
 
 
 def qkv(x, lp, cfg: ModelConfig):
     b, t, _ = x.shape
     hd = cfg.head_dim_
-    q = jnp.dot(x, lp["wq"])
-    k = jnp.dot(x, lp["wk"])
-    v = jnp.dot(x, lp["wv"])
+    q = jnp.dot(x, _w(lp["wq"], x))
+    k = jnp.dot(x, _w(lp["wk"], x))
+    v = jnp.dot(x, _w(lp["wv"], x))
     if cfg.attention_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -171,8 +182,12 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
         return flash_prefill(q, k, v, lengths, window=window, anchors=anchors)
     if attn_impl == "sp":
         # sequence-parallel ring prefill: Q and KV sharded over the sequence
-        # axis of attn_impl.mesh; KV blocks rotate via ppermute
+        # axis of attn_impl.mesh; KV blocks rotate via ppermute. A QuantKV
+        # here is the draft CA reading the int8 target cache at prefill —
+        # dequantize (sharded slices stay sharded; one-time prefill cost)
         from ..parallel.ring import ring_flash_prefill
+        if isinstance(k, qkv8.QuantKV):
+            k, v = qkv8.dequant(k), qkv8.dequant(v)
         assert k.shape[2] == s, (k.shape, s)
         return ring_flash_prefill(attn_impl.mesh, q, k.transpose(0, 2, 1, 3),
                                   v.transpose(0, 2, 1, 3), lengths,
@@ -404,7 +419,7 @@ def paged_prefill_extend(params, cfg: ModelConfig, tokens: jnp.ndarray,
         ck = write_paged_rows(ck, k, tables, s0)
         cv = write_paged_rows(cv, v, tables, s0)
         o, _ = paged_causal_attention(q, ck, cv, tables, positions)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
+        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), _w(lp["wo"], h))
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
@@ -439,7 +454,7 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
         vt = v.transpose(0, 2, 1, 3)
         o, _ = causal_self_attention(q, kt, vt, lengths, cfg.sliding_window,
                                      cfg.attn_sinks, attn_impl)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
+        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), _w(lp["wo"], h))
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
@@ -522,7 +537,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             k_s, v_s = k, v
         o_s, lse_s = att.attend_masked(q, k_s, v_s, suffix_mask)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
+        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), _w(lp["wo"], h))
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
@@ -572,7 +587,7 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
                                      v.transpose(0, 2, 1, 3), lengths,
                                      cfg.sliding_window, cfg.attn_sinks,
                                      attn_impl)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
+        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), _w(lp["wo"], h))
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)

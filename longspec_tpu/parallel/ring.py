@@ -59,35 +59,64 @@ class SPAttn(str):
         return self
 
 
-def sp_write_cache_rows(mesh: Mesh, cache: jnp.ndarray, new: jnp.ndarray,
+def sp_write_cache_rows(mesh: Mesh, cache, new: jnp.ndarray,
                         starts: jnp.ndarray, axis_name: str = "sp"):
     """Write T new rows per batch at dynamic offsets into a SEQUENCE-SHARDED
     KV cache — the SP form of `models.llama.write_cache_rows`.
 
     cache: [B, Hkv, S, D] (or [L, B, Hkv, S, D]) sharded on S over
-    `axis_name`; new: [B, T, Hkv, D] (resp. [L, B, T, Hkv, D]) replicated;
-    starts: [B]. Each shard scatters only the rows that land in its slice
-    (out-of-slice indices drop), so the write is local — no collective, no
-    gather of the cache.
+    `axis_name` — or a `QuantKV` of the same geometry (int8 rows + per-row
+    scales [.., Hkv, S], both sequence-sharded; rows are quantized on write,
+    ops/quantkv.py rule 1); new: [B, T, Hkv, D] (resp. [L, B, T, Hkv, D])
+    replicated; starts: [B]. Each shard scatters only the rows that land in
+    its slice (out-of-slice indices drop), so the write is local — no
+    collective, no gather of the cache.
     """
-    rank5 = cache.ndim == 5
+    from ..ops.quantkv import QuantKV, quantize
+    quant = isinstance(cache, QuantKV)
+    rank5 = (cache.qv if quant else cache).ndim == 5
     t = new.shape[2 if rank5 else 1]
 
-    def f(c_loc, new, starts):
-        s_loc = c_loc.shape[-2]
+    def local_idx(s_loc, starts):
         off = jax.lax.axis_index(axis_name) * s_loc
         li = starts[:, None] + jnp.arange(t)[None, :] - off       # [B, T]
         # negative local indices would wrap; remap to an always-OOB positive
-        li = jnp.where(li < 0, s_loc, li)
+        return jnp.where(li < 0, s_loc, li)
 
+    def scatter(c_loc, nt, li):
+        # nt rows laid out [.., Hkv, T, ...] matching c_loc [.., Hkv, s_loc, ...]
         def one(c_b, n_b, li_b):
-            # c_b [Hkv, s_loc, D]; n_b [Hkv, T, D]; li_b [T]
-            return c_b.at[:, li_b, :].set(n_b.astype(c_b.dtype), mode="drop")
+            return c_b.at[(slice(None), li_b) + (slice(None),) * (c_b.ndim - 2)
+                          ].set(n_b.astype(c_b.dtype), mode="drop")
 
+        if rank5:   # leading layer axis, then batch
+            return jax.vmap(jax.vmap(one), in_axes=(0, 0, None))(c_loc, nt, li)
+        return jax.vmap(one)(c_loc, nt, li)
+
+    if quant:
+        def f(qv_loc, sc_loc, new, starts):
+            li = local_idx(qv_loc.shape[-2], starts)
+            q8, sc = quantize(new)                    # [.., T, Hkv, D] / [.., T, Hkv]
+            q8t = jnp.swapaxes(q8, -3, -2)            # [.., Hkv, T, D]
+            sct = jnp.swapaxes(sc, -1, -2)            # [.., Hkv, T]
+            return scatter(qv_loc, q8t, li), scatter(sc_loc, sct, li)
+
+        qv_spec = (P(None, None, None, axis_name, None) if rank5
+                   else P(None, None, axis_name, None))
+        sc_spec = (P(None, None, None, axis_name) if rank5
+                   else P(None, None, axis_name))
+        qv, sc = shard_map(
+            f, mesh=mesh,
+            in_specs=(qv_spec, sc_spec, P(None), P(None)),
+            out_specs=(qv_spec, sc_spec),
+            check_vma=False,
+        )(cache.qv, cache.scale, new, starts)
+        return QuantKV(qv, sc)
+
+    def f(c_loc, new, starts):
+        li = local_idx(c_loc.shape[-2], starts)
         nt = jnp.swapaxes(new, -3, -2)                # [.., Hkv, T, D]
-        if c_loc.ndim == 4:
-            return jax.vmap(one)(c_loc, nt, li)
-        return jax.vmap(jax.vmap(one), in_axes=(0, 0, None))(c_loc, nt, li)
+        return scatter(c_loc, nt, li)
 
     seq_spec = (P(None, None, None, axis_name, None) if rank5
                 else P(None, None, axis_name, None))
@@ -194,17 +223,19 @@ def ring_flash_prefill(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
     )(q, k, v, lengths)
 
 
-def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache: jnp.ndarray,
-                    v_cache: jnp.ndarray, k_hi: jnp.ndarray,
+def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache, v_cache,
+                    k_hi: jnp.ndarray,
                     q_pos: jnp.ndarray, window: Optional[int] = None,
                     anchors: int = 0, axis_name: str = "sp"):
     """Decode/verify attention over a SEQUENCE-SHARDED KV cache, exact.
 
     q: [B, Tq, H, D] replicated; k_cache/v_cache: [B, Hkv, S, D] sharded
-    P(None, None, sp); k_hi: [B] or [B, Tq] global exclusive bounds;
-    q_pos: [B, Tq] global query positions (for the sliding window).
-    Returns (o [B,Tq,H,D] fp32, lse [B,Tq,H] fp32) — identical to
-    `sliced_prefix_attention` over the unsharded cache.
+    P(None, None, sp) — or `QuantKV`s of that geometry (int8 rows + scales
+    [B, Hkv, S], both sequence-sharded; each shard dequantizes only its own
+    slice, so the HBM read stays halved); k_hi: [B] or [B, Tq] global
+    exclusive bounds; q_pos: [B, Tq] global query positions (for the
+    sliding window). Returns (o [B,Tq,H,D] fp32, lse [B,Tq,H] fp32) —
+    identical to `sliced_prefix_attention` over the unsharded cache.
 
     Each shard computes its slice's (o_i, lse_i); the global softmax is
     o = sum_i o_i * exp(lse_i - LSE) with LSE = logsumexp_i lse_i,
@@ -212,11 +243,15 @@ def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache: jnp.ndarray,
     the same exact-merge law as the single-chip prefix+suffix combiner
     (`ops/attention.py:69-81`), applied across the ICI.
     """
+    from ..ops.quantkv import QuantKV, dequant
+    quant = isinstance(k_cache, QuantKV)
     b, tq, h, d = q.shape
     if k_hi.ndim == 1:
         k_hi = jnp.broadcast_to(k_hi[:, None], (b, tq))
 
     def f(q, k_loc, v_loc, k_hi, q_pos):
+        if quant:
+            k_loc, v_loc = dequant(k_loc), dequant(v_loc)
         hkv, s_loc = k_loc.shape[1], k_loc.shape[2]
         groups = h // hkv
         shard = jax.lax.axis_index(axis_name)
@@ -242,10 +277,13 @@ def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache: jnp.ndarray,
         acc_glob = jax.lax.psum(acc_f * w[..., None], axis_name)
         return _finish(m_glob, l_glob, acc_glob, b, h, tq, d)
 
+    kv_spec = P(None, None, axis_name)
+    if quant:
+        # QuantKV-of-specs: int8 rows and [B, Hkv, S] scales both shard on S
+        kv_spec = QuantKV(P(None, None, axis_name), P(None, None, axis_name))
     return shard_map(
         f, mesh=mesh,
-        in_specs=(P(None), P(None, None, axis_name), P(None, None, axis_name),
-                  P(None), P(None)),
+        in_specs=(P(None), kv_spec, kv_spec, P(None), P(None)),
         out_specs=(P(None), P(None)),
         check_vma=False,
     )(q, k_cache, v_cache, k_hi, q_pos)

@@ -108,10 +108,23 @@ def state_pspecs(sp: bool = False, ring: bool = False,
 
 
 def shard_tree(tree, pspecs, mesh: Mesh):
-    """Device_put a pytree with matching PartitionSpecs."""
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, pspecs,
-        is_leaf=lambda x: not isinstance(x, dict))
+    """Device_put a pytree with matching PartitionSpecs.
+
+    int8-quantized kernels (`ops.quantparams.QuantParam`) shard like their
+    bf16 counterparts: the [.., In, Out] spec applies to the int8 rows and
+    its In axis is dropped for the [.., Out] per-channel scales."""
+    from ..ops.quantparams import QuantParam
+
+    def put(x, s):
+        if isinstance(x, QuantParam):
+            sc_spec = P(*(s[:-2] + (s[-1],)))
+            return QuantParam(
+                jax.device_put(x.qv, NamedSharding(mesh, s)),
+                jax.device_put(x.scale, NamedSharding(mesh, sc_spec)))
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, tree, pspecs,
+                        is_leaf=lambda x: not isinstance(x, dict))
 
 
 def ns(mesh: Mesh, pspecs):

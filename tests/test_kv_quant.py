@@ -288,12 +288,9 @@ def test_prefix_cache_disabled_under_int8():
     assert comps[u1].tokens == want and comps[u2].tokens == want
 
 
-def test_sp_gates_kv_quant():
-    # the sp cache layout keeps bf16 rows: rejected at state construction
-    eng, _ = build_engine(attn_impl="chunked")
-    eng.ecfg = dataclasses.replace(eng.ecfg, attn_impl="sp")
-    with pytest.raises(NotImplementedError, match="kv_quant"):
-        eng.init_state(1, 32)
+# int8 + sequence-parallel composition is covered on the virtual 8-device
+# mesh in tests/test_sp.py (test_sp_int8_primitives_match_dense,
+# test_sp_int8_tree_spec_lossless).
 
 
 def test_bench_divergence_forensics_respects_engine_law():

@@ -184,3 +184,69 @@ def test_sp_draft_training_grads_match(sp_setup):
     fs, _ = jax.flatten_util.ravel_pytree(g_s)
     err = float(jnp.max(jnp.abs(fd - fs)) / (1e-8 + jnp.max(jnp.abs(fd))))
     assert err < 1e-3, err
+
+
+def test_sp_int8_primitives_match_dense(sp_setup):
+    """QuantKV over the sequence-sharded layout: sp_write_cache_rows
+    quantizes rows into sharded int8+scale pools identically to the dense
+    int8 write, and sp_flash_decode over the sharded QuantKV equals the
+    dense oracle on the dequantized cache."""
+    from longspec_tpu.models.llama import (write_cache_rows,
+                                           sliced_prefix_attention)
+    from longspec_tpu.parallel.ring import sp_write_cache_rows, sp_flash_decode
+    from longspec_tpu.ops.quantkv import QuantKV, alloc_quant_kv, dequant
+    mesh, *_ = sp_setup
+    rng = np.random.default_rng(6)
+    B, Hkv, S, D, T, H = 2, 2, 64, 16, 5, 4
+    cache = alloc_quant_kv((B, Hkv, S, D))
+    new = jnp.asarray(rng.normal(size=(B, T, Hkv, D)).astype(np.float32))
+    starts = jnp.asarray([0, 40], jnp.int32)
+    ref = write_cache_rows(alloc_quant_kv((B, Hkv, S, D)), new, starts)
+    got = sp_write_cache_rows(mesh, cache, new, starts)
+    np.testing.assert_array_equal(np.asarray(got.qv), np.asarray(ref.qv))
+    np.testing.assert_array_equal(np.asarray(got.scale), np.asarray(ref.scale))
+
+    # fill more rows, then decode-attend over the sharded quantized cache
+    full = jnp.asarray(rng.normal(size=(B, 48, Hkv, D)).astype(np.float32))
+    cache = sp_write_cache_rows(mesh, got, full, jnp.zeros((B,), jnp.int32))
+    q = jnp.asarray(rng.normal(size=(B, 3, H, D)).astype(np.float32))
+    k_hi = jnp.asarray([45, 33], jnp.int32)
+    q_pos = k_hi[:, None] + jnp.arange(3)[None, :]
+    o_ref, lse_ref = sliced_prefix_attention(
+        q, cache, cache, k_hi, q_pos, None, 0, "dense")
+    o, lse = sp_flash_decode(mesh, q, cache, cache, k_hi, q_pos)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref),
+                               rtol=2e-5, atol=2e-5)
+    # windowed + anchors variant
+    o_refw, _ = sliced_prefix_attention(
+        q, cache, cache, k_hi, q_pos, 16, 2, "dense")
+    ow, _ = sp_flash_decode(mesh, q, cache, cache, k_hi, q_pos, 16, 2)
+    np.testing.assert_allclose(np.asarray(ow), np.asarray(o_refw),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sp_int8_tree_spec_lossless(sp_setup):
+    """int8 KV composes with the sequence-sharded layout: the whole tree
+    engine runs over a sharded QuantKV cache (each shard dequantizes only
+    its slice) and stays token-exact vs SP vanilla on the same cache."""
+    from longspec_tpu.engine.engine import SpecEngine
+    mesh, cfg, dcfg, params, dparams = sp_setup
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, attn_impl="sp",
+                        kv_quant="int8")
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg, mesh=mesh)
+    B = 2
+    prompts = np.random.default_rng(8).integers(2, cfg.vocab_size, (B, 24))
+    lens = np.full((B,), 24, np.int32)
+    with mesh:
+        st = eng.init_state(B, 64, jnp.float32)
+        from longspec_tpu.ops.quantkv import QuantKV
+        assert isinstance(st.kv_k, QuantKV)
+        van = eng.vanilla_generate(prompts, lens, max_gen_len=16,
+                                   state_dtype=jnp.float32)
+        tree = eng.tree_spec_generate(prompts, lens, max_gen_len=16,
+                                      state_dtype=jnp.float32)
+    n = 14
+    assert np.array_equal(van["output_ids"][:, :n], tree["output_ids"][:, :n]), \
+        (van["output_ids"][:, :n], tree["output_ids"][:, :n])
