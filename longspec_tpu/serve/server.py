@@ -205,15 +205,13 @@ class SpecServer:
         import functools
         return functools.partial(self.engine._spec_segment, self._round_fn)
 
-    def _insert(self, carry: GenCarry, pst: DecodeState, t0, slot, max_new,
-                temp, logits0, rng):
-        """Scatter a batch-1 prefill into slot `slot` of the live carry."""
-        if not hasattr(self, "_insert_jit"):
-            eos = self.cfg.eos_token_id
-            per_row = self.engine.ecfg.per_row_temperature
-            from ..engine.engine import _sample_rows
+    def _insert_body(self):
+        """Pure insert logic (slots mode), shared by the fused admission."""
+        eos = self.cfg.eos_token_id
+        per_row = self.engine.ecfg.per_row_temperature
+        from ..engine.engine import _sample_rows
 
-            def impl(carry, pst, t0, slot, max_new, temp, logits0, rng):
+        def impl(carry, pst, t0, slot, max_new, temp, logits0, rng):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
 
@@ -263,26 +261,19 @@ class SpecServer:
                     **kw,
                 )
 
-            self._insert_jit = jax.jit(impl, donate_argnums=(0,))
-        return self._insert_jit(carry, pst, t0, jnp.int32(slot),
-                                jnp.int32(max_new), jnp.float32(temp),
-                                logits0, rng)
+        return impl
 
-    def _insert_paged(self, carry: GenCarry, pst: DecodeState, t0, slot,
-                      max_new, trow: np.ndarray, bucket: int, temp, logits0,
-                      rng):
-        """Paged admission: scatter the dense batch-1 prefill's first
-        `bucket` KV rows into the pools through this request's page table.
-        Rows past the allocation land in the scratch page (trow padding)."""
-        if not hasattr(self, "_insert_paged_jit"):
-            self._insert_paged_jit = {}
-        if bucket not in self._insert_paged_jit:
-            eos = self.cfg.eos_token_id
-            per_row = self.engine.ecfg.per_row_temperature
-            from ..ops.pallas_paged import write_paged_rows
-            from ..engine.engine import _sample_rows
+    def _insert_paged_body(self, bucket: int):
+        """Pure insert logic (paged mode): scatter the dense batch-1
+        prefill's first `bucket` KV rows into the pools through this
+        request's page table. Rows past the allocation land in the scratch
+        page (trow padding)."""
+        eos = self.cfg.eos_token_id
+        per_row = self.engine.ecfg.per_row_temperature
+        from ..ops.pallas_paged import write_paged_rows
+        from ..engine.engine import _sample_rows
 
-            def impl(carry, pst, t0, slot, max_new, trow, temp, logits0, rng):
+        def impl(carry, pst, t0, slot, max_new, trow, temp, logits0, rng):
                 st = carry.state
                 upd = jax.lax.dynamic_update_index_in_dim
                 from ..ops.quantkv import QuantKV
@@ -337,10 +328,51 @@ class SpecServer:
                     **kw,
                 )
 
-            self._insert_paged_jit[bucket] = jax.jit(impl, donate_argnums=(0,))
-        return self._insert_paged_jit[bucket](
-            carry, pst, t0, jnp.int32(slot), jnp.int32(max_new),
-            jnp.asarray(trow, jnp.int32), jnp.float32(temp), logits0, rng)
+        return impl
+
+    def _admit_fused(self, carry: GenCarry, padded: np.ndarray, l: int,
+                     slot: int, max_new: int, temp: float, uid: int,
+                     trow=None):
+        """One-dispatch admission: zero the persistent batch-1 prefill
+        buffers, run the target+draft prefill, and scatter the result into
+        `slot` — all inside a single jitted call (per prefill bucket). The
+        unfused path was 3 dispatches (zero / prefill / insert); each
+        dispatch costs real wall time on a remote-TPU tunnel, and admission
+        happens on the serving latency path."""
+        eng = self.engine
+        if not hasattr(self, "_pstate"):
+            self._pstate = eng.init_state(1, self.s_max, self.state_dtype)
+            self._admit_jit = {}
+        bucket = padded.shape[1]
+        paged = trow is not None
+        key = (bucket, paged)
+        if key not in self._admit_jit:
+            ins = (self._insert_paged_body(bucket) if paged
+                   else self._insert_body())
+
+            def impl(params, dparams, carry, pstate, tokens, length, slot,
+                     max_new, temp, rng, *t_args):
+                pstate = jax.tree_util.tree_map(jnp.zeros_like, pstate)
+                pst, t0, logits0 = eng._prefill_impl(
+                    params, dparams, tokens, length, pstate, rng)
+                k_ins = jax.random.fold_in(rng, 1)
+                if paged:
+                    carry = ins(carry, pst, t0, slot, max_new, t_args[0],
+                                temp, logits0, k_ins)
+                else:
+                    carry = ins(carry, pst, t0, slot, max_new, temp,
+                                logits0, k_ins)
+                return carry, pst
+
+            self._admit_jit[key] = jax.jit(impl, donate_argnums=(2, 3))
+        rng = jax.random.fold_in(jax.random.PRNGKey(17), uid)
+        t_args = (jnp.asarray(trow, jnp.int32),) if paged else ()
+        carry, self._pstate = self._admit_jit[key](
+            eng.params, eng.draft_params, carry, self._pstate,
+            jnp.asarray(padded), jnp.asarray([l], jnp.int32),
+            jnp.int32(slot), jnp.int32(max_new), jnp.float32(temp),
+            rng, *t_args)
+        return carry
 
     def _req_temp(self, req: Request) -> float:
         t = req.temperature
@@ -681,8 +713,8 @@ class SpecServer:
         return len(self._queue)
 
     def _admit(self):
-        """Fill free slots from the queue (prefill + insert per request)."""
-        eng = self.engine
+        """Fill free slots from the queue (one fused prefill+insert
+        dispatch per admitted request)."""
         for slot in range(self.n_slots):
             if self._slot_uid[slot] is not None or not self._queue:
                 continue
@@ -753,50 +785,53 @@ class SpecServer:
             bucket = min(bucket, self.s_max)
             padded = np.zeros((1, bucket), np.int32)
             padded[0, :l] = req.tokens
-            # one persistent batch-1 prefill state, zeroed per admission —
-            # admission allocates nothing after the first request
-            if not hasattr(self, "_pstate"):
-                self._pstate = eng.init_state(1, self.s_max, self.state_dtype)
-                self._pzero = jax.jit(
-                    lambda st: jax.tree_util.tree_map(
-                        lambda x: jnp.zeros_like(x), st),
-                    donate_argnums=(0,))
-            else:
-                self._pstate = self._pzero(self._pstate)
-            # donate the state: prefill writes into the persistent buffers
-            # instead of allocating a fresh full-size state per admission
-            prefill = eng._get_jit(("serve", "prefill"), eng._prefill_impl,
-                                   donate=(4,))
-            rng = jax.random.fold_in(jax.random.PRNGKey(17), uid)
-            self._pstate, t0, logits0 = prefill(eng.params, eng.draft_params,
-                                                jnp.asarray(padded),
-                                                jnp.asarray([l], jnp.int32),
-                                                self._pstate, rng)
             tval = self._req_temp(req)
-            k_ins = jax.random.fold_in(rng, 1)
             if self._pool is not None:
                 trow = self._pool.table(uid, self.n_chunks,
                                         pad=self._trash_page)
-                self._carry = self._insert_paged(self._carry, self._pstate,
-                                                 t0, slot, req.max_new_tokens,
-                                                 trow, bucket, tval, logits0,
-                                                 k_ins)
+                self._carry = self._admit_fused(self._carry, padded, l, slot,
+                                                req.max_new_tokens, tval, uid,
+                                                trow=trow)
                 if self._prefix_ok:
                     self._pool.register(uid, req.tokens)
             else:
-                self._carry = self._insert(self._carry, self._pstate, t0,
-                                           slot, req.max_new_tokens, tval,
-                                           logits0, k_ins)
+                self._carry = self._admit_fused(self._carry, padded, l, slot,
+                                                req.max_new_tokens, tval, uid)
             self._slot_uid[slot] = uid
             self._slot_max_new[slot] = req.max_new_tokens
             self._admit_seq += 1
             self._slot_admit_seq[slot] = self._admit_seq
 
+    def _finalize_slots(self, finish_mask: np.ndarray,
+                        retable_mask: np.ndarray):
+        """One dispatch finishing + (paged) scratch-retabling a set of
+        slots, instead of two dispatches per harvested slot."""
+        if not hasattr(self, "_finalize_jit"):
+            paged = self._pool is not None
+            trash = self._trash_page if paged else 0
+
+            def impl(c, fmask, rmask):
+                c = c._replace(done=c.done | fmask)
+                if paged:
+                    tables = jnp.where(rmask[:, None], jnp.int32(trash),
+                                       c.state.tables)
+                    c = c._replace(state=c.state._replace(tables=tables))
+                return c
+
+            self._finalize_jit = jax.jit(impl, donate_argnums=(0,))
+        return self._finalize_jit(self._carry, jnp.asarray(finish_mask),
+                                  jnp.asarray(retable_mask))
+
     def _harvest(self) -> List[Completion]:
         """Collect finished rows; free their slots."""
-        done = np.asarray(self._carry.done)
-        out_len = np.asarray(self._carry.out_len)
+        # ONE device->host readback for the whole batch (the tunnel charges
+        # per transfer), then one finalize dispatch for every freed slot
+        done, out_len, outs = jax.device_get(
+            (self._carry.done, self._carry.out_len, self._carry.output_ids))
         finished = []
+        finish_mask = np.zeros((self.n_slots,), bool)
+        retable_mask = np.zeros((self.n_slots,), bool)
+        freed_uids = []
         for slot in range(self.n_slots):
             uid = self._slot_uid[slot]
             if uid is None:
@@ -806,8 +841,8 @@ class SpecServer:
             if not (done[slot] or hit_budget):
                 continue
             if not done[slot]:
-                self._carry = self._finish_slot(self._carry, slot)
-            row = np.asarray(self._carry.output_ids[slot])[:n_emit]
+                finish_mask[slot] = True
+            row = outs[slot][:n_emit]
             stop_ids = (self.cfg.eos_token_id,
                         *self.cfg.extra_eos_token_ids)
             eos_pos = np.nonzero(np.isin(row, stop_ids))[0]
@@ -833,10 +868,14 @@ class SpecServer:
                 # pages are freed: done rows still scatter KV through their
                 # table every round (the jitted commit has no done mask), and
                 # a stale row would corrupt pages reallocated to another slot
-                self._carry = self._retable(slot, self._trash_page)
-                self._pool.free(uid)
+                retable_mask[slot] = True
+                freed_uids.append(uid)
             self.tokens_served += len(row)
             self.completions_served += 1
+        if finish_mask.any() or retable_mask.any():
+            self._carry = self._finalize_slots(finish_mask, retable_mask)
+        for uid in freed_uids:
+            self._pool.free(uid)
         return finished
 
     def cancel(self, uid: int) -> bool:
