@@ -189,6 +189,21 @@ DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
 
 
+def row_is_fresh(rpath, tpath, dpath, row):
+    """Was this cached row measured against THESE model files?
+
+    mtime ordering proves it, but a git checkout (environment resets keep
+    only committed files, so caches are restored from git) rewrites mtimes
+    in arbitrary order — fall back to the model-file byte sizes recorded at
+    measurement time (content proxy: a retrain rewrites the npz and its
+    size shifts)."""
+    if os.path.getmtime(rpath) >= max(os.path.getmtime(tpath),
+                                      os.path.getmtime(dpath)):
+        return True
+    return (row.get("_tsize") == os.path.getsize(tpath)
+            and row.get("_dsize") == os.path.getsize(dpath))
+
+
 def big_model_config():
     from longspec_tpu.config import ModelConfig
     return ModelConfig(**BIG_MODEL)
@@ -608,16 +623,16 @@ def main():
             tpath_c, dpath_c = row_cache_paths(name, cache_dir)
             if (not args.no_cache and not args.fresh_rows
                     and os.path.exists(rpath) and os.path.exists(tpath_c)
-                    and os.path.exists(dpath_c)
-                    and os.path.getmtime(rpath) >= max(
-                        os.path.getmtime(tpath_c), os.path.getmtime(dpath_c))):
+                    and os.path.exists(dpath_c)):
                 with open(rpath) as f:
                     row = json.load(f)
+                if not row_is_fresh(rpath, tpath_c, dpath_c, row):
+                    row = {}
                 # the headline (last) row must carry every extras field the
                 # summary reads — a stale cached row missing chain or T=1
                 # measurements is re-measured, not reused
-                if not last or ("chain_tok_s" in row
-                                and "t1_tree_tok_s" in row):
+                if row and (not last or ("chain_tok_s" in row
+                                         and "t1_tree_tok_s" in row)):
                     log(f"[{name}] reusing cached row result {row}")
                     rows.append(row)
                     continue
@@ -667,6 +682,10 @@ def main():
                               extras=last, eng_t1=eng_t1)
             row["attn"] = row_attn
             row["tree_shape"] = "x".join(map(str, row_tree))
+            # content proxy for staleness checks that survives git-checkout
+            # mtime scrambling (see the reuse branch above)
+            row["_tsize"] = os.path.getsize(tpath_c)
+            row["_dsize"] = os.path.getsize(dpath_c)
             rows.append(row)
             with open(rpath + ".tmp", "w") as f:
                 json.dump(row, f)

@@ -29,7 +29,12 @@ def main():
     ap.add_argument("--requests", type=int, default=12)
     ap.add_argument("--policy", default="sjf")
     ap.add_argument("--s-max", type=int, default=4096)
-    ap.add_argument("--max-new", type=int, default=128)
+    # default sized so decode compute dominates the per-dispatch tunnel
+    # overhead (admission + segment dispatches are ~fixed cost; at 128 new
+    # tokens the overhead was ~40% of the server arm's wall time)
+    ap.add_argument("--max-new", type=int, default=384)
+    ap.add_argument("--rounds", type=int, default=16,
+                    help="decode rounds per scheduler tick")
     ap.add_argument("--row", default="hard_8k")
     args = ap.parse_args()
 
@@ -88,7 +93,7 @@ def main():
         for p in prompts:
             srv.submit(p, max_new_tokens=args.max_new)
         t0 = time.perf_counter()
-        comps = srv.run(rounds_per_step=8)
+        comps = srv.run(rounds_per_step=args.rounds)
         return comps, time.perf_counter() - t0
 
     run_server()                          # warm pass (compiles)
