@@ -179,10 +179,14 @@ SPECS = {
     # sequential grid) and ties tree; at 32k the pallas kernel's chunk
     # skipping + VMEM streaming wins (tree 138 vs 123 tok/s) and a depth-6
     # tree adds accept ~0.55 nearly free (verify is bandwidth-bound).
+    # ckpt_every 250: a part-save drags the full 5GB param tree through the
+    # device->host tunnel (~250s measured); at seq-16384 step times that is
+    # ~40% overhead when saving every 100 steps, ~15% at 250
     "hard_32k": dict(lang="hard", n_states=256, seq=16384, ctx=32768,
                      target_steps=1100, distill_steps=400, lr=3e-3,
                      offset_cap=49152, distill_accum=4, window=12288,
-                     attn_best="pallas", tree_best="4,16,16,16,16,16"),
+                     attn_best="pallas", tree_best="4,16,16,16,16,16",
+                     ckpt_every=250),
 }
 
 DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -656,7 +660,8 @@ def main():
                 distill_steps=sp["distill_steps"], lr=sp["lr"], train_bsz=1,
                 attn=args.train_attn,
                 no_cache=args.no_cache, offset_cap=sp["offset_cap"],
-                distill_accum=sp["distill_accum"])
+                distill_accum=sp["distill_accum"],
+                ckpt_every=sp.get("ckpt_every", 100))
             # decode-time sliding windows (see SPECS notes): the IDENTICAL
             # model for vanilla and every speculative method
             cfg_d, dcfg_d = cfg, dcfg
