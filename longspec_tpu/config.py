@@ -165,6 +165,21 @@ class EngineConfig:
     # differ from kv_quant="none" the way any serving-side KV quantization
     # does. Draft cache and training are untouched.
     kv_quant: str = "none"  # "none" | "int8"
+    # TARGET residual-stream precision for decode/verify forwards. "fp32"
+    # (default) runs the hidden states of every decode-loop target forward
+    # (vanilla step, chain/magicdec verify, tree verify) in fp32 with bf16
+    # matmul inputs and fp32 accumulation — same HBM weight bytes, full-rate
+    # MXU, negligible extra elementwise work at decode query counts (<= tree
+    # size). Why: the T=1 vanilla step and the T=N verify step are different
+    # XLA programs whose attention reductions split differently; with a bf16
+    # residual stream their outputs differ by ~bf16 eps (~4e-3 relative),
+    # enough to flip greedy argmax ties on near-converged logit margins and
+    # break the T=0 losslessness gate (round-2 hard_8k row). With the fp32
+    # stream the inter-law noise drops ~3 orders of magnitude below any
+    # realistic top-2 margin. "native" keeps the parameter dtype end to end.
+    # Prefill always runs native: both loops share one prefill program, so
+    # its rounding is common-mode and cannot flip a comparison.
+    decode_dtype: str = "fp32"  # "fp32" | "native"
     # Beam top-k over the draft scoring logits at T=0. "approx" uses the
     # TPU-native approx_max_k (recall ~0.95, several x faster than the exact
     # sort-based TopK over V=32k+). Losslessness is structural either way —
@@ -187,6 +202,9 @@ class EngineConfig:
         if self.beam_topk not in ("exact", "approx"):
             raise ValueError(f"beam_topk must be exact|approx, "
                              f"got {self.beam_topk!r}")
+        if self.decode_dtype not in ("fp32", "native"):
+            raise ValueError(f"decode_dtype must be fp32|native, "
+                             f"got {self.decode_dtype!r}")
 
     @property
     def tree_size(self) -> int:

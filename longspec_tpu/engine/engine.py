@@ -271,6 +271,10 @@ class SpecEngine:
         # bytes per tree level). Prefill and training keep the bf16 params;
         # q only shapes proposals so T=0 losslessness is structural and at
         # T>0 sampling and verification share the same quantized q.
+        # decode/verify residual-stream precision (config.py decode_dtype):
+        # fp32 islands so vanilla-vs-verify reduction-order noise cannot
+        # flip greedy argmax ties (the round-2 losslessness postmortem)
+        self._cdt = (jnp.float32 if ecfg.decode_dtype == "fp32" else None)
         self._decode_draft_params = draft_params
         if ecfg.draft_compute in ("int8", "int4"):
             bits = 8 if ecfg.draft_compute == "int8" else 4
@@ -456,7 +460,7 @@ class SpecEngine:
             h, kv_k, kv_v = M.forward_append(
                 params, cfg, cur[:, None], pos, smask, st.cache_lens,
                 st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl,
-                tables=st.tables)
+                tables=st.tables, compute_dtype=self._cdt)
             logits = M.logits_at(params, h[:, 0])
             nxt = _sample(logits, k1, self.ecfg.temperature)
             nxt = jnp.where(done, cfg.eos_token_id, nxt)
@@ -551,7 +555,8 @@ class SpecEngine:
         cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
         hv, kv_k, kv_v = M.forward_append(
             params, cfg, spec, pos_t, cmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables)
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
+            compute_dtype=self._cdt)
         ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
         if per_row:
             emit, correct_len, rng = _chain_accept_rows(
@@ -666,7 +671,7 @@ class SpecEngine:
         h, d_kv_k, d_kv_v = M.forward_append(
             params, cfg_s, carry.acc_tokens, pos, cmaskA, st.d_cache_lens,
             st.d_kv_k, st.d_kv_v, attn_impl=ecfg.attn_impl,
-            write_at=st.d_cache_lens)
+            write_at=st.d_cache_lens, compute_dtype=self._cdt)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
         logits = M.logits_at(params, bonus_h)
@@ -687,7 +692,8 @@ class SpecEngine:
         for s_i in range(1, gamma):
             hi, dkk, dkv = M.forward_append(
                 params, cfg_s, cur[:, None], pos_cur[:, None], smask1, dcl,
-                dkk, dkv, attn_impl=ecfg.attn_impl, write_at=dcl)
+                dkk, dkv, attn_impl=ecfg.attn_impl, write_at=dcl,
+                compute_dtype=self._cdt)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             pos_cur = pos_cur + 1
             li = M.logits_at(params, hi[:, 0])
@@ -701,7 +707,8 @@ class SpecEngine:
         cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
         hv, kv_k, kv_v = M.forward_append(
             params, cfg, spec, pos_t, cmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables)
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
+            compute_dtype=self._cdt)
         ver_logits = M.logits_at(params, hv)
         emit, correct_len, rng = _chain_accept(spec, spec_logits, ver_logits,
                                                ecfg.temperature, rng)
@@ -911,7 +918,7 @@ class SpecEngine:
         hv, _, _, new_k, new_v = M.forward_append(
             params, cfg, tree_tokens, pos_t, tmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
-            tables=st.tables)
+            tables=st.tables, compute_dtype=self._cdt)
         tgt_logits = M.logits_at(params, hv)  # [B, N, V] fp32
 
         # ---- 4. accept ----

@@ -101,18 +101,43 @@ def _w(w, like=None):
     return w
 
 
+def _mm(x, w):
+    """``x @ w`` for the residual stream, fp32-island aware.
+
+    When the activations run in fp32 over bf16 (or int8-quantized) weights —
+    the decode/verify law under ``EngineConfig.decode_dtype="fp32"`` — the
+    matmul INPUTS are cast to bf16 (full-rate MXU, same HBM bytes) while the
+    product accumulates and returns in fp32, so the residual stream never
+    re-rounds to bf16 between ops. That is what keeps the single-token
+    vanilla step and the multi-token verify step numerically close enough
+    (~1e-6 relative instead of bf16's ~4e-3) that greedy argmax ties cannot
+    flip between the two reduction orders (the fp32-island discipline the
+    reference pins for its verification math, `test/llama.py:410-420`,
+    extended to the whole decode residual stream)."""
+    from ..ops.quantparams import QuantParam, dequant_param
+    if isinstance(w, QuantParam):
+        w = dequant_param(w, jnp.bfloat16 if x.dtype == jnp.float32
+                          else x.dtype)
+    if x.dtype == jnp.float32 and w.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return jnp.dot(x, w)
+
+
 def mlp(x, lp):
-    g = jnp.dot(x, _w(lp["w_gate"], x))
-    u = jnp.dot(x, _w(lp["w_up"], x))
-    return jnp.dot(jax.nn.silu(g) * u, _w(lp["w_down"], x))
+    g = _mm(x, lp["w_gate"])
+    u = _mm(x, lp["w_up"])
+    return _mm(jax.nn.silu(g) * u, lp["w_down"])
 
 
 def qkv(x, lp, cfg: ModelConfig):
     b, t, _ = x.shape
     hd = cfg.head_dim_
-    q = jnp.dot(x, _w(lp["wq"], x))
-    k = jnp.dot(x, _w(lp["wk"], x))
-    v = jnp.dot(x, _w(lp["wv"], x))
+    q = _mm(x, lp["wq"])
+    k = _mm(x, lp["wk"])
+    v = _mm(x, lp["wv"])
     if cfg.attention_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -419,7 +444,7 @@ def paged_prefill_extend(params, cfg: ModelConfig, tokens: jnp.ndarray,
         ck = write_paged_rows(ck, k, tables, s0)
         cv = write_paged_rows(cv, v, tables, s0)
         o, _ = paged_causal_attention(q, ck, cv, tables, positions)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), _w(lp["wo"], h))
+        o = _mm(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
@@ -454,7 +479,7 @@ def forward_prefill(params, cfg: ModelConfig, tokens: jnp.ndarray,
         vt = v.transpose(0, 2, 1, 3)
         o, _ = causal_self_attention(q, kt, vt, lengths, cfg.sliding_window,
                                      cfg.attn_sinks, attn_impl)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), _w(lp["wo"], h))
+        o = _mm(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
@@ -478,7 +503,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                    positions: jnp.ndarray, suffix_mask: jnp.ndarray,
                    cache_lens: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                    attn_impl: str = "dense", write_at: Optional[jnp.ndarray] = None,
-                   collect_kv: bool = False, tables=None):
+                   collect_kv: bool = False, tables=None, compute_dtype=None):
     """Hybrid-attention step over T new tokens.
 
     tokens: [B, T]; positions: [B, T] absolute; suffix_mask: [B, T, T]
@@ -496,6 +521,14 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     engine can commit only the *accepted* rows for all layers in one shot —
     replacing the reference's "move only the last layer and re-forward
     accepted tokens" host-side workaround (`llama_glide.py:1166-1173`).
+
+    ``compute_dtype=jnp.float32`` runs the residual stream in fp32 (matmul
+    inputs still bf16 — see ``_mm``): the decode/verify fp32-island law that
+    keeps the T=1 vanilla step and the T=N verify step close enough that
+    greedy argmax ties cannot flip between their different reduction orders.
+    Cache rows are still stored in the cache dtype, and the suffix attention
+    sees the STORED (rounded/quantized) values — what any later cached read
+    of those rows sees — on every path.
     """
     b, t = tokens.shape
     hd = cfg.head_dim_
@@ -503,6 +536,8 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         write_at = cache_lens
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
     h = embed(params, tokens)
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
 
     def write_rows(c, new):
         if attn_impl == "sp":
@@ -534,10 +569,13 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             # engine's commit re-quantizes them to bit-identical ints.
             k_s, v_s = qkv8.quant_dequant(k), qkv8.quant_dequant(v)
         else:
-            k_s, v_s = k, v
+            # same rule for plain caches: under fp32 compute the fresh k/v
+            # are fp32 but the cache stores (and later reads) their
+            # cache-dtype rounding — attend the stored values
+            k_s, v_s = k.astype(ck.dtype), v.astype(ck.dtype)
         o_s, lse_s = att.attend_masked(q, k_s, v_s, suffix_mask)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, t, -1), _w(lp["wo"], h))
+        o = _mm(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
@@ -587,7 +625,7 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
                                      v.transpose(0, 2, 1, 3), lengths,
                                      cfg.sliding_window, cfg.attn_sinks,
                                      attn_impl)
-        o = jnp.dot(o.astype(h.dtype).reshape(b, s, -1), _w(lp["wo"], h))
+        o = _mm(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)

@@ -327,3 +327,49 @@ def test_extra_eos_stops_generation():
         sstop = s.index(t_star)
         assert s[:sstop + 1] == got[:stop + 1], f"{method} prefix mismatch"
         assert all(t == cfg.eos_token_id for t in s[sstop + 1:]), method
+
+
+# ---------------------------------------------------------------------------
+# fp32-island decode law (EngineConfig.decode_dtype, round-3): with BF16
+# params the T=1 vanilla step and the T=N verify step are different XLA
+# programs; a bf16 residual stream lets their ~4e-3 relative noise flip
+# greedy argmax ties (round-2 hard_8k bench row). The fp32 law must hold
+# token exactness on bf16 models.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("method", ["spec_generate", "tree_spec_generate"])
+@pytest.mark.parametrize("attn", ["dense", "chunked"])
+def test_lossless_bf16_fp32_islands(method, attn):
+    cfg = tiny_test(vocab_size=211, num_layers=2)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          M.init_params(jax.random.PRNGKey(3), cfg))
+    dparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                           G.init_draft_params(jax.random.PRNGKey(4), cfg))
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, temperature=0.0,
+                        attn_impl=attn, decode_dtype="fp32")
+    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg)
+    rng = np.random.default_rng(5)
+    B, S = 2, 19
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 4], np.int32)
+    max_gen = 24
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen)
+    out = getattr(eng, method)(toks, lens, max_gen_len=max_gen)
+    for b in range(B):
+        v = first_eos_trim(van["output_ids"][b][:max_gen], cfg.eos_token_id)
+        s = first_eos_trim(out["output_ids"][b][:max_gen], cfg.eos_token_id)
+        m = min(len(v), len(s), max_gen)
+        assert v[:m] == s[:m], f"row {b}: {v[:m]} vs {s[:m]}"
+
+
+def test_decode_dtype_native_still_runs():
+    # "native" keeps the old law available (and is what training-time code
+    # paths implicitly use); it must execute end to end
+    eng, cfg = build_engine()
+    eng = SpecEngine(eng.params, eng.draft_params, cfg, eng.dcfg,
+                     __import__("dataclasses").replace(
+                         eng.ecfg, decode_dtype="native"))
+    toks = np.random.default_rng(0).integers(2, cfg.vocab_size, (1, 12))
+    out = eng.tree_spec_generate(toks, np.array([12], np.int32),
+                                 max_gen_len=8, state_dtype=jnp.float32)
+    assert out["output_ids"].shape[0] == 1
