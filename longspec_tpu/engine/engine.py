@@ -291,18 +291,26 @@ class SpecEngine:
         slice and only the [rows, k] winners plus the logsumexp scalars cross
         the ICI — never full logits (SURVEY §7.1.7; the reference's
         equivalent is a one-GPU flat nodes x vocab top-k,
-        `llama_glide.py:1064-1067`).
+        `llama_glide.py:1064-1067`). With the int8/int4 draft head the
+        shard-local scoring runs the quantized matmul (sharded_topk_quant):
+        per-column scales make it bit-identical to the single-device
+        quantized head, so tp>1 and draft_head='int8' compose.
         """
-        if (self.mesh is not None and self._qhead is None
-                and self.mesh.shape.get("tp", 1) > 1):
-            from ..parallel.overlap import sharded_topk
+        if self.mesh is not None and self.mesh.shape.get("tp", 1) > 1:
             lead = h.shape[:-1]
             rows = int(np.prod(lead)) if lead else 1
             dp = self.mesh.shape.get("dp", 1)
             rows_axis = "dp" if (dp > 1 and rows % dp == 0) else None
-            vals, ids = sharded_topk(self.mesh, h.reshape(rows, h.shape[-1]),
-                                     M.lm_head_weight(params), k,
-                                     rows_axis=rows_axis)
+            h2 = h.reshape(rows, h.shape[-1])
+            if self._qhead is None:
+                from ..parallel.overlap import sharded_topk
+                vals, ids = sharded_topk(self.mesh, h2,
+                                         M.lm_head_weight(params), k,
+                                         rows_axis=rows_axis)
+            else:
+                from ..parallel.overlap import sharded_topk_quant
+                vals, ids = sharded_topk_quant(self.mesh, h2, *self._qhead,
+                                               k, rows_axis=rows_axis)
             return vals.reshape(*lead, k), ids.reshape(*lead, k)
         logp = jax.nn.log_softmax(self._draft_logits(params, h), axis=-1)
         if self.ecfg.beam_topk == "approx":

@@ -103,3 +103,37 @@ def test_sharded_tree_spec_lossless_int8_kv(mesh_and_models):
     n = 14
     assert np.array_equal(van["output_ids"][:, :n], tree["output_ids"][:, :n]), \
         (van["output_ids"][:, :n], tree["output_ids"][:, :n])
+
+
+def test_sharded_tree_spec_int8_head_lossless_and_matches_unsharded(
+        mesh_and_models):
+    """draft_head='int8' + tp-sharded vocab compose (round-3; previously the
+    engine silently fell back to full logits): the sharded int8-head tree
+    engine is (a) T=0 lossless vs its own vanilla loop and (b) emits the
+    SAME tokens as the unsharded int8-head engine — shard-local quantized
+    scoring is bit-identical per-column, so beam candidates match."""
+    from longspec_tpu.engine.engine import SpecEngine
+    mesh, cfg, dcfg, params, dparams = mesh_and_models
+    ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, attn_impl="chunked",
+                        draft_head="int8")
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+    eng.mesh = mesh
+    host_params = jax.tree.map(np.asarray, params)
+    host_dparams = jax.tree.map(np.asarray, dparams)
+    eng1 = SpecEngine(host_params, host_dparams, cfg, dcfg, ecfg)
+    B = 2
+    prompts = np.random.default_rng(3).integers(2, cfg.vocab_size, (B, 24))
+    lens = np.full((B,), 24, np.int32)
+    with mesh:
+        van = eng.vanilla_generate(prompts, lens, max_gen_len=16,
+                                   state_dtype=jnp.float32)
+        tree = eng.tree_spec_generate(prompts, lens, max_gen_len=16,
+                                      state_dtype=jnp.float32)
+    tree1 = eng1.tree_spec_generate(prompts, lens, max_gen_len=16,
+                                    state_dtype=jnp.float32)
+    n = 14
+    assert np.array_equal(van["output_ids"][:, :n], tree["output_ids"][:, :n])
+    assert np.array_equal(tree1["output_ids"][:, :n],
+                          tree["output_ids"][:, :n])
+    # beam quality parity: same accept statistics, not just same emissions
+    assert tree["count"] == tree1["count"] and tree["num"] == tree1["num"]

@@ -80,3 +80,35 @@ def test_verify_winners_with_draft_overlap(mesh):
         np.testing.assert_allclose(np.asarray(o),
                                    np.asarray(d @ (d.T * (i + 2))),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_topk_quant_matches_single_device_int8(mesh):
+    """int8-head x tp-sharded-vocab composition (round-3): the sharded
+    quantized scorer must pick EXACTLY the candidates of the single-device
+    int8 head (engine._draft_logits law: per-column weight scales + dynamic
+    per-row activation scales)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from longspec_tpu.parallel.overlap import sharded_topk_quant
+    rng = np.random.default_rng(2)
+    rows, H, V, k = 6, 32, 512, 5
+    h = jnp.asarray(rng.normal(size=(rows, H)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(H, V)), jnp.float32)
+    # the engine's per-column quantization (SpecEngine.__init__)
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    w8 = jnp.round(w / jnp.maximum(scale, 1e-30)[None, :]).astype(jnp.int8)
+
+    # single-device int8 law (engine._draft_logits)
+    hmax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+    h8 = jnp.round(h * (127.0 / jnp.maximum(hmax, 1e-30))).astype(jnp.int8)
+    acc = jax.lax.dot_general(h8, w8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    logits = acc.astype(jnp.float32) * (hmax / 127.0) * scale[None, :]
+    ref_lp = jax.nn.log_softmax(logits, axis=-1)
+    ref_v, ref_i = jax.lax.top_k(ref_lp, k)
+
+    w8_sh = jax.device_put(w8, NamedSharding(mesh, P(None, "tp")))
+    sc_sh = jax.device_put(scale, NamedSharding(mesh, P("tp")))
+    vals, ids = sharded_topk_quant(mesh, h, w8_sh, sc_sh, k)
+    assert np.array_equal(np.asarray(ids), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v),
+                               rtol=1e-5, atol=1e-5)
