@@ -94,6 +94,8 @@ def main(argv=None):
             anchor_offset=tr.get("anchor_offset", True),
             resume=tr.get("resume", True),
             accum_steps=tr.get("accum_steps", 1),
+            offset_cap=tr.get("offset_cap", 30000),
+            teacher_unroll=tr.get("teacher_unroll", False),
             lora_rank=tr.get("lora_rank", 0),
             lora_scale=tr.get("lora_scale", 1.0),
             mesh=mesh, seed=exp.get("seed", 0))

@@ -37,6 +37,7 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
           eval_steps: int = 0, attn_impl: str = "chunked",
           anchor_offset: bool = True, resume: bool = True,
           accum_steps: int = 1, lora_rank: int = 0, lora_scale: float = 1.0,
+          offset_cap: int = 30000, teacher_unroll: bool = False,
           mesh=None, seed: int = 0) -> dict:
     """Run draft training; returns the final draft params.
 
@@ -66,7 +67,9 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
         trainable = draft_params
         step_fn = T.make_train_step(cfg, dcfg, opt, attn_impl=attn_impl,
                                     anchor_offset=anchor_offset,
-                                    accum_steps=accum_steps)
+                                    accum_steps=accum_steps,
+                                    offset_cap=offset_cap,
+                                    teacher_unroll=teacher_unroll)
         to_deploy = lambda tr: tr
     # the jitted step donates its state: train on a copy so the caller's
     # draft_params stay alive (the draft is one layer — the copy is tiny)

@@ -60,12 +60,18 @@ def anchor_offset_positions(rng, batch: int, seq_len: int, max_len: int,
 def glide_training_loss(draft_params, target_params, cfg: ModelConfig,
                         dcfg: DraftConfig, tokens, labels, positions,
                         pad_size, compute_llm_loss: bool = False,
-                        attn_impl: str = "chunked"):
-    """Draft CE loss (and optional frozen-target loss for logging)."""
+                        attn_impl: str = "chunked",
+                        teacher_unroll: bool = False):
+    """Draft CE loss (and optional frozen-target loss for logging).
+
+    ``teacher_unroll`` unrolls the frozen teacher's layer scan (see
+    `models.llama.forward_train`): at seq >= 16k the scanned form's stacked
+    carry double-buffers ~GB blocks and fragments HBM — required for the
+    stage-2 long-data recipe (`configs/exp/draft_long.yaml`) on one chip."""
     target_params = jax.lax.stop_gradient(target_params)
     hidden_t, (llm_k, llm_v) = M.forward_train(
         target_params, cfg, tokens, positions=positions, return_last_kv=True,
-        attn_impl=attn_impl)
+        attn_impl=attn_impl, unroll_layers=teacher_unroll)
     llm_k = jax.lax.stop_gradient(llm_k)
     llm_v = jax.lax.stop_gradient(llm_v)
 
@@ -115,7 +121,7 @@ def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                     max_len_for_offset: Optional[int] = None,
                     anchor_offset: bool = True, compute_llm_loss: bool = False,
                     attn_impl: str = "chunked", accum_steps: int = 1,
-                    offset_cap: int = 30000):
+                    offset_cap: int = 30000, teacher_unroll: bool = False):
     """Returns jitted step(state, target_params, tokens, labels, rng) ->
     (state, metrics).
 
@@ -143,7 +149,8 @@ def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
             def loss_fn(p):
                 return glide_training_loss(p, target_params, cfg, dcfg, toks,
                                            labs, positions, pad_size,
-                                           compute_llm_loss, attn_impl)
+                                           compute_llm_loss, attn_impl,
+                                           teacher_unroll=teacher_unroll)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(dp)
 
