@@ -193,9 +193,12 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
         # scatters them into the pool at admission)
         attn_impl = "chunked"
     if isinstance(k, qkv8.QuantKV) and attn_impl == "pallas":
-        # quantized reads ride the chunked online-softmax path (the Pallas
-        # PREFILL kernel has no scale plumbing; decode — the hot loop — does)
-        attn_impl = "chunked"
+        # quantized reads: dequantize ONCE into a transient f32 view (the
+        # exact values every decode-time read of the int8 cache sees) and
+        # run the Pallas kernel — its band/window block skipping is what
+        # makes a 131k draft-CA prefill tractable; the old chunked fallback
+        # computed the full O(S^2) masked score matrix (~hours at 128k)
+        k, v = qkv8.dequant(k), qkv8.dequant(v)
     if attn_impl == "dense":
         mask = att.prefill_mask(s, lengths, window=window, anchors=anchors)
         if isinstance(k, qkv8.QuantKV):

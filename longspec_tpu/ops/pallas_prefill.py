@@ -135,15 +135,22 @@ def flash_prefill(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                k_blk=k_blk, window=window, anchors=anchors,
                                g=g, t=s)
     vm = pltpu.VMEM
-    # clamp KV index into the live band for this q block (skip DMA of dead
-    # upper-triangle blocks and, with a window and no anchors, of blocks
-    # entirely left of the window)
+    # clamp KV index into the live band for this q block: skip DMA of dead
+    # upper-triangle blocks and of blocks entirely left of the window. With
+    # anchors (attention sinks), the sinks live in KV block 0 (anchors <=
+    # k_blk), so grid step kc=0 fetches the real block 0 and steps 1..
+    # clamp into [first_live, last_live] — dead mid-band steps map onto
+    # first_live (fetched once, compute predicated off by `live`). At 131k
+    # ctx with window 12288 this cuts prefill-attention HBM traffic ~10x.
     def k_idx(i, j, qi, kc, lens_pf):
         last_live = jnp.minimum((qi * q_blk + q_blk - 1) // k_blk, n_k - 1)
         kcc = jnp.minimum(kc, last_live)
-        if window is not None and anchors == 0:
+        if window is not None and 0 <= anchors <= k_blk:
             first_live = jnp.maximum((qi * q_blk - window) // k_blk, 0)
-            kcc = jnp.maximum(kcc, first_live)
+            if anchors == 0:
+                kcc = jnp.maximum(kcc, first_live)
+            else:
+                kcc = jnp.where(kc == 0, 0, jnp.maximum(kcc, first_live))
         return (i, j, kcc, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -123,3 +123,51 @@ def test_flash_prefill_vs_dense(window, anchors):
                                    atol=1e-5, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(lse[bi, :L]),
                                    np.asarray(lse_ref[bi, :L]), atol=1e-5, rtol=1e-4)
+
+
+def test_flash_prefill_window_anchor_block_skip():
+    """window+anchors left-clamp (round-3): with sinks the index map fetches
+    real block 0 for kc=0 and clamps dead mid-band steps onto first_live —
+    many fully-dead KV blocks between the sinks and the window must not
+    change results (this is the 131k-ctx prefill traffic fix)."""
+    b, s, h, hkv, d = 1, 768, 2, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.float32)
+    lengths = jnp.asarray([s], jnp.int32)
+    for window, anchors in [(96, 4), (96, 64), (200, 1)]:
+        o_ref, lse_ref = causal_self_attention(q, k, v, lengths, window,
+                                               anchors, "dense")
+        o, lse = flash_prefill(q, k, v, lengths, window=window,
+                               anchors=anchors, q_blk=64, k_blk=64)
+        np.testing.assert_allclose(np.asarray(o[0]), np.asarray(o_ref[0]),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=f"w={window} a={anchors}")
+        np.testing.assert_allclose(np.asarray(lse[0]), np.asarray(lse_ref[0]),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg=f"w={window} a={anchors}")
+
+
+def test_prefill_pallas_int8_kv_reads_dequant():
+    """QuantKV reads on the pallas prefill path (the draft-CA prefill over an
+    int8 target cache) must equal the dense oracle over the DEQUANTIZED
+    values — round 3 replaced the O(S^2) chunked fallback with
+    dequant-once + pallas."""
+    from longspec_tpu.ops import quantkv as qkv8
+    b, s, h, hkv, d = 1, 256, 4, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(13), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, s, d), jnp.float32)
+    kq8, ks8 = qkv8.quantize(k.transpose(0, 2, 1, 3))
+    vq8, vs8 = qkv8.quantize(v.transpose(0, 2, 1, 3))
+    kq = qkv8.QuantKV(kq8.transpose(0, 2, 1, 3), ks8.transpose(0, 2, 1))
+    vq = qkv8.QuantKV(vq8.transpose(0, 2, 1, 3), vs8.transpose(0, 2, 1))
+    lengths = jnp.asarray([s], jnp.int32)
+    o_ref, lse_ref = causal_self_attention(q, kq, vq, lengths, 64, 4, "dense")
+    o, lse = causal_self_attention(q, kq, vq, lengths, 64, 4, "pallas")
+    np.testing.assert_allclose(np.asarray(o[0]), np.asarray(o_ref[0]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse[0]), np.asarray(lse_ref[0]),
+                               atol=2e-5, rtol=1e-4)
