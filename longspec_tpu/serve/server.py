@@ -824,10 +824,18 @@ class SpecServer:
 
     def _harvest(self) -> List[Completion]:
         """Collect finished rows; free their slots."""
-        # ONE device->host readback for the whole batch (the tunnel charges
-        # per transfer), then one finalize dispatch for every freed slot
-        done, out_len, outs = jax.device_get(
-            (self._carry.done, self._carry.out_len, self._carry.output_ids))
+        # small vectors first; the [n_slots, max_new_cap] output buffer only
+        # crosses the tunnel when at least one slot is actually harvestable
+        # (the common no-op tick stays one small transfer — ADVICE r2)
+        done, out_len = jax.device_get(
+            (self._carry.done, self._carry.out_len))
+        harvestable = any(
+            self._slot_uid[s] is not None
+            and (done[s] or int(out_len[s]) >= self._slot_max_new[s])
+            for s in range(self.n_slots))
+        if not harvestable:
+            return []
+        outs = jax.device_get(self._carry.output_ids)
         finished = []
         finish_mask = np.zeros((self.n_slots,), bool)
         retable_mask = np.zeros((self.n_slots,), bool)

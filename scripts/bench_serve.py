@@ -107,6 +107,34 @@ def main():
     print(f"speedup vs sequential: {(tokens / serve_s) / (seq_tokens / seq_s):.2f}x")
     print(st)
 
+    # committed artifact (VERDICT r2 item 3): the serving layer's win over
+    # sequential decode must be a machine-readable, reproducible number
+    import json
+    art = {
+        "row": args.row, "slots": args.slots, "requests": args.requests,
+        "policy": args.policy, "s_max": args.s_max, "max_new": args.max_new,
+        "rounds_per_tick": args.rounds,
+        "sequential_tok_s": round(seq_tokens / seq_s, 2),
+        "server_tok_s": round(tokens / serve_s, 2),
+        "speedup_vs_sequential": round((tokens / serve_s) / (seq_tokens / seq_s), 4),
+        "p50_latency_s": round(lat[len(lat) // 2], 2),
+        "pmax_latency_s": round(lat[-1], 2),
+        "pool": st,
+        "date": time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime()),
+    }
+    try:
+        import subprocess
+        art["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:
+        pass
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), f"bench_serve_{args.row}.json")
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"wrote {out}")
+
 
 if __name__ == "__main__":
     main()
