@@ -677,7 +677,11 @@ def main():
         cfg = big_model_config()
         dcfg = DraftConfig(window=512)
         names = [n for n in args.rows.split(",") if n]
-        headline_name = (args.headline if args.headline in names
+        # --headline none: measure rows without the extras sweep (chain +
+        # magicdec + T=1) — used for alternate-impl row variants where only
+        # the tree/vanilla comparison is wanted
+        headline_name = (None if args.headline == "none"
+                         else args.headline if args.headline in names
                          else names[-1])
 
         def row_result_path(name, attn, ts, kvq, gen):
