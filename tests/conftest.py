@@ -38,3 +38,22 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow", action="store_true", default=False,
+        help="also run @pytest.mark.slow gates (multi-minute compile-bound "
+             "tests, e.g. grad-of-shard_map ring training; the builder runs "
+             "these once per round — they are gates, not dead weight)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow gate; run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

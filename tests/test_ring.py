@@ -32,7 +32,13 @@ def qkv():
     return q, k, v
 
 
-@pytest.mark.parametrize("window,anchors", [(None, 0), (16, 0), (16, 2)])
+@pytest.mark.parametrize("window,anchors", [
+    (None, 0),
+    # window-only (16, 0) rides --slow: each ring-prefill compile is ~33s
+    # and (16, 2) covers the window mask plus the anchor branch
+    pytest.param(16, 0, marks=pytest.mark.slow),
+    (16, 2),
+])
 def test_ring_prefill_matches_causal(mesh, qkv, window, anchors):
     q, k, v = qkv
     lengths = jnp.asarray([S, S - 19], jnp.int32)

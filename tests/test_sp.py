@@ -147,6 +147,7 @@ def test_sp_vs_unsharded_logits(sp_setup):
                           van_ref["output_ids"][:, :8])
 
 
+@pytest.mark.slow  # ~220s: grad-of-shard_map ring compile dominates
 def test_sp_draft_training_grads_match(sp_setup):
     """Sequence-parallel draft TRAINING: the full training loss (ring target
     forward + SP cross-attention over the sequence-sharded teacher KV)
@@ -186,6 +187,7 @@ def test_sp_draft_training_grads_match(sp_setup):
     assert err < 1e-3, err
 
 
+@pytest.mark.slow  # ~36s compile: QuantKV-of-shard_map primitives
 def test_sp_int8_primitives_match_dense(sp_setup):
     """QuantKV over the sequence-sharded layout: sp_write_cache_rows
     quantizes rows into sharded int8+scale pools identically to the dense
