@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--window", type=int, default=0,
                     help="decode-time sliding window + 4 sinks (bench "
                     "hard_32k uses 12288)")
+    ap.add_argument("--decode-dtype", type=str, default="fp32",
+                    choices=["fp32", "native"],
+                    help="EngineConfig.decode_dtype for the profiled engine")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run (logic check only)")
     args = ap.parse_args()
@@ -100,7 +103,8 @@ def main():
                                          args.tree_shape.split(",")),
                         gamma=4, temperature=0.0, attn_impl=args.attn,
                         draft_head=args.draft_head,
-                        draft_compute=args.draft_compute)
+                        draft_compute=args.draft_compute,
+                        decode_dtype=args.decode_dtype)
     if args.smoke:
         cache = os.path.join(ROOT, ".bench_cache")
         tpath = os.path.join(cache, "target_v5_smoke2_2x128x256.npz")
@@ -126,7 +130,8 @@ def main():
                            jnp.asarray(prompt, jnp.int32), lens, state, rng)
     np.asarray(t0)
     out = {"ctx": args.ctx, "attn": args.attn, "draft_head": args.draft_head,
-           "draft_compute": args.draft_compute, "tree_shape": args.tree_shape}
+           "draft_compute": args.draft_compute, "tree_shape": args.tree_shape,
+           "decode_dtype": args.decode_dtype}
 
     # --- full tree round (limit-1 segment) ---
     carry = eng._spec_carry(state, t0, 512, rng, A)
@@ -156,10 +161,33 @@ def main():
     def verify(kv_k, kv_v, cache_lens):
         hv, _, _, nk, nv = M.forward_append(
             eng.params, cfg, tree_tokens, pos_t, tmask, cache_lens,
-            kv_k, kv_v, attn_impl=ecfg.attn_impl, collect_kv=True)
+            kv_k, kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
+            compute_dtype=eng._cdt)
         return M.logits_at(eng.params, hv)
     out["verify_ms"] = timeit(verify, state.kv_k, state.kv_v,
                               state.cache_lens, iters=20)
+
+    # --- vanilla decomposition: the T=1 target forward without the head,
+    # and the fp32 lm_head projection alone (is the denominator the model
+    # read or the head?) ---
+    one_tok = jnp.asarray(prompt[:, :1], jnp.int32)
+    smask1 = jnp.ones((b, 1, 1), bool)
+
+    @jax.jit
+    def append_only(kv_k, kv_v, cache_lens):
+        h, _, _ = M.forward_append(
+            eng.params, cfg, one_tok, cache_lens[:, None], smask1,
+            cache_lens, kv_k, kv_v, attn_impl=ecfg.attn_impl,
+            compute_dtype=eng._cdt)
+        return h[:, 0, :4]
+    out["append1_ms"] = timeit(append_only, state.kv_k, state.kv_v,
+                               state.cache_lens, iters=20)
+    hrow = jnp.zeros((b, cfg.hidden_size), jnp.float32)
+
+    @jax.jit
+    def head_only(h):
+        return M.logits_at(eng.params, h)[:, :8]
+    out["lm_head_ms"] = timeit(head_only, hrow, iters=20)
 
     # --- draft re-encode of A accepted tokens ---
     from longspec_tpu.models import glide as G
@@ -206,7 +234,8 @@ def main():
         1.0 - out["verify_ms"] / out["tree_round_ms"], 4)
     out["unattributed_ms"] = round(out["tree_round_ms"] - modeled, 3)
     for k in ("tree_round_ms", "vanilla_step_ms", "verify_ms",
-              "draft_reenc_ms", "draft_level_ms"):
+              "draft_reenc_ms", "draft_level_ms", "append1_ms",
+              "lm_head_ms"):
         out[k] = round(out[k], 3)
     print(json.dumps(out))
 
