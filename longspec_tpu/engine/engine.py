@@ -689,8 +689,15 @@ class SpecEngine:
         bonus = jnp.take_along_axis(carry.acc_tokens, (carry.acc_len - 1)[:, None], 1)[:, 0]
         spec = spec.at[:, 0].set(bonus)
         spec_logits = jnp.zeros((b, A, cfg.vocab_size), jnp.float32)
+        per_row = ecfg.per_row_temperature
+
+        def draft_sample(lg, key):
+            if per_row:
+                return _sample_rows(lg, key, carry.temps)
+            return _sample(lg, key, ecfg.temperature)
+
         # T>0: sample draft tokens from q (see _chain_round)
-        d1 = _sample(logits, jax.random.fold_in(k_draft, 0), ecfg.temperature)
+        d1 = draft_sample(logits, jax.random.fold_in(k_draft, 0))
         spec = spec.at[:, 1].set(d1)
         spec_logits = spec_logits.at[:, 1].set(logits)
         smask1 = jnp.ones((b, 1, 1), bool)
@@ -705,8 +712,7 @@ class SpecEngine:
             dcl = dcl + jnp.where(carry.done, 0, 1)
             pos_cur = pos_cur + 1
             li = M.logits_at(params, hi[:, 0])
-            cur = _sample(li, jax.random.fold_in(k_draft, s_i),
-                          ecfg.temperature)
+            cur = draft_sample(li, jax.random.fold_in(k_draft, s_i))
             spec = spec.at[:, s_i + 1].set(cur)
             spec_logits = spec_logits.at[:, s_i + 1].set(li)
 
@@ -718,8 +724,12 @@ class SpecEngine:
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
             compute_dtype=self._cdt)
         ver_logits = M.logits_at(params, hv)
-        emit, correct_len, rng = _chain_accept(spec, spec_logits, ver_logits,
-                                               ecfg.temperature, rng)
+        if per_row:
+            emit, correct_len, rng = _chain_accept_rows(
+                spec, spec_logits, ver_logits, carry.temps, rng)
+        else:
+            emit, correct_len, rng = _chain_accept(
+                spec, spec_logits, ver_logits, ecfg.temperature, rng)
 
         adv = jnp.where(carry.done, 0, correct_len)
         adv, has_eos = _truncate_at_stop(cfg, emit, adv)
@@ -1062,10 +1072,6 @@ class SpecEngine:
         input_ids = jnp.asarray(input_ids, jnp.int32)
         b, s = input_ids.shape
         prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
-        if method == "magicdec" and ecfg.per_row_temperature:
-            raise NotImplementedError(
-                "per_row_temperature covers the served methods (tree/chain); "
-                "the magicdec baseline reads the scalar ecfg.temperature")
         n_sp = self._sp_n
         if n_sp > 1:
             if method == "magicdec":

@@ -41,7 +41,8 @@ def _mk(cfg, params, dparams, per_row, temperature=0.0, **kw):
                       ecfg=ecfg)
 
 
-@pytest.mark.parametrize("method", ["tree_spec_generate", "spec_generate"])
+@pytest.mark.parametrize("method", ["tree_spec_generate", "spec_generate",
+                                    "magicdec_generate"])
 def test_per_row_t0_token_exact(method):
     """All-zero temps through the per-row program == scalar T=0 program."""
     cfg, params, dparams = _pair()
