@@ -215,9 +215,12 @@ SPECS = {
     "hard_8k": dict(_HARD, ctx=8192),
     "hard_32k": dict(_HARD, ctx=32768, attn_best="pallas",
                      tree_best="4,16,16,16,16,16"),
+    # draft_ring: O(window) draft KV via the ring buffer (saves ~0.5GB of
+    # the 131k-row budget and exercises the constant-memory draft design in
+    # a headline row; 1024 >> the 512-token draft window + tree-depth slack)
     "long_128k": dict(_HARD, ctx=131072, attn_best="pallas",
                       tree_best="4,16,16,16,16,16", kv_quant="int8",
-                      gen=128),
+                      gen=128, draft_ring=1024),
 }
 
 DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -783,6 +786,10 @@ def main():
                                             attn_sinks=4)
                 dcfg_d = dataclasses.replace(dcfg, ca_window=sp["window"],
                                              ca_anchors=4)
+            if sp.get("draft_ring"):
+                import dataclasses
+                dcfg_d = dataclasses.replace(dcfg_d,
+                                             ring_size=sp["draft_ring"])
             eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
             eng_t1 = None
             if is_head:
