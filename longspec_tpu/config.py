@@ -165,6 +165,15 @@ class EngineConfig:
     # differ from kv_quant="none" the way any serving-side KV quantization
     # does. Draft cache and training are untouched.
     kv_quant: str = "none"  # "none" | "int8"
+    # Segmented prompt prefill: process the prompt in fixed-size segments,
+    # each writing its KV rows first and then attending the cache under a
+    # per-query causal bound (forward_append suffix_mask=None) — O(segment)
+    # live activation memory instead of O(S). A 262144-token prefill of the
+    # 2.5B bench model needs ~6.5GB of transients one-shot (fp32 attention
+    # out + hidden + q); segmented at 8192 it needs ~0.4GB. None = one-shot.
+    # Both loops of a comparison share whichever prefill mode is configured,
+    # so its rounding is common-mode (cannot affect losslessness).
+    prefill_seg: Optional[int] = None
     # TARGET residual-stream precision for decode/verify forwards. "fp32"
     # (default) runs the hidden states of every decode-loop target forward
     # (vanilla step, chain/magicdec verify, tree verify) in fp32 with bf16

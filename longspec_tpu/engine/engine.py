@@ -444,6 +444,59 @@ class SpecEngine:
                                 d_cache_lens=lengths.astype(jnp.int32))
         return new_state, t0, logits0
 
+    def _prefill_segmented_impl(self, params, draft_params, tokens, lengths,
+                                state: DecodeState, rng, *, seg: int):
+        """Segmented prompt prefill (EngineConfig.prefill_seg): scan fixed
+        `seg`-token segments; each segment writes its target KV rows, then
+        attends the cache under a per-query causal bound (suffix-free
+        forward_append), then runs the draft layer the same way — O(seg)
+        live activations at ANY context length. Returns
+        (state, first_token, logits0) like `_prefill_impl`."""
+        cfg, dcfg, ecfg = self.cfg, self.dcfg, self.ecfg
+        b, s = tokens.shape
+        assert s % seg == 0, (s, seg)
+        n_seg = s // seg
+        d0 = cfg.hidden_size
+
+        def body(carry, i):
+            kv_k, kv_v, dkk, dkv, last_h = carry
+            start = i * seg
+            toks = jax.lax.dynamic_slice(tokens, (0, start), (b, seg))
+            pos = start + jnp.arange(seg)[None, :]
+            pos = jnp.broadcast_to(pos, (b, seg))
+            k_hi = jnp.minimum(pos + 1, lengths[:, None])     # [B, seg]
+            starts = jnp.full((b,), 1, jnp.int32) * start
+            h, kv_k, kv_v = M.forward_append(
+                params, cfg, toks, pos, None, k_hi, kv_k, kv_v,
+                attn_impl=ecfg.attn_impl, write_at=starts)
+            # capture the hidden row at lengths-1 when it falls in this seg
+            li = jnp.clip(lengths - 1 - start, 0, seg - 1)
+            h_at = jnp.take_along_axis(h, li[:, None, None], axis=1)[:, 0]
+            in_seg = (lengths - 1 >= start) & (lengths - 1 < start + seg)
+            last_h = jnp.where(in_seg[:, None], h_at.astype(last_h.dtype),
+                               last_h)
+            # draft layer over the same segment (lag-0 causal CA over the
+            # target rows just written)
+            emb = M.embed(params, toks)
+            _, dkk, dkv = G.glide_forward(
+                draft_params, cfg, dcfg, emb, pos, dkk, dkv, k_hi,
+                kv_k[-1], kv_v[-1], k_hi, attn_impl=ecfg.attn_impl,
+                write_at=starts, no_suffix=True,
+                write_valid=pos < lengths[:, None],
+                d_written=jnp.minimum(start + seg, lengths))
+            return (kv_k, kv_v, dkk, dkv, last_h), None
+
+        last_h0 = jnp.zeros((b, d0), jnp.float32)
+        (kv_k, kv_v, dkk, dkv, last_h), _ = jax.lax.scan(
+            body, (state.kv_k, state.kv_v, state.d_kv_k, state.d_kv_v,
+                   last_h0), jnp.arange(n_seg))
+        logits0 = M.logits_at(params, last_h)
+        t0 = _sample(logits0, rng, self.ecfg.temperature)
+        new_state = DecodeState(kv_k, kv_v, dkk, dkv,
+                                cache_lens=lengths.astype(jnp.int32),
+                                d_cache_lens=lengths.astype(jnp.int32))
+        return new_state, t0, logits0
+
     # ------------------------------------------------------------------
     # Vanilla autoregressive generation (ref llama_glide.py:552-585)
     # ------------------------------------------------------------------
@@ -1086,8 +1139,25 @@ class SpecEngine:
                 input_ids = jnp.pad(input_ids, ((0, 0), (0, pad)),
                                     constant_values=cfg.eos_token_id)
                 s += pad
+        use_seg_prefill = (ecfg.prefill_seg and s > ecfg.prefill_seg
+                           and method != "magicdec"
+                           and isinstance(ecfg.attn_impl, str)
+                           and ecfg.attn_impl in ("dense", "chunked",
+                                                  "pallas"))
+        if use_seg_prefill:
+            # pad BEFORE s_max is fixed: padded rows are written into the
+            # cache (inert beyond `lengths`, overwritten by decode appends)
+            pad = (-s) % ecfg.prefill_seg
+            if pad:
+                input_ids = jnp.pad(input_ids, ((0, 0), (0, pad)),
+                                    constant_values=cfg.eos_token_id)
+                s += pad
         if s_max is None:
             s_max = s + max_gen_len + ecfg.tree_size + 8
+        if s_max < s + max_gen_len:
+            raise ValueError(
+                f"s_max={s_max} cannot hold prompt ({s} incl. padding) + "
+                f"max_gen_len={max_gen_len}")
         if method == "magicdec":
             # stream cache replaces the draft cache: [L, B, Hkv, S_stream, D]
             sink, win = ecfg.magicdec_sink, ecfg.magicdec_window
@@ -1116,10 +1186,20 @@ class SpecEngine:
         # copies live simultaneously (observed RESOURCE_EXHAUSTED on a 16GB
         # chip at ctx 32768 with a 5GB model)
         if method == "magicdec":
+            # magicdec's stream-cache build reads the full prefill hidden; it
+            # keeps the one-shot path (prefill_seg covers the GLIDE methods)
             prefill = self._get_jit("magicdec_prefill", self._magicdec_prefill,
                                     donate=(3,))
             state, t0, _ = prefill(self.params, input_ids, prompt_lens, state,
                                    k_pre)
+        elif use_seg_prefill:
+            seg = ecfg.prefill_seg
+            prefill = self._get_jit(
+                ("prefill_seg", seg),
+                functools.partial(self._prefill_segmented_impl, seg=seg),
+                donate=(4,))
+            state, t0, _ = prefill(self.params, self.draft_params, input_ids,
+                                   prompt_lens, state, k_pre)
         else:
             prefill = self._get_jit("prefill", self._prefill_impl,
                                     donate=(4,))

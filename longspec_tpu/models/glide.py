@@ -140,16 +140,21 @@ def ring_positions(d_len, anchors: int, ring: int):
     return p, valid
 
 
-def ring_write(cache, new, write_at, anchors: int):
+def ring_write(cache, new, write_at, anchors: int, valid=None):
     """Scatter T new rows at positions [write_at, write_at+T) into the ring.
 
-    cache: [B, Hkv, R, D]; new: [B, T, Hkv, D]; write_at: [B]."""
+    cache: [B, Hkv, R, D]; new: [B, T, Hkv, D]; write_at: [B].
+    `valid` [B, T] masks rows out of the write entirely (segmented prefill:
+    a padded row's junk positions would otherwise wrap the ring and evict
+    live rows — unlike a dense cache, where junk beyond `lengths` is inert)."""
     b, t = new.shape[0], new.shape[1]
     ring = cache.shape[2]
     idx = ring_index(write_at[:, None] + jnp.arange(t)[None, :], anchors, ring)
+    if valid is not None:
+        idx = jnp.where(valid, idx, ring)  # OOB scatter index -> dropped
 
     def one(c, n, i):
-        return c.at[:, i, :].set(n.astype(c.dtype))
+        return c.at[:, i, :].set(n.astype(c.dtype), mode="drop")
 
     return jax.vmap(one)(cache, new.transpose(0, 2, 1, 3), idx)
 
@@ -229,6 +234,13 @@ def glide_forward(
     tables: Optional[jnp.ndarray] = None,       # [B, n_chunks] page tables
                                                 # (attn_impl "paged": llm_k/v
                                                 # are page POOLS)
+    no_suffix: bool = False,                    # segmented prefill: skip the
+                                                # dense suffix term; causality
+                                                # comes from per-query
+                                                # d_cache_lens/llm_k_hi bounds
+                                                # ([B, T] allowed) and rows
+                                                # written before attention
+    write_valid: Optional[jnp.ndarray] = None,  # [B, T] ring-write row mask
 ):
     """One GLIDE layer step over T new tokens.
 
@@ -253,7 +265,7 @@ def glide_forward(
     if write_at is None:
         write_at = d_cache_lens
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
-    if suffix_mask is None:
+    if suffix_mask is None and not no_suffix:
         cm = att.causal_mask(t, t)
         if dcfg.window is not None:
             qi = jnp.arange(t)[:, None]
@@ -269,8 +281,10 @@ def glide_forward(
     ring = dcfg.ring_size
     if suffix_kv is None:
         if ring is not None:
-            d_kv_k = ring_write(d_kv_k, k, write_at, dcfg.anchors)
-            d_kv_v = ring_write(d_kv_v, v, write_at, dcfg.anchors)
+            d_kv_k = ring_write(d_kv_k, k, write_at, dcfg.anchors,
+                                valid=write_valid)
+            d_kv_v = ring_write(d_kv_v, v, write_at, dcfg.anchors,
+                                valid=write_valid)
         elif attn_impl == "sp":
             from ..parallel.ring import sp_write_cache_rows
             d_kv_k = sp_write_cache_rows(attn_impl.mesh, d_kv_k, k, write_at,
@@ -304,8 +318,11 @@ def glide_forward(
         o_p, lse_p = sliced_prefix_attention(q, d_kv_k, d_kv_v, d_cache_lens,
                                              positions, dcfg.window,
                                              dcfg.anchors, sa_impl)
-    o_s, lse_s = att.attend_masked(q, sk, sv, suffix_mask)
-    o = att.merge_attention(o_p, lse_p, o_s, lse_s)
+    if no_suffix:
+        o = o_p
+    else:
+        o_s, lse_s = att.attend_masked(q, sk, sv, suffix_mask)
+        o = att.merge_attention(o_p, lse_p, o_s, lse_s)
     o = qdot(o.astype(hidden.dtype).reshape(b, t, -1), draft_params["sa"]["wo"])
     hidden = hidden + o
 

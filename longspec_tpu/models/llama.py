@@ -511,9 +511,14 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     tokens: [B, T]; positions: [B, T] absolute; suffix_mask: [B, T, T]
     (True = attend; causal for chain decode, tree mask for tree verify —
-    must include the diagonal); cache_lens: [B] — prefix rows [0, cache_lens)
-    are attended. New KV rows are written at
-    [write_at, write_at+T) (default write_at = cache_lens).
+    must include the diagonal), or None to SKIP suffix attention entirely:
+    the segmented-prefill form, where new KV rows are written BEFORE the
+    prefix attention and `cache_lens` is a per-query [B, T] bound
+    (pos+1 clamped to the row length), so causality comes from the prefix
+    bound alone and nothing O(T^2) is materialized. cache_lens: [B] (or
+    [B, T] per-query) — prefix rows [0, cache_lens) are attended. New KV
+    rows are written at [write_at, write_at+T) (default write_at =
+    cache_lens, which must then be [B]).
 
     The per-layer attention is prefix flash-decode (with LSE) + dense masked
     suffix attention (with LSE), merged exactly — the reference's hybrid tree
@@ -565,6 +570,14 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                                              cfg.sliding_window,
                                              cfg.attn_sinks, attn_impl,
                                              tables=tables)
+        if suffix_mask is None:
+            # segmented prefill: causality is fully encoded in the per-query
+            # prefix bound (rows were written above); no suffix term
+            o = _mm(o_p.astype(h.dtype).reshape(b, t, -1), lp["wo"])
+            h = h + o
+            x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+            h = h + mlp(x, lp)
+            return h, ((ck, cv), (k, v))
         if isinstance(ck, qkv8.QuantKV):
             # suffix attention sees exactly what a later CACHED read of these
             # rows will see — required for spec-vs-vanilla token exactness
