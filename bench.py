@@ -217,10 +217,22 @@ SPECS = {
                      tree_best="4,16,16,16,16,16"),
     # draft_ring: O(window) draft KV via the ring buffer (saves ~0.5GB of
     # the 131k-row budget and exercises the constant-memory draft design in
-    # a headline row; 1024 >> the 512-token draft window + tree-depth slack)
+    # a headline row; 1024 >> the 512-token draft window + tree-depth slack).
+    # prefill_seg: segmented prompt prefill (engine) — one-shot 131k/262k
+    # prefill transients (~3.3/6.5GB) do not fit next to the cache+weights.
     "long_128k": dict(_HARD, ctx=131072, attn_best="pallas",
                       tree_best="4,16,16,16,16,16", kv_quant="int8",
-                      gen=128, draft_ring=1024),
+                      gen=128, draft_ring=1024, prefill_seg=8192),
+    # the reference registry's maximum context (Llama-3-8B-Instruct-262k,
+    # `inference_long-bench.py:58-62,95-102`), demonstrated synthetically:
+    # int8 KV (8.6GB) forces int8 frozen target weights (2.6GB vs 5.1GB
+    # bf16) to fit the 16GB chip. target_quant redefines the target function
+    # for BOTH arms identically, so the row's speedup/losslessness semantics
+    # are unchanged.
+    "long_262k": dict(_HARD, ctx=262144, attn_best="pallas",
+                      tree_best="4,16,16,16,16,16", kv_quant="int8",
+                      gen=64, draft_ring=1024, prefill_seg=8192,
+                      target_quant="int8"),
 }
 
 DEFAULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -581,7 +593,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny CPU-friendly run")
     ap.add_argument("--rows", type=str,
-                    default="easy_8k,hard_8k,hard_32k,long_128k",
+                    default="easy_8k,hard_8k,hard_32k,long_128k,long_262k",
                     help="comma-separated subset of " + ",".join(SPECS))
     ap.add_argument("--train", action="store_true",
                     help="(re)train missing model caches. WITHOUT this flag "
@@ -695,6 +707,8 @@ def main():
                 key += f"_sw{SPECS[name]['window']}"
             if kvq != "none":
                 key += f"_kv{kvq}"
+            if SPECS[name].get("target_quant"):
+                key += f"_w{SPECS[name]['target_quant']}"
             return os.path.join(cache_dir, f"row_{key}.json")
 
         rows = []
@@ -705,7 +719,8 @@ def main():
                                 temperature=0.0, attn_impl=row_attn,
                                 draft_head=args.draft_head,
                                 draft_compute=args.draft_compute,
-                                kv_quant=row_kvq)
+                                kv_quant=row_kvq,
+                                prefill_seg=sp.get("prefill_seg"))
             lang, n_states, seq, ctx = (sp["lang"], sp["n_states"],
                                         sp["seq"], sp["ctx"])
             tag = row_tag(name)
@@ -790,6 +805,10 @@ def main():
                 import dataclasses
                 dcfg_d = dataclasses.replace(dcfg_d,
                                              ring_size=sp["draft_ring"])
+            if sp.get("target_quant") == "int8":
+                from longspec_tpu.ops.quantparams import quantize_target_params
+                import jax as _jax
+                params = _jax.jit(quantize_target_params)(params)
             eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
             eng_t1 = None
             if is_head:
@@ -807,6 +826,8 @@ def main():
             row["tree_shape"] = "x".join(map(str, row_tree))
             if row_kvq != "none":
                 row["kv_quant"] = row_kvq
+            if sp.get("target_quant"):
+                row["target_quant"] = sp["target_quant"]
             # provenance: which code + model bytes produced these numbers
             # (scripts/results_table.py renders these into README)
             row["_commit"] = git_head()

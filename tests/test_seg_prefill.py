@@ -120,3 +120,24 @@ def test_segmented_prefill_int8_kv_lossless():
     tree = eng.tree_spec_generate(toks, lens, max_gen_len=16,
                                   state_dtype=jnp.float32)
     assert np.array_equal(van["output_ids"][:, :14], tree["output_ids"][:, :14])
+
+
+def test_segmented_prefill_int8_weights_kv_lossless():
+    """262k-row configuration at tiny scale: int8 frozen target weights +
+    int8 KV + window/sinks + ring draft + segmentation, T=0 lossless."""
+    from longspec_tpu.ops.quantparams import quantize_target_params
+    cfg, params, dparams = _pair(seed=8)
+    cfg = dataclasses.replace(cfg, sliding_window=24, attn_sinks=4)
+    dcfg = DraftConfig(window=8, ca_window=24, ca_anchors=4, ring_size=40)
+    qparams = quantize_target_params(
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16), params))
+    eng = SpecEngine(qparams, dparams, cfg, dcfg,
+                     EngineConfig(tree_shape=(2, 3), gamma=2,
+                                  attn_impl="chunked", kv_quant="int8",
+                                  prefill_seg=16, draft_head="int8"))
+    rng = np.random.default_rng(9)
+    toks = rng.integers(2, cfg.vocab_size, (1, 64))
+    lens = np.array([64], np.int32)
+    van = eng.vanilla_generate(toks, lens, max_gen_len=16)
+    tree = eng.tree_spec_generate(toks, lens, max_gen_len=16)
+    assert np.array_equal(van["output_ids"][:, :14], tree["output_ids"][:, :14])
