@@ -643,7 +643,12 @@ def main():
                 sp.get("gen", args.gen))
 
     global WD
-    WD = Watchdog(stall_s=1500)
+    # --train compiles the seq-16384 unrolled full-param training program
+    # from scratch whenever model code changed (persistent-cache miss) —
+    # XLA takes 25-40 min with NO heartbeats, which the 25-min watchdog
+    # read as a wedge (two restart loops observed round 3). Training gets
+    # a 70-min leash; measure-only keeps the tight one.
+    WD = Watchdog(stall_s=4200 if args.train else 1500)
 
     if args.smoke:
         os.environ["JAX_PLATFORMS"] = "cpu"  # override ambient axon setting
