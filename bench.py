@@ -607,7 +607,9 @@ def main():
                     help="soft wall-clock budget: once exceeded, remaining "
                     "un-measured rows are skipped and the JSON is emitted "
                     "from what finished (ignored under --train)")
-    ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--gen", type=int, default=None,
+                    help="tokens to generate per row (default: the row's "
+                    "SPECS gen, else 256)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--attn", type=str, default=None,
                     help="engine (decode/verify) attention impl; default = "
@@ -639,8 +641,8 @@ def main():
         attn = args.attn or sp.get("attn_best", "chunked")
         ts = args.tree_shape or sp.get("tree_best", "4,16,16,16,16")
         kvq = args.kv_quant or sp.get("kv_quant", "none")
-        return (attn, tuple(int(x) for x in ts.split(",")), kvq,
-                sp.get("gen", args.gen))
+        gen = args.gen if args.gen is not None else sp.get("gen", 256)
+        return attn, tuple(int(x) for x in ts.split(",")), kvq, gen
 
     global WD
     # --train compiles the seq-16384 unrolled full-param training program
@@ -690,7 +692,7 @@ def main():
         eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
         prompt = sample_corpus_fast(succ, probs, args.batch, 192, seed=999)
         lens = np.full((args.batch,), 192, np.int32)
-        gen = min(args.gen, 48)
+        gen = min(args.gen or 256, 48)
         rows = [measure_row("smoke", eng, prompt, lens, gen,
                             192 + gen + ecfg.tree_size + 16, extras=True)]
     else:

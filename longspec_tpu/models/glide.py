@@ -146,12 +146,29 @@ def ring_write(cache, new, write_at, anchors: int, valid=None):
     cache: [B, Hkv, R, D]; new: [B, T, Hkv, D]; write_at: [B].
     `valid` [B, T] masks rows out of the write entirely (segmented prefill:
     a padded row's junk positions would otherwise wrap the ring and evict
-    live rows — unlike a dense cache, where junk beyond `lengths` is inert)."""
+    live rows — unlike a dense cache, where junk beyond `lengths` is inert).
+
+    When T exceeds the ring's window capacity (segmented prefill with
+    prefill_seg >> ring_size), positions that are guaranteed already
+    evicted by the END of this write are dropped up front: a slot must be
+    scattered at most once per call, because duplicate-index .at[].set
+    ordering is undefined and a stale earlier wrap could otherwise survive
+    as if it were the latest position."""
     b, t = new.shape[0], new.shape[1]
     ring = cache.shape[2]
-    idx = ring_index(write_at[:, None] + jnp.arange(t)[None, :], anchors, ring)
+    pos = write_at[:, None] + jnp.arange(t)[None, :]             # [B, T]
+    w = ring - anchors
+    # per-row effective end: `valid` is a prefix mask (pos < row length), so
+    # the row's last written position is write_at + count(valid) — a padded
+    # row's recent window ends at its LENGTH, not at the segment end
     if valid is not None:
-        idx = jnp.where(valid, idx, ring)  # OOB scatter index -> dropped
+        end = write_at + jnp.sum(valid.astype(jnp.int32), axis=1)
+    else:
+        end = write_at + t
+    keep = (pos >= end[:, None] - w) | (pos < anchors)
+    if valid is not None:
+        keep = keep & valid
+    idx = jnp.where(keep, ring_index(pos, anchors, ring), ring)  # OOB -> drop
 
     def one(c, n, i):
         return c.at[:, i, :].set(n.astype(c.dtype), mode="drop")

@@ -61,7 +61,9 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
                                        scale=lora_scale,
                                        anchor_offset=anchor_offset,
                                        attn_impl=attn_impl,
-                                       accum_steps=accum_steps)
+                                       accum_steps=accum_steps,
+                                       offset_cap=offset_cap,
+                                       teacher_unroll=teacher_unroll)
         to_deploy = lambda tr: merge_lora(draft_params, tr, lora_scale)
     else:
         trainable = draft_params

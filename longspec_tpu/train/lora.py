@@ -62,7 +62,9 @@ def merge_lora(draft_params: Dict, lora: Dict, scale: float = 1.0) -> Dict:
 def make_lora_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                          base_draft_params, scale: float = 1.0,
                          anchor_offset: bool = True,
-                         attn_impl: str = "chunked", accum_steps: int = 1):
+                         attn_impl: str = "chunked", accum_steps: int = 1,
+                         offset_cap: int = 30000,
+                         teacher_unroll: bool = False):
     """Jitted step(state, target_params, tokens, labels, rng) where
     state.draft_params is the LoRA pytree; the base draft is closed over and
     frozen. `accum_steps > 1` accumulates the mean gradient over sequential
@@ -78,13 +80,15 @@ def make_lora_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
         def loss_and_grad(lora_tree, toks, labs):
             mb = toks.shape[0]
             positions = T.anchor_offset_positions(k_pos, mb, s, max_len,
-                                                  apply=anchor_offset)
+                                                  apply=anchor_offset,
+                                                  offset_cap=offset_cap)
 
             def loss_fn(lora):
                 merged = apply_lora(base_draft_params, lora, scale)
                 return T.glide_training_loss(merged, target_params, cfg, dcfg,
                                              toks, labs, positions, pad_size,
-                                             False, attn_impl)
+                                             False, attn_impl,
+                                             teacher_unroll=teacher_unroll)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(lora_tree)
 

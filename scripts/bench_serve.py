@@ -122,13 +122,8 @@ def main():
         "pool": st,
         "date": time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime()),
     }
-    try:
-        import subprocess
-        art["commit"] = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-            text=True, timeout=10).stdout.strip()
-    except Exception:
-        pass
+    from bench import git_head  # cwd-pinned to the repo
+    art["commit"] = git_head()
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"bench_serve_{args.row}.json")
     with open(out, "w") as f:

@@ -83,22 +83,31 @@ def test_segmented_prefill_cache_matches_one_shot():
             np.asarray(sb.d_kv_v[b, :, :L], np.float32), atol=1e-5)
 
 
-def test_segmented_prefill_ring_draft():
+@pytest.mark.parametrize("seg,S", [
+    (16, 45),
+    # segment >> ring capacity: one ring_write's positions wrap the ring
+    # multiple times; only the per-row last window may be scattered
+    # (duplicate-index .at[].set ordering is undefined) — and a short row's
+    # window ends at ITS length, not the segment end
+    (64, 130),
+])
+def test_segmented_prefill_ring_draft(seg, S):
     """Ring draft cache under segmentation: padded-row junk positions must
     not wrap the ring (masked writes), and generation matches the one-shot
     ring engine."""
     cfg, params, dparams = _pair(seed=4)
     dcfg = DraftConfig(window=8, ring_size=40)
-    base, segd = _engines(cfg, params, dparams, seg=16, dcfg=dcfg)
+    base, segd = _engines(cfg, params, dparams, seg=seg, dcfg=dcfg)
     rng = np.random.default_rng(5)
-    B, S = 2, 45
+    B = 2
     toks = rng.integers(2, cfg.vocab_size, (B, S))
-    lens = np.array([S, S - 11], np.int32)
+    lens = np.array([S, S - 11 - seg // 2], np.int32)
     a = base.tree_spec_generate(toks, lens, max_gen_len=16,
                                 state_dtype=jnp.float32)
     b = segd.tree_spec_generate(toks, lens, max_gen_len=16,
                                 state_dtype=jnp.float32)
     assert np.array_equal(a["output_ids"][:, :14], b["output_ids"][:, :14])
+    assert a["count"] == b["count"], (a["count"], b["count"])
 
 
 def test_segmented_prefill_int8_kv_lossless():
