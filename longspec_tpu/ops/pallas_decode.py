@@ -36,6 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Max G*T query rows kept VMEM-resident per kernel call; larger query
+# batches (segmented prefill) are split along T and lax.map'ed. Scoped
+# VMEM cost is ~17.1KB/row at D=128 — the (R, 1) khi/qpos/lse/m/l tiles
+# each lane-pad to 128, so rows cost far more than the q/acc math says.
+# 640 is the largest value where the worst caller (bf16 KV + window +
+# anchors, chunk 2048) fits the 16MB scoped budget on v5e, measured by
+# AOT compile; decode/verify calls (R <= ~340) are untouched.
+R_MAX = 640
+
 
 def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
                    *rest, scale, chunk, window, anchors, t, g, quant=False):
@@ -147,13 +156,46 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     """
     from .quantkv import QuantKV
     quant = isinstance(k_cache, QuantKV)
+    b, t, h, d = q.shape
+    hkv = (k_cache.qv if quant else k_cache).shape[1]
+    g = h // hkv
+
+    # The kernel keeps all R = G*T query rows resident in VMEM (q block +
+    # f32 acc scratch + f32 o block ~ R*D*10 bytes). Decode/verify calls
+    # (T <= ~85) fit easily; segmented prefill calls (T = 8192 -> R = 32k)
+    # blow the ~16MB VMEM budget. Split oversize query batches along T and
+    # lax.map the kernel over the slices — queries are independent given
+    # their per-row k_hi/q_pos, so this is exact, and HBM KV traffic is the
+    # same as a q-blocked grid dimension would cost.
+    if t * g > R_MAX and t > 1:
+        tc = max(1, R_MAX // g)
+        n_t = -(-t // tc)
+        t_pad = n_t * tc
+        if k_hi.ndim == 1:
+            k_hi = jnp.broadcast_to(k_hi[:, None], (b, t))
+        if q_pos is None:
+            q_pos = jnp.zeros((b, t), jnp.int32)
+        if t_pad != t:
+            q = jnp.pad(q, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+            k_hi = jnp.pad(k_hi, ((0, 0), (0, t_pad - t)))  # k_hi=0: masked
+            q_pos = jnp.pad(q_pos, ((0, 0), (0, t_pad - t)))
+        qs = jnp.moveaxis(q.reshape(b, n_t, tc, h, d), 1, 0)
+        ks = jnp.moveaxis(k_hi.reshape(b, n_t, tc), 1, 0)
+        ps = jnp.moveaxis(q_pos.reshape(b, n_t, tc), 1, 0)
+        o, lse = jax.lax.map(
+            lambda args: flash_decode(args[0], k_cache, v_cache, args[1],
+                                      args[2], window, anchors, chunk,
+                                      interpret),
+            (qs, ks, ps))
+        o = jnp.moveaxis(o, 0, 1).reshape(b, t_pad, h, d)[:, :t]
+        lse = jnp.moveaxis(lse, 0, 1).reshape(b, t_pad, h)[:, :t]
+        return o, lse
+
     if quant:
         k_scale = k_cache.scale[:, :, None, :]   # [B, Hkv, 1, S] lane-major
         v_scale = v_cache.scale[:, :, None, :]
         k_cache, v_cache = k_cache.qv, v_cache.qv
-    b, t, h, d = q.shape
-    hkv, s = k_cache.shape[1], k_cache.shape[2]
-    g = h // hkv
+    s = k_cache.shape[2]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if k_hi.ndim == 1:

@@ -97,6 +97,35 @@ def test_flash_decode_uneven_tail():
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=1e-5, rtol=1e-4)
 
 
+def test_flash_decode_query_split_matches_oracle(monkeypatch):
+    """Query batches with G*T > R_MAX split along T (segmented prefill at
+    131k+ context feeds 8192-token segments; unsplit, the kernel's scoped
+    VMEM blows at ~900 rows). The split must be exact — including uneven
+    tails, windows/anchors, and int8 caches — vs the chunked oracle."""
+    import longspec_tpu.ops.pallas_decode as pd
+    from longspec_tpu.ops import quantkv as qkv8
+    from longspec_tpu.models.llama import _attend_prefix_chunked_khi
+    monkeypatch.setattr(pd, "R_MAX", 96)  # force the split on tiny shapes
+    b, t, h, hkv, d, s = 2, 200, 8, 2, 32, 640  # R=800, tc=24: uneven tail
+    q, k, v = mk(b, t, h, hkv, d, s, seed=11)
+    lens = jnp.asarray([500, 130], jnp.int32)
+    q_pos = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t)) + 60
+    k_hi = jnp.minimum(q_pos + 1, lens[:, None])
+    kq = qkv8.QuantKV(*qkv8.quantize(k))
+    vq = qkv8.QuantKV(*qkv8.quantize(v))
+    for kk, vv, tag in [(k, v, "bf16"), (kq, vq, "int8")]:
+        for window, anchors in [(None, 0), (128, 4)]:
+            o, lse = pd.flash_decode(q, kk, vv, k_hi, q_pos, window,
+                                     anchors, chunk=128)
+            o2, lse2 = _attend_prefix_chunked_khi(q, kk, vv, k_hi, q_pos,
+                                                  window, anchors, 128)
+            np.testing.assert_allclose(np.asarray(o), np.asarray(o2),
+                                       atol=2e-5, rtol=1e-4,
+                                       err_msg=f"{tag} w={window}")
+            lse_f = np.nan_to_num(np.asarray(lse - lse2), posinf=0, neginf=0)
+            assert np.max(np.abs(lse_f)) < 2e-5, (tag, window)
+
+
 # ---------------------------------------------------------------------------
 # flash_prefill vs dense oracle
 # ---------------------------------------------------------------------------
