@@ -220,9 +220,16 @@ SPECS = {
     # a headline row; 1024 >> the 512-token draft window + tree-depth slack).
     # prefill_seg: segmented prompt prefill (engine) — one-shot 131k/262k
     # prefill transients (~3.3/6.5GB) do not fit next to the cache+weights.
+    # target_quant int8: the segmented-prefill graph holds every frozen
+    # weight TWICE (XLA relayouts each [L,Din,Dout] stack into its matmul-
+    # preferred layout — measured 19.88G requested with bf16 params at 131k:
+    # 2x5.1G params + 4.4G int8 KV). int8 params (2.6G + 2.6G relayout)
+    # bring the graph to ~12G. Both arms see the identical redefined target,
+    # so speedup/losslessness semantics are unchanged.
     "long_128k": dict(_HARD, ctx=131072, attn_best="pallas",
                       tree_best="4,16,16,16,16,16", kv_quant="int8",
-                      gen=128, draft_ring=1024, prefill_seg=8192),
+                      gen=128, draft_ring=1024, prefill_seg=8192,
+                      target_quant="int8"),
     # the reference registry's maximum context (Llama-3-8B-Instruct-262k,
     # `inference_long-bench.py:58-62,95-102`), demonstrated synthetically:
     # int8 KV (8.6GB) forces int8 frozen target weights (2.6GB vs 5.1GB

@@ -605,6 +605,27 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     return out, kv_k, kv_v
 
 
+def train_layer(h, lp, cfg: ModelConfig, cos, sin, lengths, attn_impl: str):
+    """One decoder layer of the training-mode (no-cache) causal forward.
+    Shared by `forward_train`'s layer scan and the pipeline-parallel stage
+    scan (`parallel.pipeline`). Returns (h, (k, v)) with K/V post-RoPE in
+    [B, T, Hkv, D] layout."""
+    b, s = h.shape[:2]
+    x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
+    q, k, v = qkv(x, lp, cfg)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    o, _ = causal_self_attention(q, k.transpose(0, 2, 1, 3),
+                                 v.transpose(0, 2, 1, 3), lengths,
+                                 cfg.sliding_window, cfg.attn_sinks,
+                                 attn_impl)
+    o = _mm(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
+    h = h + o
+    x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
+    h = h + mlp(x, lp)
+    return h, (k, v)
+
+
 def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
                   positions: Optional[jnp.ndarray] = None,
                   return_last_kv: bool = False, attn_impl: str = "dense",
@@ -633,19 +654,7 @@ def forward_train(params, cfg: ModelConfig, tokens: jnp.ndarray,
     h = embed(params, tokens)
 
     def layer(h, lp):
-        x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
-        q, k, v = qkv(x, lp, cfg)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        o, _ = causal_self_attention(q, k.transpose(0, 2, 1, 3),
-                                     v.transpose(0, 2, 1, 3), lengths,
-                                     cfg.sliding_window, cfg.attn_sinks,
-                                     attn_impl)
-        o = _mm(o.astype(h.dtype).reshape(b, s, -1), lp["wo"])
-        h = h + o
-        x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
-        h = h + mlp(x, lp)
-        return h, (k, v)
+        return train_layer(h, lp, cfg, cos, sin, lengths, attn_impl)
 
     if unroll_layers:
         # remat boundary every 2 layers (not 1): halves the saved boundary

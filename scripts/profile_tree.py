@@ -157,14 +157,17 @@ def main():
     tree_tokens = jnp.asarray(prompt[:, :N], jnp.int32)
     tmask = jnp.tril(jnp.ones((b, N, N), bool))
     pos_t = state.cache_lens[:, None] + jnp.arange(N)[None, :]
+    # NOTE all micro-bench jits below take params as ARGUMENTS: closing over
+    # eng.params captures ~5GB as MLIR constants, and uploading that program
+    # through the remote-compile tunnel breaks the pipe (round-2/3 crashes).
     @jax.jit
-    def verify(kv_k, kv_v, cache_lens):
+    def verify(params, kv_k, kv_v, cache_lens):
         hv, _, _, nk, nv = M.forward_append(
-            eng.params, cfg, tree_tokens, pos_t, tmask, cache_lens,
+            params, cfg, tree_tokens, pos_t, tmask, cache_lens,
             kv_k, kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
             compute_dtype=eng._cdt)
-        return M.logits_at(eng.params, hv)
-    out["verify_ms"] = timeit(verify, state.kv_k, state.kv_v,
+        return M.logits_at(params, hv)
+    out["verify_ms"] = timeit(verify, eng.params, state.kv_k, state.kv_v,
                               state.cache_lens, iters=20)
 
     # --- vanilla decomposition: the T=1 target forward without the head,
@@ -174,35 +177,36 @@ def main():
     smask1 = jnp.ones((b, 1, 1), bool)
 
     @jax.jit
-    def append_only(kv_k, kv_v, cache_lens):
+    def append_only(params, kv_k, kv_v, cache_lens):
         h, _, _ = M.forward_append(
-            eng.params, cfg, one_tok, cache_lens[:, None], smask1,
+            params, cfg, one_tok, cache_lens[:, None], smask1,
             cache_lens, kv_k, kv_v, attn_impl=ecfg.attn_impl,
             compute_dtype=eng._cdt)
         return h[:, 0, :4]
-    out["append1_ms"] = timeit(append_only, state.kv_k, state.kv_v,
-                               state.cache_lens, iters=20)
+    out["append1_ms"] = timeit(append_only, eng.params, state.kv_k,
+                               state.kv_v, state.cache_lens, iters=20)
     hrow = jnp.zeros((b, cfg.hidden_size), jnp.float32)
 
     @jax.jit
-    def head_only(h):
-        return M.logits_at(eng.params, h)[:, :8]
-    out["lm_head_ms"] = timeit(head_only, hrow, iters=20)
+    def head_only(params, h):
+        return M.logits_at(params, h)[:, :8]
+    out["lm_head_ms"] = timeit(head_only, eng.params, hrow, iters=20)
 
     # --- draft re-encode of A accepted tokens ---
     from longspec_tpu.models import glide as G
     acc = jnp.asarray(prompt[:, :A], jnp.int32)
     @jax.jit
-    def reenc(st_):
+    def reenc(params, dpar, st_):
         pos = st_.d_cache_lens[:, None] + jnp.arange(A)[None, :]
-        emb = M.embed(eng.params, acc)
+        emb = M.embed(params, acc)
         h, _, _ = G.glide_forward(
-            eng._decode_draft_params, cfg, dcfg, emb, pos,
+            dpar, cfg, dcfg, emb, pos,
             st_.d_kv_k, st_.d_kv_v, st_.d_cache_lens,
             st_.kv_k[-1], st_.kv_v[-1], pos,
             attn_impl=ecfg.attn_impl, write_at=st_.d_cache_lens)
         return h[:, -1, 0]
-    out["draft_reenc_ms"] = timeit(reenc, state, iters=20)
+    out["draft_reenc_ms"] = timeit(reenc, eng.params,
+                                   eng._decode_draft_params, state, iters=20)
 
     # --- one expansion level (width = level-2 width) + beam top-k ---
     c_l = ecfg.tree_shape[0]
@@ -211,20 +215,22 @@ def main():
     tk = jnp.zeros((b, N, cfg.num_kv_heads, cfg.head_dim_), jnp.bfloat16)
     tv = jnp.zeros((b, N, cfg.num_kv_heads, cfg.head_dim_), jnp.bfloat16)
     @jax.jit
-    def level(st_, tk_, tv_):
-        emb_l = M.embed(eng.params, toks_l)
+    def level(params, dpar, st_, tk_, tv_):
+        emb_l = M.embed(params, toks_l)
         pos_l = jnp.broadcast_to((st_.d_cache_lens - 1 + 1)[:, None], (b, c_l))
         h_l, tk2, tv2 = G.glide_forward(
-            eng._decode_draft_params, cfg, dcfg, emb_l, pos_l,
+            dpar, cfg, dcfg, emb_l, pos_l,
             st_.d_kv_k, st_.d_kv_v, st_.d_cache_lens,
             st_.kv_k[-1], st_.kv_v[-1],
             jnp.broadcast_to(st_.cache_lens[:, None], (b, c_l)),
             suffix_mask=sfx, attn_impl=ecfg.attn_impl,
             suffix_kv=(tk_, tv_), suffix_write_offset=1)
-        vals, ids = eng._beam_topk(eng.params, h_l, ecfg.tree_shape[1]
+        vals, ids = eng._beam_topk(params, h_l, ecfg.tree_shape[1]
                                    if len(ecfg.tree_shape) > 1 else 4)
         return vals
-    out["draft_level_ms"] = timeit(level, state, tk, tv, iters=20)
+    out["draft_level_ms"] = timeit(level, eng.params,
+                                   eng._decode_draft_params, state, tk, tv,
+                                   iters=20)
 
     gamma = ecfg.tree_depth
     modeled = (out["verify_ms"] + out["draft_reenc_ms"]
