@@ -147,6 +147,25 @@ def qkv(x, lp, cfg: ModelConfig):
             v.reshape(b, t, cfg.num_kv_heads, hd))
 
 
+def _index_layer(cache, i):
+    """cache[i] along the leading [L] axis with a traced index; QuantKV
+    slices both fields."""
+    if isinstance(cache, qkv8.QuantKV):
+        return qkv8.QuantKV(
+            jax.lax.dynamic_index_in_dim(cache.qv, i, 0, False),
+            jax.lax.dynamic_index_in_dim(cache.scale, i, 0, False))
+    return jax.lax.dynamic_index_in_dim(cache, i, 0, False)
+
+
+def _update_layer(cache, sl, i):
+    """Write layer slice `sl` back at index i (in-place-aliasable DUS)."""
+    if isinstance(cache, qkv8.QuantKV):
+        return qkv8.QuantKV(
+            jax.lax.dynamic_update_index_in_dim(cache.qv, sl.qv, i, 0),
+            jax.lax.dynamic_update_index_in_dim(cache.scale, sl.scale, i, 0))
+    return jax.lax.dynamic_update_index_in_dim(cache, sl, i, 0)
+
+
 def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
     """Write new[b] (T rows) into cache[b] at sequence offset starts[b].
 
@@ -557,8 +576,19 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             return write_paged_rows(c, new, tables, write_at)
         return write_cache_rows(c, new, write_at)
 
-    def layer(h, lp_kv):
-        lp, (ck, cv) = lp_kv
+    # The caches ride the layer scan as CARRY (per-layer dynamic slice +
+    # in-place dynamic-update), NOT as scan xs->ys: stacked ys would
+    # allocate a second full [L,...] cache every call — at 131k context
+    # that is +4.4GB (K+V int8) live per decode step / prefill segment,
+    # measured as the AllocateBuffer pair that pushed the long_128k graph
+    # to 17.4G. A carry updates in place. The per-layer math is unchanged
+    # (the kernel always read a per-layer slice), so results are
+    # bit-identical to the xs/ys form.
+    def layer(carry, lp_li):
+        h, kv_k_c, kv_v_c = carry
+        lp, li = lp_li
+        ck = _index_layer(kv_k_c, li)
+        cv = _index_layer(kv_v_c, li)
         x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
@@ -566,6 +596,8 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         if not collect_kv:
             ck = write_rows(ck, k)
             cv = write_rows(cv, v)
+            kv_k_c = _update_layer(kv_k_c, ck, li)
+            kv_v_c = _update_layer(kv_v_c, cv, li)
         o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens, positions,
                                              cfg.sliding_window,
                                              cfg.attn_sinks, attn_impl,
@@ -577,7 +609,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             h = h + o
             x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
             h = h + mlp(x, lp)
-            return h, ((ck, cv), (k, v))
+            return (h, kv_k_c, kv_v_c), (k, v)
         if isinstance(ck, qkv8.QuantKV):
             # suffix attention sees exactly what a later CACHED read of these
             # rows will see — required for spec-vs-vanilla token exactness
@@ -595,10 +627,11 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         h = h + o
         x = rms_norm(h, lp["post_norm"], cfg.rms_norm_eps)
         h = h + mlp(x, lp)
-        return h, ((ck, cv), (k, v))
+        return (h, kv_k_c, kv_v_c), (k, v)
 
-    h, ((kv_k, kv_v), (new_k, new_v)) = jax.lax.scan(
-        layer, h, (params["layers"], (kv_k, kv_v)))
+    (h, kv_k, kv_v), (new_k, new_v) = jax.lax.scan(
+        layer, (h, kv_k, kv_v),
+        (params["layers"], jnp.arange(cfg.num_layers)))
     out = _final(params, cfg, h)
     if collect_kv:
         return out, kv_k, kv_v, new_k, new_v
