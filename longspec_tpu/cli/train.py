@@ -96,6 +96,8 @@ def main(argv=None):
             accum_steps=tr.get("accum_steps", 1),
             offset_cap=tr.get("offset_cap", 30000),
             teacher_unroll=tr.get("teacher_unroll", False),
+            teacher_pp=tr.get("teacher_pp", 0),
+            pp_micro=tr.get("pp_micro", 2),
             lora_rank=tr.get("lora_rank", 0),
             lora_scale=tr.get("lora_scale", 1.0),
             mesh=mesh, seed=exp.get("seed", 0))

@@ -102,8 +102,11 @@ def pipeline_apply(mesh: Mesh, layers, cfg: ModelConfig, h: jnp.ndarray,
     sin_s = sin.reshape(n_micro, mb, s, sin.shape[-1])
     len_s = lengths.reshape(n_micro, mb)
 
-    dp_in_mesh = "dp" in mesh.axis_names
-    dspec = (P(None, "dp") if dp_in_mesh else P())  # microbatch rows over dp
+    # microbatch rows shard over dp only when they divide it; otherwise the
+    # data replicates across dp (correct, just idle pipelines — e.g. tiny
+    # CI batches on a big mesh)
+    dp_in_mesh = ("dp" in mesh.axis_names and mesh.shape["dp"] > 1
+                  and mb % mesh.shape["dp"] == 0)
 
     def dat(rank):
         if not dp_in_mesh:

@@ -38,6 +38,7 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
           anchor_offset: bool = True, resume: bool = True,
           accum_steps: int = 1, lora_rank: int = 0, lora_scale: float = 1.0,
           offset_cap: int = 30000, teacher_unroll: bool = False,
+          teacher_pp: int = 0, pp_micro: int = 2,
           mesh=None, seed: int = 0) -> dict:
     """Run draft training; returns the final draft params.
 
@@ -67,11 +68,19 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
         to_deploy = lambda tr: merge_lora(draft_params, tr, lora_scale)
     else:
         trainable = draft_params
+        pp_mesh = None
+        if teacher_pp > 1:
+            # frozen-teacher pipeline parallelism (config train.teacher_pp):
+            # stages over `pp`, remaining devices as data-parallel pipelines
+            from ..parallel.pipeline import make_pp_mesh
+            n_dev = len(jax.devices())
+            pp_mesh = make_pp_mesh(teacher_pp, dp=max(1, n_dev // teacher_pp))
         step_fn = T.make_train_step(cfg, dcfg, opt, attn_impl=attn_impl,
                                     anchor_offset=anchor_offset,
                                     accum_steps=accum_steps,
                                     offset_cap=offset_cap,
-                                    teacher_unroll=teacher_unroll)
+                                    teacher_unroll=teacher_unroll,
+                                    pp_mesh=pp_mesh, pp_micro=pp_micro)
         to_deploy = lambda tr: tr
     # the jitted step donates its state: train on a copy so the caller's
     # draft_params stay alive (the draft is one layer — the copy is tiny)

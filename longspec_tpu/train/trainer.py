@@ -61,17 +61,30 @@ def glide_training_loss(draft_params, target_params, cfg: ModelConfig,
                         dcfg: DraftConfig, tokens, labels, positions,
                         pad_size, compute_llm_loss: bool = False,
                         attn_impl: str = "chunked",
-                        teacher_unroll: bool = False):
+                        teacher_unroll: bool = False, pp_mesh=None,
+                        pp_micro: int = 2):
     """Draft CE loss (and optional frozen-target loss for logging).
 
     ``teacher_unroll`` unrolls the frozen teacher's layer scan (see
     `models.llama.forward_train`): at seq >= 16k the scanned form's stacked
     carry double-buffers ~GB blocks and fragments HBM — required for the
-    stage-2 long-data recipe (`configs/exp/draft_long.yaml`) on one chip."""
+    stage-2 long-data recipe (`configs/exp/draft_long.yaml`) on one chip.
+
+    ``pp_mesh``: run the frozen teacher pipeline-parallel over the mesh's
+    `pp` axis (`parallel.pipeline`, config key train.teacher_pp) — each
+    stage holds L/pp teacher layers, so a teacher too big for one chip's
+    HBM trains the draft across chips without ZeRO-3-style gathers."""
     target_params = jax.lax.stop_gradient(target_params)
-    hidden_t, (llm_k, llm_v) = M.forward_train(
-        target_params, cfg, tokens, positions=positions, return_last_kv=True,
-        attn_impl=attn_impl, unroll_layers=teacher_unroll)
+    if pp_mesh is not None:
+        from ..parallel.pipeline import pipeline_forward_train
+        hidden_t, (llm_k, llm_v) = pipeline_forward_train(
+            pp_mesh, target_params, cfg, tokens, positions=positions,
+            n_micro=pp_micro, attn_impl=attn_impl, return_last_kv=True)
+    else:
+        hidden_t, (llm_k, llm_v) = M.forward_train(
+            target_params, cfg, tokens, positions=positions,
+            return_last_kv=True, attn_impl=attn_impl,
+            unroll_layers=teacher_unroll)
     llm_k = jax.lax.stop_gradient(llm_k)
     llm_v = jax.lax.stop_gradient(llm_v)
 
@@ -121,7 +134,8 @@ def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                     max_len_for_offset: Optional[int] = None,
                     anchor_offset: bool = True, compute_llm_loss: bool = False,
                     attn_impl: str = "chunked", accum_steps: int = 1,
-                    offset_cap: int = 30000, teacher_unroll: bool = False):
+                    offset_cap: int = 30000, teacher_unroll: bool = False,
+                    pp_mesh=None, pp_micro: int = 2):
     """Returns jitted step(state, target_params, tokens, labels, rng) ->
     (state, metrics).
 
@@ -150,7 +164,8 @@ def make_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                 return glide_training_loss(p, target_params, cfg, dcfg, toks,
                                            labs, positions, pad_size,
                                            compute_llm_loss, attn_impl,
-                                           teacher_unroll=teacher_unroll)
+                                           teacher_unroll=teacher_unroll,
+                                           pp_mesh=pp_mesh, pp_micro=pp_micro)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(dp)
 

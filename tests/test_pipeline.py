@@ -74,6 +74,43 @@ def test_pipeline_grad_matches_scan():
                                    atol=1e-5, rtol=1e-4, err_msg=k)
 
 
+def test_pp_teacher_train_step_matches_plain():
+    """train.teacher_pp: the frozen-teacher forward runs pipeline-parallel
+    inside the draft train step; loss and draft grads must match the
+    single-device teacher (the teacher is frozen — only its ACTIVATIONS
+    flow into the draft loss)."""
+    from longspec_tpu.config import DraftConfig
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.train import trainer as T
+
+    cfg, params, tokens, lengths = _setup(seed=7, L=4, B=4, S=24)
+    dcfg = DraftConfig(window=8)
+    dparams = G.init_draft_params(jax.random.PRNGKey(11), cfg)
+    opt = T.make_optimizer(lr=1e-3, warmup_steps=2, total_steps=10)
+    mesh = PP.make_pp_mesh(2, dp=2)
+    labels = tokens
+
+    def run(pp_mesh):
+        step = T.make_train_step(cfg, dcfg, opt, anchor_offset=False,
+                                 pp_mesh=pp_mesh, pp_micro=2)
+        state = T.init_train_state(
+            jax.tree_util.tree_map(jnp.copy, dparams), opt)
+        with (pp_mesh or jax.sharding.Mesh(np.asarray(jax.devices()[:1]),
+                                           ("x",))):
+            state, metrics = step(state, params, tokens, labels,
+                                  jax.random.PRNGKey(3))
+        return float(metrics["loss"]), state.draft_params
+
+    loss_ref, dp_ref = run(None)
+    loss_pp, dp_pp = run(mesh)
+    assert abs(loss_ref - loss_pp) < 1e-4, (loss_ref, loss_pp)
+    ra = jax.tree_util.tree_leaves(dp_ref)
+    rb = jax.tree_util.tree_leaves(dp_pp)
+    for a, b in zip(ra, rb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
 def test_pipeline_sharded_params_and_jit():
     """End-to-end under jit with the stage-sharded layer stack placed via
     shard_layers_pp (the deployment form: each device holds L/pp layers)."""
