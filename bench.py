@@ -236,8 +236,13 @@ SPECS = {
     # bf16) to fit the 16GB chip. target_quant redefines the target function
     # for BOTH arms identically, so the row's speedup/losslessness semantics
     # are unchanged.
-    "long_262k": dict(_HARD, ctx=262144, attn_best="pallas",
-                      tree_best="4,16,16,16,16,16", kv_quant="int8",
+    # kv_ring: O(window) TARGET ring cache (ops/ring_cache.py) — positions
+    # outside window+sinks are unreachable under the decode window, so the
+    # cache holds 22528 physical rows (1.5GB bf16) instead of 262k (8.6GB
+    # int8). The full-length graphs at 262k need >19G on the 15.75G chip
+    # (cache + XLA relayout/remat copies); the ring fits with GBs to spare.
+    "long_262k": dict(_HARD, ctx=262144, attn_best="chunked",
+                      tree_best="4,16,16,16,16,16", kv_ring=22528,
                       gen=64, draft_ring=1024, prefill_seg=8192,
                       target_quant="int8"),
 }
@@ -734,7 +739,8 @@ def main():
                                 draft_head=args.draft_head,
                                 draft_compute=args.draft_compute,
                                 kv_quant=row_kvq,
-                                prefill_seg=sp.get("prefill_seg"))
+                                prefill_seg=sp.get("prefill_seg"),
+                                kv_ring=sp.get("kv_ring"))
             lang, n_states, seq, ctx = (sp["lang"], sp["n_states"],
                                         sp["seq"], sp["ctx"])
             tag = row_tag(name)

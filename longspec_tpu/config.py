@@ -165,6 +165,16 @@ class EngineConfig:
     # differ from kv_quant="none" the way any serving-side KV quantization
     # does. Draft cache and training are untouched.
     kv_quant: str = "none"  # "none" | "int8"
+    # O(window) TARGET KV ring cache (`ops/ring_cache.py`): with sliding-
+    # window + sink decode attention, positions outside the window are
+    # unreachable, so the cache holds `kv_ring` physical rows instead of
+    # O(context) — a 262144-token windowed decode fits one 16GB chip with
+    # GBs to spare (~0.7GB bf16 at window 12288 vs 8.6GB int8 full-length).
+    # Requires cfg.sliding_window; capacity must cover
+    # sinks + max(window, ca_window) + max writes per dispatch (validated).
+    # Both arms of a comparison share the ring, so T=0 exactness holds by
+    # the same shared-law argument as everything else.
+    kv_ring: Optional[int] = None
     # Segmented prompt prefill: process the prompt in fixed-size segments,
     # each writing its KV rows first and then attending the cache under a
     # per-query causal bound (forward_append suffix_mask=None) — O(segment)

@@ -252,6 +252,40 @@ class SpecEngine:
                 raise ValueError(f"ring_size {dcfg.ring_size} < safe minimum "
                                  f"{need} for window={dcfg.window}, "
                                  f"anchors={dcfg.anchors}, this engine config")
+        # O(window) target ring cache (EngineConfig.kv_ring, ops/ring_cache)
+        self._ring = None
+        if ecfg.kv_ring is not None:
+            if cfg.sliding_window is None:
+                raise ValueError("kv_ring requires a sliding window "
+                                 "(ModelConfig.sliding_window): a full-"
+                                 "attention target cannot evict rows")
+            if ecfg.kv_quant != "none":
+                raise ValueError("kv_ring + kv_quant do not compose (the "
+                                 "ring is already O(window) small — bf16 "
+                                 "rows cost less than the int8 machinery)")
+            if not (isinstance(ecfg.attn_impl, str)
+                    and ecfg.attn_impl in ("dense", "chunked", "pallas")):
+                raise ValueError("kv_ring supports dense/chunked/pallas "
+                                 "engines (the ring has its own chunked "
+                                 "attention path)")
+            if not ecfg.prefill_seg:
+                raise ValueError("kv_ring requires prefill_seg: the one-shot"
+                                 " prefill would need the O(context) cache "
+                                 "the ring exists to avoid")
+            if dcfg.ca_anchors != cfg.attn_sinks:
+                raise ValueError(f"kv_ring pins {cfg.attn_sinks} sink rows; "
+                                 f"draft ca_anchors={dcfg.ca_anchors} must "
+                                 "match (the CA recovers ring positions "
+                                 "with the same geometry)")
+            reach = max(cfg.sliding_window, dcfg.ca_window or 0)
+            writes = max(ecfg.prefill_seg, ecfg.tree_size + 1, ecfg.gamma + 1)
+            need = cfg.attn_sinks + reach + writes + 16
+            if ecfg.kv_ring < need:
+                raise ValueError(f"kv_ring={ecfg.kv_ring} < safe minimum "
+                                 f"{need} (sinks {cfg.attn_sinks} + reach "
+                                 f"{reach} + max writes/dispatch {writes} "
+                                 "+ slack)")
+            self._ring = cfg.attn_sinks
         self._qhead = None
         if ecfg.draft_head in ("int8", "int4"):
             w = M.lm_head_weight(params)
@@ -363,6 +397,10 @@ class SpecEngine:
             shape = (self.cfg.num_layers, batch, self.cfg.num_kv_heads,
                      s_max, self.cfg.head_dim_)
             kv_k, kv_v = alloc_quant_kv(shape), alloc_quant_kv(shape)
+        elif self.ecfg.kv_ring is not None:
+            # O(window) ring: physical rows independent of context length
+            kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch,
+                                          self.ecfg.kv_ring, dtype)
         else:
             kv_k, kv_v = M.alloc_kv_cache(self.cfg, batch, s_max, dtype)
         hd = self.cfg.head_dim_
@@ -468,7 +506,8 @@ class SpecEngine:
             starts = jnp.full((b,), 1, jnp.int32) * start
             h, kv_k, kv_v = M.forward_append(
                 params, cfg, toks, pos, None, k_hi, kv_k, kv_v,
-                attn_impl=ecfg.attn_impl, write_at=starts)
+                attn_impl=ecfg.attn_impl, write_at=starts,
+                ring_anchors=self._ring)
             # capture the hidden row at lengths-1 when it falls in this seg
             li = jnp.clip(lengths - 1 - start, 0, seg - 1)
             h_at = jnp.take_along_axis(h, li[:, None, None], axis=1)[:, 0]
@@ -478,12 +517,14 @@ class SpecEngine:
             # draft layer over the same segment (lag-0 causal CA over the
             # target rows just written)
             emb = M.embed(params, toks)
+            seg_written = jnp.minimum(start + seg, lengths)
             _, dkk, dkv = G.glide_forward(
                 draft_params, cfg, dcfg, emb, pos, dkk, dkv, k_hi,
                 kv_k[-1], kv_v[-1], k_hi, attn_impl=ecfg.attn_impl,
                 write_at=starts, no_suffix=True,
                 write_valid=pos < lengths[:, None],
-                d_written=jnp.minimum(start + seg, lengths))
+                d_written=seg_written,
+                llm_ring_anchors=self._ring, llm_written=seg_written)
             return (kv_k, kv_v, dkk, dkv, last_h), None
 
         last_h0 = jnp.zeros((b, d0), jnp.float32)
@@ -521,7 +562,8 @@ class SpecEngine:
             h, kv_k, kv_v = M.forward_append(
                 params, cfg, cur[:, None], pos, smask, st.cache_lens,
                 st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl,
-                tables=st.tables, compute_dtype=self._cdt)
+                tables=st.tables, compute_dtype=self._cdt,
+                ring_anchors=self._ring)
             logits = M.logits_at(params, h[:, 0])
             nxt = _sample(logits, k1, self.ecfg.temperature)
             nxt = jnp.where(done, cfg.eos_token_id, nxt)
@@ -566,7 +608,8 @@ class SpecEngine:
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
             st.kv_k[-1], st.kv_v[-1], ca_hi,
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens,
-            tables=st.tables)
+            tables=st.tables,
+            llm_ring_anchors=self._ring, llm_written=st.cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
         logits = self._draft_logits(params, bonus_h)  # [B, V] fp32
@@ -600,7 +643,8 @@ class SpecEngine:
                 draft_params, cfg, dcfg, embi, posi, dkk, dkv, dcl,
                 st.kv_k[-1], st.kv_v[-1], st.cache_lens[:, None],
                 suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl,
-                tables=st.tables)
+                tables=st.tables,
+                llm_ring_anchors=self._ring, llm_written=st.cache_lens)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             li = self._draft_logits(params, hi[:, 0])
             cur = draft_sample(li, jax.random.fold_in(k_draft, s_i))
@@ -617,7 +661,7 @@ class SpecEngine:
         hv, kv_k, kv_v = M.forward_append(
             params, cfg, spec, pos_t, cmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
-            compute_dtype=self._cdt)
+            compute_dtype=self._cdt, ring_anchors=self._ring)
         ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
         if per_row:
             emit, correct_len, rng = _chain_accept_rows(
@@ -775,7 +819,7 @@ class SpecEngine:
         hv, kv_k, kv_v = M.forward_append(
             params, cfg, spec, pos_t, cmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
-            compute_dtype=self._cdt)
+            compute_dtype=self._cdt, ring_anchors=self._ring)
         ver_logits = M.logits_at(params, hv)
         if per_row:
             emit, correct_len, rng = _chain_accept_rows(
@@ -828,7 +872,8 @@ class SpecEngine:
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
             st.kv_k[-1], st.kv_v[-1], ca_hi,
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens,
-            tables=st.tables)
+            tables=st.tables,
+            llm_ring_anchors=self._ring, llm_written=st.cache_lens)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         root_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
 
@@ -912,7 +957,8 @@ class SpecEngine:
                 jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
                 suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
                 suffix_kv=(tk, tv), suffix_write_offset=lo,
-                d_written=d_cache_lens, tables=st.tables)
+                d_written=d_cache_lens, tables=st.tables,
+                llm_ring_anchors=self._ring, llm_written=st.cache_lens)
             if need_q:
                 logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l),
                                             axis=-1)
@@ -989,7 +1035,8 @@ class SpecEngine:
         hv, _, _, new_k, new_v = M.forward_append(
             params, cfg, tree_tokens, pos_t, tmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
-            tables=st.tables, compute_dtype=self._cdt)
+            tables=st.tables, compute_dtype=self._cdt,
+            ring_anchors=self._ring)
         tgt_logits = M.logits_at(params, hv)  # [B, N, V] fp32
 
         # ---- 4. accept ----
@@ -1041,6 +1088,16 @@ class SpecEngine:
             wr = jax.vmap(write_paged_rows, in_axes=(0, 0, None, None))
             kv_k = wr(st.kv_k, sel_k, st.tables, st.cache_lens)
             kv_v = wr(st.kv_v, sel_v, st.tables, st.cache_lens)
+        elif self._ring is not None:
+            # ring commit: same slots a vanilla step would write (ring_index
+            # is a pure function of position). Junk rows past the accepted
+            # length land on slots the next round rewrites; capacity slack
+            # >= A keeps every windowed position live (ops/ring_cache).
+            from ..ops.ring_cache import ring_write
+            sinks = self._ring
+            wr = jax.vmap(lambda c, n: ring_write(c, n, st.cache_lens, sinks))
+            kv_k = wr(st.kv_k, sel_k)
+            kv_v = wr(st.kv_v, sel_v)
         else:
             wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
             kv_k = wr(st.kv_k, sel_k, st.cache_lens)
@@ -1139,7 +1196,13 @@ class SpecEngine:
                 input_ids = jnp.pad(input_ids, ((0, 0), (0, pad)),
                                     constant_values=cfg.eos_token_id)
                 s += pad
-        use_seg_prefill = (ecfg.prefill_seg and s > ecfg.prefill_seg
+        if ecfg.kv_ring is not None and method == "magicdec":
+            raise NotImplementedError(
+                "magicdec's sink+recent stream cache is already O(window); "
+                "run it without kv_ring")
+        use_seg_prefill = (ecfg.prefill_seg
+                           and (s > ecfg.prefill_seg
+                                or ecfg.kv_ring is not None)
                            and method != "magicdec"
                            and isinstance(ecfg.attn_impl, str)
                            and ecfg.attn_impl in ("dense", "chunked",

@@ -109,110 +109,13 @@ def quantize_draft_params(draft_params, bits: int = 8):
 
 
 # ---------------------------------------------------------------------------
-# Ring-buffer draft KV cache (DraftConfig.ring_size)
-#
-# The draft's self-attention only ever sees `window` recent positions plus
-# `anchors` sink rows, so its cache needs O(window) physical rows, not
-# O(context): rows [0, anchors) pin the sinks; position p >= anchors lives at
-# physical row anchors + (p - anchors) % W with W = R - anchors. A row's
-# position is recoverable from (row, written_count) alone — the LARGEST
-# congruent position below the written count — so no per-row position state
-# is carried; overwritten positions are exactly the ones that fell out of
-# every reachable window (engine validates W >= window + per-round writes).
+# Ring-buffer draft KV cache (DraftConfig.ring_size) — the machinery lives
+# in ops/ring_cache.py, shared with the TARGET ring cache
+# (EngineConfig.kv_ring). See that module's docstring for the row/position
+# recovery scheme and eviction-safety argument.
 # ---------------------------------------------------------------------------
-
-def ring_index(pos, anchors: int, ring: int):
-    """Physical ring row of absolute position `pos`."""
-    w = ring - anchors
-    return jnp.where(pos < anchors, pos, anchors + (pos - anchors) % w)
-
-
-def ring_positions(d_len, anchors: int, ring: int):
-    """Positions currently held by each physical row, given `d_len` written
-    positions. d_len: [...]-shaped int; returns (pos [..., R], valid [..., R]).
-    Invalid rows (never written) report a position >= d_len."""
-    w = ring - anchors
-    r = jnp.arange(ring)                 # base position of row r is r itself
-    d = d_len[..., None]
-    k = jnp.maximum((d - 1 - r) // w, 0)
-    p = jnp.where(r < anchors, r, r + k * w)
-    valid = p < d
-    return p, valid
-
-
-def ring_write(cache, new, write_at, anchors: int, valid=None):
-    """Scatter T new rows at positions [write_at, write_at+T) into the ring.
-
-    cache: [B, Hkv, R, D]; new: [B, T, Hkv, D]; write_at: [B].
-    `valid` [B, T] masks rows out of the write entirely (segmented prefill:
-    a padded row's junk positions would otherwise wrap the ring and evict
-    live rows — unlike a dense cache, where junk beyond `lengths` is inert).
-
-    When T exceeds the ring's window capacity (segmented prefill with
-    prefill_seg >> ring_size), positions that are guaranteed already
-    evicted by the END of this write are dropped up front: a slot must be
-    scattered at most once per call, because duplicate-index .at[].set
-    ordering is undefined and a stale earlier wrap could otherwise survive
-    as if it were the latest position."""
-    b, t = new.shape[0], new.shape[1]
-    ring = cache.shape[2]
-    pos = write_at[:, None] + jnp.arange(t)[None, :]             # [B, T]
-    w = ring - anchors
-    # per-row effective end: `valid` is a prefix mask (pos < row length), so
-    # the row's last written position is write_at + count(valid) — a padded
-    # row's recent window ends at its LENGTH, not at the segment end
-    if valid is not None:
-        end = write_at + jnp.sum(valid.astype(jnp.int32), axis=1)
-    else:
-        end = write_at + t
-    keep = (pos >= end[:, None] - w) | (pos < anchors)
-    if valid is not None:
-        keep = keep & valid
-    idx = jnp.where(keep, ring_index(pos, anchors, ring), ring)  # OOB -> drop
-
-    def one(c, n, i):
-        return c.at[:, i, :].set(n.astype(c.dtype), mode="drop")
-
-    return jax.vmap(one)(cache, new.transpose(0, 2, 1, 3), idx)
-
-
-def ring_fill_from_prefill(k_t, v_t, lengths, cache_k, cache_v, anchors: int):
-    """Populate the ring from full prefill K/V (cache layout [B, Hkv, S, D]):
-    for each ring row, gather the position it should hold at d_len=lengths.
-    Rows not yet reachable are zeroed."""
-    ring = cache_k.shape[2]
-    pos, valid = ring_positions(lengths, anchors, ring)
-    src = jnp.clip(pos, 0, k_t.shape[2] - 1)[:, None, :, None]   # [B,1,R,1]
-
-    def gather(full, cache):
-        g = jnp.take_along_axis(full, jnp.broadcast_to(
-            src, (full.shape[0], full.shape[1], ring, full.shape[3])), axis=2)
-        g = jnp.where(valid[:, None, :, None], g, 0)
-        return g.astype(cache.dtype)
-
-    return gather(k_t, cache_k), gather(v_t, cache_v)
-
-
-def ring_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
-                          window, anchors: int):
-    """Draft-prefix attention over the ring: dense masked attention with the
-    mask built from RECOVERED key positions (the ring is ~window-sized, so
-    dense-on-MXU is the right shape). Semantics match
-    `sliced_prefix_attention` over a full-length cache restricted to
-    window+anchors visibility. Returns (o fp32, lse fp32)."""
-    b, tq = q.shape[:2]
-    ring = cache_k.shape[2]
-    if k_hi.ndim == 1:
-        k_hi = jnp.broadcast_to(k_hi[:, None], (b, tq))
-    pos, valid = ring_positions(d_len, anchors, ring)        # [B, R]
-    mask = valid[:, None, :] & (pos[:, None, :] < k_hi[:, :, None])
-    if window is not None:
-        vis = pos[:, None, :] >= q_pos[:, :, None] - window
-        if anchors > 0:
-            vis = vis | (pos[:, None, :] < anchors)
-        mask = mask & vis
-    return att.attend_masked(q, cache_k.transpose(0, 2, 1, 3),
-                             cache_v.transpose(0, 2, 1, 3), mask)
+from ..ops.ring_cache import (ring_index, ring_positions, ring_write,
+                              ring_fill_from_prefill, ring_prefix_attention)
 
 
 def _proj_qkv(x, ap, cfg: ModelConfig):
@@ -258,6 +161,10 @@ def glide_forward(
                                                 # ([B, T] allowed) and rows
                                                 # written before attention
     write_valid: Optional[jnp.ndarray] = None,  # [B, T] ring-write row mask
+    llm_ring_anchors: Optional[int] = None,     # target cache is a ring
+                                                # (EngineConfig.kv_ring):
+                                                # CA recovers key positions
+    llm_written: Optional[jnp.ndarray] = None,  # [B] target written count
 ):
     """One GLIDE layer step over T new tokens.
 
@@ -347,9 +254,16 @@ def glide_forward(
     x = rms_norm(hidden, draft_params["post_sa_norm"], cfg.rms_norm_eps)
     qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
     qc = apply_rope(qc, cos, sin)
-    o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi, positions,
-                                     dcfg.ca_window, dcfg.ca_anchors,
-                                     attn_impl, tables=tables)
+    if llm_ring_anchors is not None:
+        from ..ops.ring_cache import ring_chunked_prefix_attention
+        o_c, _ = ring_chunked_prefix_attention(
+            qc, llm_k, llm_v, llm_k_hi, positions, llm_written,
+            dcfg.ca_window, llm_ring_anchors)
+    else:
+        o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi,
+                                         positions, dcfg.ca_window,
+                                         dcfg.ca_anchors, attn_impl,
+                                         tables=tables)
     o_c = qdot(o_c.astype(hidden.dtype).reshape(b, t, -1),
                   draft_params["ca"]["wo"])
     hidden = hidden + o_c

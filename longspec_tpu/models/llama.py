@@ -176,16 +176,21 @@ def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
     in-place DUS when the buffer is donated/aliased).
     """
     if isinstance(cache, qkv8.QuantKV):
-        q8, sc = qkv8.quantize(new)                    # [B,T,H,D], [B,T,H]
+        # quantize AFTER transposing to cache layout: the scale update is
+        # then produced [B, Hkv, T] with T minor, matching cache.scale's
+        # S-minor layout. Quantizing first and transposing the scale
+        # ([B,T,Hkv] -> [B,Hkv,T]) invites XLA to instead relayout the
+        # WHOLE cache.scale operand Hkv-minor — Hkv=8 in the 128-lane dim
+        # pads 16x, turning 134MB of scales into 2GB at 262k context
+        # (measured; the quantize itself is per-row and order-independent).
+        q8, sc = qkv8.quantize(new.transpose(0, 2, 1, 3))  # [B,H,T,D], [B,H,T]
 
         def one_q(cq, cs, nq, ns, st):
             cq = jax.lax.dynamic_update_slice(cq, nq, (0, st, 0))
             cs = jax.lax.dynamic_update_slice(cs, ns, (0, st))
             return cq, cs
 
-        qv, scale = jax.vmap(one_q)(cache.qv, cache.scale,
-                                    q8.transpose(0, 2, 1, 3),
-                                    sc.transpose(0, 2, 1), starts)
+        qv, scale = jax.vmap(one_q)(cache.qv, cache.scale, q8, sc, starts)
         return qkv8.QuantKV(qv, scale)
 
     def one(c, n, s):
@@ -525,7 +530,8 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                    positions: jnp.ndarray, suffix_mask: jnp.ndarray,
                    cache_lens: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                    attn_impl: str = "dense", write_at: Optional[jnp.ndarray] = None,
-                   collect_kv: bool = False, tables=None, compute_dtype=None):
+                   collect_kv: bool = False, tables=None, compute_dtype=None,
+                   ring_anchors: Optional[int] = None):
     """Hybrid-attention step over T new tokens.
 
     tokens: [B, T]; positions: [B, T] absolute; suffix_mask: [B, T, T]
@@ -556,6 +562,12 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     Cache rows are still stored in the cache dtype, and the suffix attention
     sees the STORED (rounded/quantized) values — what any later cached read
     of those rows sees — on every path.
+
+    ``ring_anchors``: the caches are O(window) RING buffers ([L,B,Hkv,R,D],
+    `ops.ring_cache`, EngineConfig.kv_ring) with that many pinned sink rows;
+    prefix attention recovers key positions from the written count and runs
+    one chunked online-softmax law for every T (decode, verify, prefill
+    segment). Requires a sliding window (the engine validates capacity).
     """
     b, t = tokens.shape
     hd = cfg.head_dim_
@@ -565,8 +577,23 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     h = embed(params, tokens)
     if compute_dtype is not None:
         h = h.astype(compute_dtype)
+    if ring_anchors is not None:
+        from ..ops import ring_cache as rc
+        # prefix mask of really-written rows (segmented prefill: padded
+        # rows past a row's length must not wrap the ring)
+        ring_valid = (cache_lens > positions) if cache_lens.ndim == 2 else None
+        if cache_lens.ndim == 2:
+            ring_written = jnp.max(cache_lens, axis=1)      # post-write count
+        elif collect_kv:
+            ring_written = cache_lens                        # nothing written
+        else:
+            ring_written = cache_lens + t
 
     def write_rows(c, new):
+        if ring_anchors is not None:
+            from ..ops import ring_cache as rc
+            return rc.ring_write(c, new, write_at, ring_anchors,
+                                 valid=ring_valid)
         if attn_impl == "sp":
             from ..parallel.ring import sp_write_cache_rows
             return sp_write_cache_rows(attn_impl.mesh, c, new, write_at,
@@ -593,15 +620,28 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+        # Write BEFORE the attention read on every path: the attention
+        # kernel then consumes the post-write buffer (no anti-dependency
+        # from a pre-write view into the carry that a later DUS would
+        # invalidate — that ordering measurably costs whole-cache defensive
+        # copies at 262k). Decode prefix bounds (k_hi = cache_lens) never
+        # cover the new rows, so results are unchanged.
         if not collect_kv:
             ck = write_rows(ck, k)
             cv = write_rows(cv, v)
             kv_k_c = _update_layer(kv_k_c, ck, li)
             kv_v_c = _update_layer(kv_v_c, cv, li)
-        o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens, positions,
-                                             cfg.sliding_window,
-                                             cfg.attn_sinks, attn_impl,
-                                             tables=tables)
+        if ring_anchors is not None:
+            from ..ops import ring_cache as rc
+            o_p, lse_p = rc.ring_chunked_prefix_attention(
+                q, ck, cv, cache_lens, positions, ring_written,
+                cfg.sliding_window, ring_anchors)
+        else:
+            o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens,
+                                                 positions,
+                                                 cfg.sliding_window,
+                                                 cfg.attn_sinks, attn_impl,
+                                                 tables=tables)
         if suffix_mask is None:
             # segmented prefill: causality is fully encoded in the per-query
             # prefix bound (rows were written above); no suffix term

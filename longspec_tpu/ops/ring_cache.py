@@ -1,0 +1,195 @@
+"""Ring-buffer KV cache: O(window) physical rows for windowed attention.
+
+Shared by the DRAFT cache (`DraftConfig.ring_size`, models/glide.py) and the
+TARGET cache (`EngineConfig.kv_ring`, engine/engine.py). A model whose
+decode-time attention is sliding-window + sinks only ever reaches `window`
+recent positions plus `anchors` sink rows, so the cache needs O(window)
+physical rows, not O(context): rows [0, anchors) pin the sinks; position
+p >= anchors lives at physical row anchors + (p - anchors) % W with
+W = R - anchors. A row's position is recoverable from (row, written count)
+alone — the LARGEST congruent position below the written count — so no
+per-row position state is carried; overwritten positions are exactly the
+ones that fell out of every reachable window (callers validate
+W >= window + writes-per-dispatch).
+
+This replaces the reference's approach of *renting bigger GPUs* for its
+262k-context registry entries (`inference_long-bench.py:58-61`): a 262144-
+token windowed decode fits one 16GB v5e with GBs to spare.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import attention as att
+
+
+def ring_index(pos, anchors: int, ring: int):
+    """Physical ring row of absolute position `pos`."""
+    w = ring - anchors
+    return jnp.where(pos < anchors, pos, anchors + (pos - anchors) % w)
+
+
+def ring_positions(d_len, anchors: int, ring: int):
+    """Positions currently held by each physical row, given `d_len` written
+    positions. d_len: [...]-shaped int; returns (pos [..., R], valid [..., R]).
+    Invalid rows (never written) report a position >= d_len."""
+    w = ring - anchors
+    r = jnp.arange(ring)                 # base position of row r is r itself
+    d = d_len[..., None]
+    k = jnp.maximum((d - 1 - r) // w, 0)
+    p = jnp.where(r < anchors, r, r + k * w)
+    valid = p < d
+    return p, valid
+
+
+def ring_write(cache, new, write_at, anchors: int, valid=None):
+    """Scatter T new rows at positions [write_at, write_at+T) into the ring.
+
+    cache: [B, Hkv, R, D]; new: [B, T, Hkv, D]; write_at: [B].
+    `valid` [B, T] masks rows out of the write entirely (segmented prefill:
+    a padded row's junk positions would otherwise wrap the ring and evict
+    live rows — unlike a dense cache, where junk beyond `lengths` is inert).
+
+    When T exceeds the ring's window capacity (segmented prefill with
+    prefill_seg >> ring_size), positions that are guaranteed already
+    evicted by the END of this write are dropped up front: a slot must be
+    scattered at most once per call, because duplicate-index .at[].set
+    ordering is undefined and a stale earlier wrap could otherwise survive
+    as if it were the latest position."""
+    b, t = new.shape[0], new.shape[1]
+    ring = cache.shape[2]
+    pos = write_at[:, None] + jnp.arange(t)[None, :]             # [B, T]
+    w = ring - anchors
+    # per-row effective end: `valid` is a prefix mask (pos < row length), so
+    # the row's last written position is write_at + count(valid) — a padded
+    # row's recent window ends at its LENGTH, not at the segment end
+    if valid is not None:
+        end = write_at + jnp.sum(valid.astype(jnp.int32), axis=1)
+    else:
+        end = write_at + t
+    keep = (pos >= end[:, None] - w) | (pos < anchors)
+    if valid is not None:
+        keep = keep & valid
+    idx = jnp.where(keep, ring_index(pos, anchors, ring), ring)  # OOB -> drop
+
+    def one(c, n, i):
+        return c.at[:, i, :].set(n.astype(c.dtype), mode="drop")
+
+    return jax.vmap(one)(cache, new.transpose(0, 2, 1, 3), idx)
+
+
+def ring_fill_from_prefill(k_t, v_t, lengths, cache_k, cache_v, anchors: int):
+    """Populate the ring from full prefill K/V (cache layout [B, Hkv, S, D]):
+    for each ring row, gather the position it should hold at d_len=lengths.
+    Rows not yet reachable are zeroed."""
+    ring = cache_k.shape[2]
+    pos, valid = ring_positions(lengths, anchors, ring)
+    src = jnp.clip(pos, 0, k_t.shape[2] - 1)[:, None, :, None]   # [B,1,R,1]
+
+    def gather(full, cache):
+        g = jnp.take_along_axis(full, jnp.broadcast_to(
+            src, (full.shape[0], full.shape[1], ring, full.shape[3])), axis=2)
+        g = jnp.where(valid[:, None, :, None], g, 0)
+        return g.astype(cache.dtype)
+
+    return gather(k_t, cache_k), gather(v_t, cache_v)
+
+
+def ring_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
+                          window, anchors: int):
+    """Dense masked attention over the ring, mask built from RECOVERED key
+    positions (right shape when the ring is ~window-sized and T is small).
+    Semantics match `sliced_prefix_attention` over a full-length cache
+    restricted to window+anchors visibility. Returns (o fp32, lse fp32)."""
+    b, tq = q.shape[:2]
+    ring = cache_k.shape[2]
+    if k_hi.ndim == 1:
+        k_hi = jnp.broadcast_to(k_hi[:, None], (b, tq))
+    pos, valid = ring_positions(d_len, anchors, ring)        # [B, R]
+    mask = valid[:, None, :] & (pos[:, None, :] < k_hi[:, :, None])
+    if window is not None:
+        vis = pos[:, None, :] >= q_pos[:, :, None] - window
+        if anchors > 0:
+            vis = vis | (pos[:, None, :] < anchors)
+        mask = mask & vis
+    return att.attend_masked(q, cache_k.transpose(0, 2, 1, 3),
+                             cache_v.transpose(0, 2, 1, 3), mask)
+
+
+def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
+                                  window, anchors: int, chunk: int = 2048):
+    """Chunked online-softmax attention over the ring — the large-T form
+    (segmented prefill runs 8192-query segments; a dense [T, R] mask matrix
+    would be GBs there). Per KV chunk, key positions are RECOVERED from the
+    physical row index and the written count, and the mask/visibility math
+    matches `ring_prefix_attention` exactly. One code path serves T=1
+    decode, T~85 verify and T=8192 prefill segments — the same shared-law
+    property the fp32-island discipline relies on.
+
+    q: [B, T, H, D]; caches: [B, Hkv, R, D]; k_hi: [B] or [B, T]; q_pos and
+    d_len as in `ring_positions`. Returns (o fp32, lse fp32)."""
+    b, tq, h, d = q.shape
+    hkv, ring = cache_k.shape[1], cache_k.shape[2]
+    groups = h // hkv
+    if k_hi.ndim == 1:
+        k_hi2 = jnp.broadcast_to(k_hi[:, None], (b, tq))
+    else:
+        k_hi2 = k_hi
+    qf = (q.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
+    qf = qf.reshape(b, hkv, groups, tq, d)
+    n_chunks = max(1, -(-ring // chunk))
+    pad = n_chunks * chunk - ring
+    w = ring - anchors
+
+    def chunked(cache):
+        arr = cache
+        if pad:
+            arr = jnp.pad(arr, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        arr = arr.reshape(b, hkv, n_chunks, chunk, arr.shape[3])
+        return jnp.moveaxis(arr, 2, 0)
+
+    kc, vc = chunked(cache_k), chunked(cache_v)
+    d_col = d_len[:, None]                                    # [B, 1]
+
+    def body(carry, inp):
+        m_run, l_run, acc = carry
+        kch, vch, c_idx = inp                      # [B, Hkv, chunk, D]
+        r = c_idx * chunk + jnp.arange(chunk)      # physical rows [chunk]
+        # recovered positions per (batch, row): largest congruent < d_len
+        kk = jnp.maximum((d_col - 1 - r[None, :]) // w, 0)
+        p = jnp.where(r[None, :] < anchors, r[None, :], r[None, :] + kk * w)
+        valid = (p < d_col) & (r[None, :] < ring)             # [B, chunk]
+        mask = valid[:, None, :] & (p[:, None, :] < k_hi2[:, :, None])
+        if window is not None:
+            vis = p[:, None, :] >= q_pos[:, :, None] - window
+            if anchors > 0:
+                vis = vis | (p[:, None, :] < anchors)
+            mask = mask & vis                                  # [B, Tq, chunk]
+        mask = mask[:, None, None]                             # [B,1,1,Tq,chunk]
+        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf,
+                         kch.astype(jnp.float32))
+        sco = jnp.where(mask, sco, att.NEG_INF)
+        m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
+        pmat = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
+        alpha = jnp.exp(m_run - m_new)
+        l_new = l_run * alpha + jnp.sum(pmat, axis=-1)
+        pv = jnp.einsum("bhgqk,bhkd->bhgqd", pmat, vch.astype(jnp.float32))
+        acc = acc * alpha[..., None] + pv
+        return (m_new, l_new, acc), None
+
+    m0 = jnp.full((b, hkv, groups, tq), att.NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, hkv, groups, tq), jnp.float32)
+    a0 = jnp.zeros((b, hkv, groups, tq, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0),
+                                  (kc, vc, jnp.arange(n_chunks)))
+    valid_q = l > 0.0
+    o = acc / jnp.where(valid_q, l, 1.0)[..., None]
+    o = jnp.where(valid_q[..., None], o, 0.0)
+    m_safe = jnp.where(m > att.NEG_INF / 2, m, 0.0)
+    lse = jnp.where(valid_q, m_safe + jnp.log(jnp.where(valid_q, l, 1.0)),
+                    -jnp.inf)
+    # [B, Hkv, G, Tq, D] -> [B, Tq, H, D]
+    o = o.reshape(b, hkv * groups, tq, d).transpose(0, 2, 1, 3)
+    lse = lse.reshape(b, hkv * groups, tq).transpose(0, 2, 1)
+    return o, lse

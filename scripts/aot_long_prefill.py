@@ -32,15 +32,30 @@ def main():
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--no-quant-weights", action="store_true")
     ap.add_argument("--attn", type=str, default="pallas")
+    ap.add_argument("--no-draft", action="store_true",
+                    help="lower a target-only segment scan (isolates layout "
+                    "pressure from the draft cross-attention dequant)")
+    ap.add_argument("--mode", type=str, default="prefill",
+                    choices=["prefill", "vanilla", "tree"],
+                    help="which engine graph to AOT-compile")
+    ap.add_argument("--ring", type=int, default=0,
+                    help="EngineConfig.kv_ring rows (0 = full-length cache "
+                    "+ int8 KV, the long_128k form)")
     args = ap.parse_args()
 
     cfg = dataclasses.replace(big_model_config(), sliding_window=12288,
                               attn_sinks=4)
     dcfg = DraftConfig(window=512, ca_window=12288, ca_anchors=4,
                        ring_size=1024)
-    ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16, 16), gamma=4,
-                        temperature=0.0, attn_impl=args.attn,
-                        kv_quant="int8", prefill_seg=args.seg)
+    ap2 = args  # noqa: F841
+    if args.ring:
+        ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16, 16), gamma=4,
+                            temperature=0.0, attn_impl=args.attn,
+                            prefill_seg=args.seg, kv_ring=args.ring)
+    else:
+        ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16, 16), gamma=4,
+                            temperature=0.0, attn_impl=args.attn,
+                            kv_quant="int8", prefill_seg=args.seg)
 
     p_sds = jax.eval_shape(
         lambda: M.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
@@ -61,8 +76,68 @@ def main():
     len_sds = jax.ShapeDtypeStruct((b,), jnp.int32)
     rng_sds = jax.eval_shape(lambda: jax.random.PRNGKey(0))
 
-    fn = jax.jit(functools.partial(eng._prefill_segmented_impl, seg=args.seg),
-                 donate_argnums=(4,))
+    if args.mode in ("vanilla", "tree"):
+        rng0 = jax.random.PRNGKey(0)
+        t0_sds = jax.ShapeDtypeStruct((b,), jnp.int32)
+        if args.mode == "vanilla":
+            carry_sds = jax.eval_shape(
+                lambda st, t0: eng._vanilla_carry(st, t0, args.gen, rng0),
+                state_sds, t0_sds)
+            fn = jax.jit(functools.partial(eng._vanilla_segment,
+                                           max_gen_len=args.gen),
+                         donate_argnums=(1,))
+            lo = fn.lower(p_sds, carry_sds, jax.ShapeDtypeStruct((), jnp.int32))
+        else:
+            A = ecfg.tree_depth + 1
+            carry_sds = jax.eval_shape(
+                lambda st, t0: eng._spec_carry(st, t0, args.gen, rng0, A),
+                state_sds, t0_sds)
+            dq_sds = jax.eval_shape(
+                lambda dp: dp, d_sds)  # decode draft params = bf16 here
+            fn = jax.jit(functools.partial(eng._spec_segment, eng._tree_round),
+                         donate_argnums=(2,))
+            lo = fn.lower(p_sds, dq_sds, carry_sds,
+                          jax.ShapeDtypeStruct((), jnp.int32))
+        try:
+            lo.compile()
+            print("COMPILE OK")
+        except Exception as e:
+            msg = str(e)
+            with open("/tmp/aot_full.log", "w") as f:
+                f.write(msg)
+            i = msg.find("Ran out of memory")
+            print(msg[i:i + 200].splitlines()[0] if i >= 0 else msg[:300])
+            print("full message: /tmp/aot_full.log")
+            sys.exit(1)
+        return
+
+    if args.no_draft:
+        seg = args.seg
+
+        def target_only(params, draft_params, tokens, lengths, state, rng):
+            import jax.numpy as jnp
+            b, s = tokens.shape
+            n_seg = s // seg
+
+            def body(carry, i):
+                kv_k, kv_v = carry
+                start = i * seg
+                toks = jax.lax.dynamic_slice(tokens, (0, start), (b, seg))
+                pos = start + jnp.arange(seg)[None, :]
+                pos = jnp.broadcast_to(pos, (b, seg))
+                k_hi = jnp.minimum(pos + 1, lengths[:, None])
+                starts = jnp.full((b,), 1, jnp.int32) * start
+                h, kv_k, kv_v = M.forward_append(
+                    params, cfg, toks, pos, None, k_hi, kv_k, kv_v,
+                    attn_impl=ecfg.attn_impl, write_at=starts)
+                return (kv_k, kv_v), h[:, -1, :4]
+            (kv_k, kv_v), hh = jax.lax.scan(
+                body, (state.kv_k, state.kv_v), jnp.arange(n_seg))
+            return kv_k, kv_v, hh
+        fn = jax.jit(target_only, donate_argnums=(4,))
+    else:
+        fn = jax.jit(functools.partial(eng._prefill_segmented_impl,
+                                       seg=args.seg), donate_argnums=(4,))
     lo = fn.lower(p_sds, d_sds, tok_sds, len_sds, state_sds, rng_sds)
     try:
         lo.compile()
