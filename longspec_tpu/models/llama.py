@@ -119,8 +119,19 @@ def _mm(x, w):
         w = dequant_param(w, jnp.bfloat16 if x.dtype == jnp.float32
                           else x.dtype)
     if x.dtype == jnp.float32 and w.dtype == jnp.bfloat16:
+        # The bf16 rounding of the activations is LOAD-BEARING, not an
+        # optimization hint: this environment compiles with
+        # --xla_allow_excess_precision=true, under which XLA may elide an
+        # f32->bf16->matmul cast SHAPE-DEPENDENTLY — measured on v5e: the
+        # T=1 vanilla step kept fp32 activations while the T=85 verify
+        # rounded (or vice versa), making the same token's cache K/V rows
+        # differ in ~40% of elements by 1-2 bf16 ulps and eventually
+        # flipping a greedy tie (round-3 hard_8k/pallas bitdiff_arms.py
+        # forensics). The barrier pins the cast so every T computes the
+        # identical function.
+        xb = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
         return jax.lax.dot_general(
-            x.astype(jnp.bfloat16), w,
+            xb, w,
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return jnp.dot(x, w)
@@ -659,8 +670,13 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         else:
             # same rule for plain caches: under fp32 compute the fresh k/v
             # are fp32 but the cache stores (and later reads) their
-            # cache-dtype rounding — attend the stored values
-            k_s, v_s = k.astype(ck.dtype), v.astype(ck.dtype)
+            # cache-dtype rounding — attend the stored values. The barrier
+            # pins the round-trip: f32->bf16->f32 is exactly the pattern
+            # --xla_allow_excess_precision=true deletes, and eliding it
+            # here would make the verify suffix see values a later cached
+            # read never will (see _mm).
+            k_s = jax.lax.optimization_barrier(k.astype(ck.dtype))
+            v_s = jax.lax.optimization_barrier(v.astype(ck.dtype))
         o_s, lse_s = att.attend_masked(q, k_s, v_s, suffix_mask)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
         o = _mm(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
