@@ -1,0 +1,175 @@
+"""Bit-exact cache forensics for a lossless-gate failure.
+
+Runs the vanilla and tree arms of a bench row side by side (same engine
+law), finds the first output divergence, then compares the two arms'
+COMMITTED KV cache rows bit-for-bit over the agreed prefix. Distinguishes
+the two failure classes:
+
+  * caches identical up to the divergence -> the verify forward computed
+    materially different logits than the vanilla append at the same state
+    (kernel/law bug: fix the shared code path);
+  * caches differ bitwise somewhere earlier -> the arms' cache-row
+    ROUNDINGS drifted (t=1 vs t=N forwards rounding fresh K/V on opposite
+    sides of a bf16/int8 boundary), and a small-margin position eventually
+    flipped (fix: coarser deterministic commit grid, or accept as
+    measurement-class).
+
+Usage: python scripts/bitdiff_arms.py --row hard_8k --attn pallas --gen 256
+"""
+import argparse
+import functools
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
+
+import numpy as np
+
+
+def cache_rows(cache_np, lo, hi):
+    """[L, B, Hkv, S, D] -> rows [lo, hi) as a bit-comparable uint view."""
+    arr = cache_np[:, :, :, lo:hi, :]
+    if arr.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
+        arr = arr.view(np.uint16)
+    try:
+        return arr.view(np.uint16 if arr.dtype.itemsize == 2 else arr.dtype)
+    except Exception:
+        return arr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--row", type=str, default="hard_8k")
+    ap.add_argument("--attn", type=str, default="pallas")
+    ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--smoke", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.smoke:
+        import jax._src.xla_bridge as _xb
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import dataclasses
+    from bench import SPECS, big_model_config, row_cache_paths, load_tree
+    from longspec_tpu.train.synthetic import make_markov2_lm, sample_corpus2
+    from longspec_tpu.config import ModelConfig, DraftConfig, EngineConfig
+    from longspec_tpu.engine.engine import SpecEngine
+
+    sp = SPECS[args.row]
+    if args.smoke:
+        cfg = ModelConfig(vocab_size=503, hidden_size=128,
+                          intermediate_size=256, num_layers=2, num_heads=4,
+                          num_kv_heads=2, head_dim=32,
+                          max_position_embeddings=4096, eos_token_id=1)
+        dcfg = DraftConfig(window=64)
+        ctx, n_states = 192, cfg.vocab_size - 2
+        tpath = os.path.join(ROOT, ".bench_cache", "target_v5_smoke2_2x128x256.npz")
+        dpath = os.path.join(ROOT, ".bench_cache", "draft_v5_smoke2_2x128x256.npz")
+    else:
+        cfg = big_model_config()
+        dcfg = DraftConfig(window=512)
+        ctx, n_states = sp["ctx"], sp["n_states"]
+        tpath, dpath = row_cache_paths(args.row)
+    if sp.get("window") and not args.smoke:
+        cfg = dataclasses.replace(cfg, sliding_window=sp["window"], attn_sinks=4)
+        dcfg = dataclasses.replace(dcfg, ca_window=sp["window"], ca_anchors=4)
+    tree_shape = tuple(int(x) for x in
+                       sp.get("tree_best", "4,16,16,16,16").split(","))
+    if args.smoke:
+        tree_shape = (2, 3)
+    ecfg = EngineConfig(tree_shape=tree_shape, gamma=4, temperature=0.0,
+                        attn_impl=args.attn, draft_head="int8",
+                        draft_compute="int8")
+    params = load_tree(tpath)
+    dparams = load_tree(dpath)
+    eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)
+
+    succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7, n_states=n_states,
+                                    branch_frac=0.2)
+    prompt = sample_corpus2(succ2, probs2, 1, ctx, seed=999)
+    lens = jnp.asarray(np.full((1,), ctx, np.int32))
+    gen = args.gen if not args.smoke else 48
+    s_max = ctx + gen + ecfg.tree_size + 16
+    plen = ctx
+
+    def run_arm(method):
+        state = eng.init_state(1, s_max, jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        rng, k_pre, k_gen = jax.random.split(rng, 3)
+        prefill = jax.jit(eng._prefill_impl)
+        state, t0, _ = prefill(eng.params, eng.draft_params,
+                               jnp.asarray(prompt, jnp.int32), lens, state,
+                               k_pre)
+        np.asarray(t0)
+        if method == "vanilla":
+            carry = eng._vanilla_carry(state, t0, gen, k_gen)
+            seg = jax.jit(functools.partial(eng._vanilla_segment,
+                                            max_gen_len=gen))
+            for _ in range(gen + 4):
+                carry, status = seg(eng.params, carry, jnp.int32(gen))
+                if int(np.asarray(status)) % 2 == 1 or int(carry[3][0]) >= gen:
+                    break
+            st, out = carry[0], np.asarray(carry[2])
+        else:
+            A = ecfg.tree_depth + 1
+            carry = eng._spec_carry(state, t0, gen, k_gen, A)
+            seg = jax.jit(functools.partial(eng._spec_segment,
+                                            eng._tree_round))
+            for _ in range(gen + 4):
+                carry, status = seg(eng.params, eng._decode_draft_params,
+                                    carry, jnp.int32(4 * gen))
+                if int(np.asarray(status)) % 2 == 1:
+                    break
+                if int(np.asarray(carry.out_len)[0]) >= gen:
+                    break
+            st, out = carry.state, np.asarray(carry.output_ids)
+        return st, out
+
+    st_v, out_v = run_arm("vanilla")
+    st_t, out_t = run_arm("tree")
+    n = min(gen, out_v.shape[1], out_t.shape[1]) - 2
+    a, b = out_v[0, :n], out_t[0, :n]
+    d = np.nonzero(a != b)[0]
+    div = int(d[0]) if len(d) else -1
+    print(f"tokens compared: {n}, first divergence: {div}")
+    if div < 0:
+        print("no divergence — arms agree; nothing to dissect")
+        return
+
+    # committed rows for generated tokens 0..div-1 live at plen..plen+div-1
+    for name, cv, ct in (("K", st_v.kv_k, st_t.kv_k),
+                         ("V", st_v.kv_v, st_t.kv_v)):
+        av = np.asarray(jax.device_get(cv))
+        at = np.asarray(jax.device_get(ct))
+        rows_v = av[:, :, :, plen:plen + div, :]
+        rows_t = at[:, :, :, plen:plen + div, :]
+        eq = (rows_v.view(np.uint16) == rows_t.view(np.uint16)
+              if rows_v.dtype.itemsize == 2 else rows_v == rows_t)
+        if bool(np.all(eq)):
+            print(f"{name}: all {div} committed rows bit-identical")
+        else:
+            ne = np.argwhere(~np.all(eq, axis=(1, 2, 4)))
+            first = ne[np.lexsort((ne[:, 0],))][0] if len(ne) else None
+            per_pos = np.sort(np.unique(ne[:, 1]))
+            print(f"{name}: {len(ne)} (layer,pos) slices differ; "
+                  f"first (layer={first[0]}, pos={int(first[1])}); "
+                  f"positions {per_pos[:10] + 0}...")
+            l0, p0 = int(first[0]), int(first[1])
+            dv = rows_v[l0, 0, :, p0, :].astype(np.float32)
+            dt = rows_t[l0, 0, :, p0, :].astype(np.float32)
+            print(f"  max abs diff at first slice: {np.max(np.abs(dv - dt))}")
+            print(f"  n elements differing: {int(np.sum(dv != dt))} of {dv.size}")
+    # prompt rows must be identical (same prefill law) — sanity
+    pv = np.asarray(jax.device_get(st_v.kv_k))[:, :, :, :plen, :]
+    pt = np.asarray(jax.device_get(st_t.kv_k))[:, :, :, :plen, :]
+    same = bool(np.all(pv.view(np.uint16) == pt.view(np.uint16)
+                       if pv.dtype.itemsize == 2 else pv == pt))
+    print(f"prompt-prefix K rows identical: {same}")
+
+
+if __name__ == "__main__":
+    main()
