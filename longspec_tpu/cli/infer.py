@@ -117,6 +117,19 @@ def get_args(argv=None):
                         "spec-vs-vanilla exactness holds on the same "
                         "quantized weights")
     p.add_argument("--batch", default=1, type=int)
+    p.add_argument("--decode-window", default=0, type=int,
+                   help="decode-time sliding window over the target cache "
+                        "(+4 sink rows, StreamingLLM-style); 0 = the "
+                        "checkpoint's own attention")
+    p.add_argument("--prefill-seg", default=0, type=int,
+                   help="segmented prompt prefill: O(seg) activation "
+                        "memory at any context (needed for 131k+ prompts "
+                        "on one chip; required with --kv-ring)")
+    p.add_argument("--kv-ring", default=0, type=int,
+                   help="O(window) TARGET KV ring cache rows "
+                        "(ops/ring_cache.py): with --decode-window, a "
+                        "262k-token decode fits one 16GB chip. Needs "
+                        "--prefill-seg")
     p.add_argument("--out-dir", default="longbench_results")
     return p.parse_args(argv)
 
@@ -153,6 +166,10 @@ def load_engine(args):
         dparams = draft_params_from_hf_state_dict(sd, cfg, jnp.bfloat16)
     else:
         dparams = load_draft(args.draft_path)
+    if getattr(args, "decode_window", 0):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sliding_window=args.decode_window,
+                                  attn_sinks=4)
     attn_impl = "sp" if args.sp else args.attn_impl
     ecfg = EngineConfig(tree_shape=tuple(args.tree_shape), gamma=args.gamma,
                         temperature=args.temperature,
@@ -160,10 +177,16 @@ def load_engine(args):
                         draft_compute=args.draft_compute,
                         beam_topk=args.beam_topk,
                         kv_quant=getattr(args, "kv_quant", "none"),
+                        prefill_seg=getattr(args, "prefill_seg", 0) or None,
+                        kv_ring=getattr(args, "kv_ring", 0) or None,
                         per_row_temperature=getattr(
                             args, "per_row_temperature", False))
     dcfg = DraftConfig(window=args.window,
                        ring_size=args.draft_ring or None)
+    if getattr(args, "decode_window", 0):
+        import dataclasses
+        dcfg = dataclasses.replace(dcfg, ca_window=args.decode_window,
+                                   ca_anchors=4)
     mesh = None
     if attn_impl == "sp":
         from ..parallel import shardings as sh

@@ -233,3 +233,25 @@ def test_infer_cli_sp_ring_end_to_end(llama_ckpt, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["mean_accept"] >= 1.0 and summary["tok_s"] > 0
+
+
+def test_infer_cli_target_ring_end_to_end(llama_ckpt, tmp_path, capsys):
+    """CLI long-context surface: --decode-window + --prefill-seg +
+    --kv-ring (O(window) TARGET cache) on a real HF-format checkpoint —
+    the flag combination the 262k-class deployment uses."""
+    target, draft, _ = llama_ckpt
+    data = tmp_path / "aime_ring.jsonl"
+    words = " ".join(f"t{2 + (i * 5) % (VOCAB - 2)}" for i in range(60))
+    with open(data, "w") as f:
+        f.write(json.dumps({"problem": words}) + "\n")
+    from longspec_tpu.cli.infer import main
+    rc = main(["--target-path", target, "--draft-path", draft,
+               "--task", "aime", "--data-path", str(data),
+               "--method", "tree", "--tree-shape", "2", "3", "3",
+               "--max-gen-len", "10", "--window", "8",
+               "--decode-window", "24", "--prefill-seg", "16",
+               "--kv-ring", "80",
+               "--out-dir", str(tmp_path / "out_ring")])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mean_accept"] >= 1.0 and summary["tok_s"] > 0
