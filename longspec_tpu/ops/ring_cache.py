@@ -23,6 +23,10 @@ import jax.numpy as jnp
 
 from . import attention as att
 
+# q-block size for ring_chunked_prefix_attention's large-T split (module
+# level so tests can force the split on tiny shapes)
+TQ_BLOCK = 512
+
 
 def ring_index(pos, anchors: int, ring: int):
     """Physical ring row of absolute position `pos`."""
@@ -136,6 +140,28 @@ def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
         k_hi2 = jnp.broadcast_to(k_hi[:, None], (b, tq))
     else:
         k_hi2 = k_hi
+    # q-block large query batches (prefill segments): the per-chunk score/
+    # probability tensors are [B,Hkv,G,Tq,chunk] f32 — at Tq=8192 that is
+    # ~2GB per chunk step; 512-query blocks keep them ~130MB. Exact: queries
+    # are independent given their per-row bounds.
+    if tq > TQ_BLOCK:
+        n_b = -(-tq // TQ_BLOCK)
+        t_pad = n_b * TQ_BLOCK
+        if t_pad != tq:
+            q = jnp.pad(q, ((0, 0), (0, t_pad - tq), (0, 0), (0, 0)))
+            k_hi2 = jnp.pad(k_hi2, ((0, 0), (0, t_pad - tq)))  # k_hi=0: dead
+            q_pos = jnp.pad(q_pos, ((0, 0), (0, t_pad - tq)))
+        qs = jnp.moveaxis(q.reshape(b, n_b, TQ_BLOCK, h, d), 1, 0)
+        ks = jnp.moveaxis(k_hi2.reshape(b, n_b, TQ_BLOCK), 1, 0)
+        ps = jnp.moveaxis(q_pos.reshape(b, n_b, TQ_BLOCK), 1, 0)
+        o, lse = jax.lax.map(
+            lambda args: ring_chunked_prefix_attention(
+                args[0], cache_k, cache_v, args[1], args[2], d_len,
+                window, anchors, chunk),
+            (qs, ks, ps))
+        o = jnp.moveaxis(o, 0, 1).reshape(b, t_pad, h, d)[:, :tq]
+        lse = jnp.moveaxis(lse, 0, 1).reshape(b, t_pad, h)[:, :tq]
+        return o, lse
     qf = (q.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
     qf = qf.reshape(b, hkv, groups, tq, d)
     n_chunks = max(1, -(-ring // chunk))

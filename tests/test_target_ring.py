@@ -44,6 +44,27 @@ def test_ring_chunked_matches_dense_oracle():
         assert np.max(np.abs(lf)) < 1e-5
 
 
+def test_ring_chunked_qblock_split_exact(monkeypatch):
+    """Large query batches (prefill segments) split into TQ_BLOCK q-blocks
+    inside ring_chunked_prefix_attention; the split must be exact incl.
+    uneven tails."""
+    monkeypatch.setattr(rc, "TQ_BLOCK", 8)
+    rng = np.random.default_rng(2)
+    b, tq, h, hkv, d, ring, anchors = 2, 21, 4, 2, 16, 48, 3
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((b, hkv, ring, d)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((b, hkv, ring, d)), jnp.float32)
+    d_len = jnp.asarray([77, 30], jnp.int32)
+    q_pos = jnp.asarray([[56 + i for i in range(tq)],
+                         [9 + i for i in range(tq)]], jnp.int32)
+    k_hi = jnp.minimum(q_pos + 1, d_len[:, None])
+    o1, l1 = rc.ring_prefix_attention(q, ck, cv, k_hi, q_pos, d_len, 20, anchors)
+    o2, l2 = rc.ring_chunked_prefix_attention(q, ck, cv, k_hi, q_pos, d_len,
+                                              20, anchors, chunk=16)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               atol=1e-5, rtol=1e-5)
+
+
 def _engines(kv_ring, seed=0, attn="chunked"):
     cfg = dataclasses.replace(tiny_test(vocab_size=211, num_layers=2),
                               sliding_window=24, attn_sinks=2)
