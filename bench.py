@@ -728,6 +728,8 @@ def main():
                 key += f"_kv{kvq}"
             if SPECS[name].get("target_quant"):
                 key += f"_w{SPECS[name]['target_quant']}"
+            if SPECS[name].get("kv_ring"):
+                key += f"_ring{SPECS[name]['kv_ring']}"
             return os.path.join(cache_dir, f"row_{key}.json")
 
         rows = []

@@ -272,6 +272,11 @@ class SpecEngine:
                 raise ValueError("kv_ring requires prefill_seg: the one-shot"
                                  " prefill would need the O(context) cache "
                                  "the ring exists to avoid")
+            if dcfg.ca_window is None:
+                raise ValueError("kv_ring requires DraftConfig.ca_window: "
+                                 "the draft cross-attention over the ring "
+                                 "needs a window bound, or evicted/junk "
+                                 "slots would be attended as old positions")
             if dcfg.ca_anchors != cfg.attn_sinks:
                 raise ValueError(f"kv_ring pins {cfg.attn_sinks} sink rows; "
                                  f"draft ca_anchors={dcfg.ca_anchors} must "

@@ -602,7 +602,6 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
 
     def write_rows(c, new):
         if ring_anchors is not None:
-            from ..ops import ring_cache as rc
             return rc.ring_write(c, new, write_at, ring_anchors,
                                  valid=ring_valid)
         if attn_impl == "sp":
@@ -643,7 +642,6 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             kv_k_c = _update_layer(kv_k_c, ck, li)
             kv_v_c = _update_layer(kv_v_c, cv, li)
         if ring_anchors is not None:
-            from ..ops import ring_cache as rc
             o_p, lse_p = rc.ring_chunked_prefix_attention(
                 q, ck, cv, cache_lens, positions, ring_written,
                 cfg.sliding_window, ring_anchors)

@@ -34,17 +34,22 @@ def ring_index(pos, anchors: int, ring: int):
     return jnp.where(pos < anchors, pos, anchors + (pos - anchors) % w)
 
 
+def recover_positions(r, d, anchors: int, w):
+    """THE position-recovery law (single definition): the position held by
+    physical row(s) `r` given `d` written positions — the largest position
+    congruent to r (mod w, past the pinned anchors) that is < d. Returns
+    (pos, valid) broadcast over r/d."""
+    k = jnp.maximum((d - 1 - r) // w, 0)
+    p = jnp.where(r < anchors, r, r + k * w)
+    return p, p < d
+
+
 def ring_positions(d_len, anchors: int, ring: int):
     """Positions currently held by each physical row, given `d_len` written
     positions. d_len: [...]-shaped int; returns (pos [..., R], valid [..., R]).
     Invalid rows (never written) report a position >= d_len."""
-    w = ring - anchors
-    r = jnp.arange(ring)                 # base position of row r is r itself
-    d = d_len[..., None]
-    k = jnp.maximum((d - 1 - r) // w, 0)
-    p = jnp.where(r < anchors, r, r + k * w)
-    valid = p < d
-    return p, valid
+    return recover_positions(jnp.arange(ring), d_len[..., None], anchors,
+                             ring - anchors)
 
 
 def ring_write(cache, new, write_at, anchors: int, valid=None):
@@ -182,10 +187,8 @@ def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
         m_run, l_run, acc = carry
         kch, vch, c_idx = inp                      # [B, Hkv, chunk, D]
         r = c_idx * chunk + jnp.arange(chunk)      # physical rows [chunk]
-        # recovered positions per (batch, row): largest congruent < d_len
-        kk = jnp.maximum((d_col - 1 - r[None, :]) // w, 0)
-        p = jnp.where(r[None, :] < anchors, r[None, :], r[None, :] + kk * w)
-        valid = (p < d_col) & (r[None, :] < ring)             # [B, chunk]
+        p, valid = recover_positions(r[None, :], d_col, anchors, w)
+        valid = valid & (r[None, :] < ring)                   # [B, chunk]
         mask = valid[:, None, :] & (p[:, None, :] < k_hi2[:, :, None])
         if window is not None:
             vis = p[:, None, :] >= q_pos[:, :, None] - window

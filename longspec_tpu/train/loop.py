@@ -54,6 +54,13 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
     opt = T.make_optimizer(lr=lr, warmup_steps=warmup_steps,
                            total_steps=total_steps,
                            weight_decay=weight_decay)
+    pp_mesh = None
+    if teacher_pp > 1:
+        # frozen-teacher pipeline parallelism (config train.teacher_pp):
+        # stages over `pp`, remaining devices as data-parallel pipelines
+        from ..parallel.pipeline import make_pp_mesh
+        n_dev = len(jax.devices())
+        pp_mesh = make_pp_mesh(teacher_pp, dp=max(1, n_dev // teacher_pp))
     if lora_rank > 0:
         from .lora import init_lora, make_lora_train_step, merge_lora
         trainable = init_lora(jax.random.PRNGKey(seed + 17), draft_params,
@@ -64,17 +71,11 @@ def train(cfg: ModelConfig, dcfg: DraftConfig, target_params, draft_params,
                                        attn_impl=attn_impl,
                                        accum_steps=accum_steps,
                                        offset_cap=offset_cap,
-                                       teacher_unroll=teacher_unroll)
+                                       teacher_unroll=teacher_unroll,
+                                       pp_mesh=pp_mesh, pp_micro=pp_micro)
         to_deploy = lambda tr: merge_lora(draft_params, tr, lora_scale)
     else:
         trainable = draft_params
-        pp_mesh = None
-        if teacher_pp > 1:
-            # frozen-teacher pipeline parallelism (config train.teacher_pp):
-            # stages over `pp`, remaining devices as data-parallel pipelines
-            from ..parallel.pipeline import make_pp_mesh
-            n_dev = len(jax.devices())
-            pp_mesh = make_pp_mesh(teacher_pp, dp=max(1, n_dev // teacher_pp))
         step_fn = T.make_train_step(cfg, dcfg, opt, attn_impl=attn_impl,
                                     anchor_offset=anchor_offset,
                                     accum_steps=accum_steps,

@@ -64,7 +64,8 @@ def make_lora_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                          anchor_offset: bool = True,
                          attn_impl: str = "chunked", accum_steps: int = 1,
                          offset_cap: int = 30000,
-                         teacher_unroll: bool = False):
+                         teacher_unroll: bool = False,
+                         pp_mesh=None, pp_micro: int = 2):
     """Jitted step(state, target_params, tokens, labels, rng) where
     state.draft_params is the LoRA pytree; the base draft is closed over and
     frozen. `accum_steps > 1` accumulates the mean gradient over sequential
@@ -88,7 +89,9 @@ def make_lora_train_step(cfg: ModelConfig, dcfg: DraftConfig, optimizer,
                 return T.glide_training_loss(merged, target_params, cfg, dcfg,
                                              toks, labs, positions, pad_size,
                                              False, attn_impl,
-                                             teacher_unroll=teacher_unroll)
+                                             teacher_unroll=teacher_unroll,
+                                             pp_mesh=pp_mesh,
+                                             pp_micro=pp_micro)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(lora_tree)
 

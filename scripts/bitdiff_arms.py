@@ -28,17 +28,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cach
 import numpy as np
 
 
-def cache_rows(cache_np, lo, hi):
-    """[L, B, Hkv, S, D] -> rows [lo, hi) as a bit-comparable uint view."""
-    arr = cache_np[:, :, :, lo:hi, :]
-    if arr.dtype == np.dtype("bfloat16") if hasattr(np, "bfloat16") else False:
-        arr = arr.view(np.uint16)
-    try:
-        return arr.view(np.uint16 if arr.dtype.itemsize == 2 else arr.dtype)
-    except Exception:
-        return arr
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--row", type=str, default="hard_8k")

@@ -111,6 +111,42 @@ def test_pp_teacher_train_step_matches_plain():
                                    atol=5e-5, rtol=5e-4)
 
 
+def test_pp_teacher_composes_with_lora():
+    """train.teacher_pp x LoRA: the pipelined frozen teacher must feed the
+    LoRA step too (train/loop.py builds pp_mesh before the LoRA branch) —
+    loss and LoRA grads match the single-device teacher."""
+    from longspec_tpu.config import DraftConfig
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.train import trainer as T
+    from longspec_tpu.train.lora import init_lora, make_lora_train_step
+
+    cfg, params, tokens, lengths = _setup(seed=13, L=4, B=4, S=24)
+    dcfg = DraftConfig(window=8)
+    dparams = G.init_draft_params(jax.random.PRNGKey(21), cfg)
+    opt = T.make_optimizer(lr=1e-3, warmup_steps=2, total_steps=10)
+    mesh = PP.make_pp_mesh(2, dp=2)
+
+    def run(pp_mesh):
+        lora = init_lora(jax.random.PRNGKey(17), dparams, rank=2)
+        step = make_lora_train_step(cfg, dcfg, opt, dparams, scale=2.0,
+                                    anchor_offset=False,
+                                    pp_mesh=pp_mesh, pp_micro=2)
+        state = T.init_train_state(lora, opt)
+        with (pp_mesh or jax.sharding.Mesh(np.asarray(jax.devices()[:1]),
+                                           ("x",))):
+            state, metrics = step(state, params, tokens, tokens,
+                                  jax.random.PRNGKey(3))
+        return float(metrics["loss"]), state.draft_params
+
+    loss_ref, lo_ref = run(None)
+    loss_pp, lo_pp = run(mesh)
+    assert abs(loss_ref - loss_pp) < 1e-4, (loss_ref, loss_pp)
+    for a, b in zip(jax.tree_util.tree_leaves(lo_ref),
+                    jax.tree_util.tree_leaves(lo_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-4)
+
+
 def test_pipeline_sharded_params_and_jit():
     """End-to-end under jit with the stage-sharded layer stack placed via
     shard_layers_pp (the deployment form: each device holds L/pp layers)."""
