@@ -643,6 +643,12 @@ def main():
                     help="target KV cache storage: none | int8 "
                     "(ops/quantkv.py; spec-vs-vanilla exactness preserved); "
                     "default = each row's SPECS kv_quant, else none")
+    ap.add_argument("--decode-dtype", type=str, default="fp32",
+                    choices=["fp32", "native"],
+                    help="decode/verify residual-stream law (config.py "
+                    "decode_dtype). 'native' keeps the residual in bf16 — "
+                    "faster on both arms; lossless iff the pinned-cast law "
+                    "holds (validated by scripts/bitdiff_arms.py)")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--fresh-rows", action="store_true",
                     help="re-measure rows even when a cached row result "
@@ -730,6 +736,8 @@ def main():
                 key += f"_w{SPECS[name]['target_quant']}"
             if SPECS[name].get("kv_ring"):
                 key += f"_ring{SPECS[name]['kv_ring']}"
+            if args.decode_dtype != "fp32":
+                key += f"_dd{args.decode_dtype}"
             return os.path.join(cache_dir, f"row_{key}.json")
 
         rows = []
@@ -741,6 +749,7 @@ def main():
                                 draft_head=args.draft_head,
                                 draft_compute=args.draft_compute,
                                 kv_quant=row_kvq,
+                                decode_dtype=args.decode_dtype,
                                 prefill_seg=sp.get("prefill_seg"),
                                 kv_ring=sp.get("kv_ring"))
             lang, n_states, seq, ctx = (sp["lang"], sp["n_states"],
@@ -827,23 +836,39 @@ def main():
                 import dataclasses
                 dcfg_d = dataclasses.replace(dcfg_d,
                                              ring_size=sp["draft_ring"])
-            if sp.get("target_quant") == "int8":
-                from longspec_tpu.ops.quantparams import quantize_target_params
-                import jax as _jax
-                params = _jax.jit(quantize_target_params)(params)
-            eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
-            eng_t1 = None
-            if is_head:
-                import dataclasses as _dc
-                eng_t1 = SpecEngine(params, dparams, cfg_d, dcfg_d,
-                                    _dc.replace(ecfg, temperature=1.0))
-            prompt = sample(args.batch, ctx, 999)
-            lens = np.full((args.batch,), ctx, np.int32)
             # the headline row also measures chain + magicdec + T=1 tree —
-            # the reference's full method comparison at north-star context
-            row = measure_row(name, eng, prompt, lens, row_gen,
-                              ctx + row_gen + ecfg.tree_size + 16,
-                              extras=is_head, eng_t1=eng_t1)
+            # the reference's full method comparison at north-star context.
+            # A row that CRASHES the device (observed: long_262k killed the
+            # TPU worker mid-decode) must not take the whole bench down with
+            # an unhandled traceback — the final JSON still prints from the
+            # rows measured/reused so far (round-2 parsed=null postmortem).
+            eng = eng_t1 = None
+            try:
+                if sp.get("target_quant") == "int8":
+                    from longspec_tpu.ops.quantparams import (
+                        quantize_target_params)
+                    import jax as _jax
+                    params = _jax.jit(quantize_target_params)(params)
+                eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
+                if is_head:
+                    import dataclasses as _dc
+                    eng_t1 = SpecEngine(params, dparams, cfg_d, dcfg_d,
+                                        _dc.replace(ecfg, temperature=1.0))
+                prompt = sample(args.batch, ctx, 999)
+                lens = np.full((args.batch,), ctx, np.int32)
+                row = measure_row(name, eng, prompt, lens, row_gen,
+                                  ctx + row_gen + ecfg.tree_size + 16,
+                                  extras=is_head, eng_t1=eng_t1)
+            except Exception as e:  # noqa: BLE001 — device faults included
+                log(f"[{name}] MEASUREMENT FAILED: {type(e).__name__}: "
+                    f"{str(e)[:300]}")
+                rows.append({"name": name, "ctx": ctx,
+                             "error": f"{type(e).__name__}: {str(e)[:200]}"})
+                WD.set_fallback(summarize(rows, headline_name, cfg, t0,
+                                          partial=True))
+                del eng, eng_t1, params, dparams
+                gc.collect()
+                continue
             row["attn"] = row_attn
             row["tree_shape"] = "x".join(map(str, row_tree))
             if row_kvq != "none":

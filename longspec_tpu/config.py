@@ -184,6 +184,15 @@ class EngineConfig:
     # Both loops of a comparison share whichever prefill mode is configured,
     # so its rounding is common-mode (cannot affect losslessness).
     prefill_seg: Optional[int] = None
+    # Max prompt segments per DEVICE DISPATCH during segmented prefill.
+    # The remote-TPU tunnel kills the worker under a single dispatch that
+    # runs for many minutes (observed: the 32-segment 262144-token prefill,
+    # ~7 min in one XLA program, died at ~6-7 min; a 24-segment one
+    # survived). The engine therefore scans at most this many segments per
+    # jitted call and loops on the host, donating the carry between calls —
+    # same per-segment scan body, so results are bit-identical to the
+    # single-dispatch scan. 0/None = never split.
+    prefill_dispatch_segs: Optional[int] = 8
     # TARGET residual-stream precision for decode/verify forwards. "fp32"
     # (default) runs the hidden states of every decode-loop target forward
     # (vanilla step, chain/magicdec verify, tree verify) in fp32 with bf16

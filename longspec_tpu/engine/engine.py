@@ -487,19 +487,13 @@ class SpecEngine:
                                 d_cache_lens=lengths.astype(jnp.int32))
         return new_state, t0, logits0
 
-    def _prefill_segmented_impl(self, params, draft_params, tokens, lengths,
-                                state: DecodeState, rng, *, seg: int):
-        """Segmented prompt prefill (EngineConfig.prefill_seg): scan fixed
-        `seg`-token segments; each segment writes its target KV rows, then
-        attends the cache under a per-query causal bound (suffix-free
-        forward_append), then runs the draft layer the same way — O(seg)
-        live activations at ANY context length. Returns
-        (state, first_token, logits0) like `_prefill_impl`."""
+    def _prefill_seg_body(self, params, draft_params, tokens, lengths, *,
+                          seg: int):
+        """The per-segment scan body shared by the single-dispatch segmented
+        prefill and the host-driven grouped dispatches — one definition, so
+        every dispatch split computes the bit-identical per-segment math."""
         cfg, dcfg, ecfg = self.cfg, self.dcfg, self.ecfg
-        b, s = tokens.shape
-        assert s % seg == 0, (s, seg)
-        n_seg = s // seg
-        d0 = cfg.hidden_size
+        b = tokens.shape[0]
 
         def body(carry, i):
             kv_k, kv_v, dkk, dkv, last_h = carry
@@ -532,16 +526,80 @@ class SpecEngine:
                 llm_ring_anchors=self._ring, llm_written=seg_written)
             return (kv_k, kv_v, dkk, dkv, last_h), None
 
-        last_h0 = jnp.zeros((b, d0), jnp.float32)
-        (kv_k, kv_v, dkk, dkv, last_h), _ = jax.lax.scan(
-            body, (state.kv_k, state.kv_v, state.d_kv_k, state.d_kv_v,
-                   last_h0), jnp.arange(n_seg))
+        return body
+
+    def _prefill_seg_group(self, params, draft_params, tokens, lengths,
+                           carry, i0, *, seg: int, n_group: int):
+        """Scan `n_group` consecutive segments starting at segment index
+        `i0` (traced). One host-driven dispatch of the grouped segmented
+        prefill (EngineConfig.prefill_dispatch_segs)."""
+        body = self._prefill_seg_body(params, draft_params, tokens, lengths,
+                                      seg=seg)
+        carry, _ = jax.lax.scan(body, carry, i0 + jnp.arange(n_group))
+        return carry
+
+    def _prefill_seg_finish(self, params, lengths, carry, rng):
+        """Logits + first token + DecodeState from the final scan carry."""
+        kv_k, kv_v, dkk, dkv, last_h = carry
         logits0 = M.logits_at(params, last_h)
         t0 = _sample(logits0, rng, self.ecfg.temperature)
         new_state = DecodeState(kv_k, kv_v, dkk, dkv,
                                 cache_lens=lengths.astype(jnp.int32),
                                 d_cache_lens=lengths.astype(jnp.int32))
         return new_state, t0, logits0
+
+    def _prefill_segmented_impl(self, params, draft_params, tokens, lengths,
+                                state: DecodeState, rng, *, seg: int):
+        """Segmented prompt prefill (EngineConfig.prefill_seg): scan fixed
+        `seg`-token segments; each segment writes its target KV rows, then
+        attends the cache under a per-query causal bound (suffix-free
+        forward_append), then runs the draft layer the same way — O(seg)
+        live activations at ANY context length. Returns
+        (state, first_token, logits0) like `_prefill_impl`."""
+        b, s = tokens.shape
+        assert s % seg == 0, (s, seg)
+        n_seg = s // seg
+        body = self._prefill_seg_body(params, draft_params, tokens, lengths,
+                                      seg=seg)
+        last_h0 = jnp.zeros((b, self.cfg.hidden_size), jnp.float32)
+        carry, _ = jax.lax.scan(
+            body, (state.kv_k, state.kv_v, state.d_kv_k, state.d_kv_v,
+                   last_h0), jnp.arange(n_seg))
+        return self._prefill_seg_finish(params, lengths, carry, rng)
+
+    def _prefill_segmented_grouped(self, params, draft_params, tokens,
+                                   lengths, state: DecodeState, rng,
+                                   *, seg: int, group: int):
+        """Host-driven grouped segmented prefill: at most `group` segments
+        per device dispatch (EngineConfig.prefill_dispatch_segs), carry
+        donated between dispatches. Bit-identical to the single-dispatch
+        scan (same jitted scan body); exists because the remote-TPU tunnel
+        kills the worker under one multi-minute dispatch — the observed
+        long_262k 32-segment prefill (~7 min in one program) died at ~6-7
+        min while a 24-segment one (~5 min) survived."""
+        b, s = tokens.shape
+        assert s % seg == 0, (s, seg)
+        n_seg = s // seg
+        last_h0 = jnp.zeros((b, self.cfg.hidden_size), jnp.float32)
+        carry = (state.kv_k, state.kv_v, state.d_kv_k, state.d_kv_v, last_h0)
+        del state  # the buffers now live in `carry` and are donated below
+        done = 0
+        while done < n_seg:
+            g = min(group, n_seg - done)
+            grp = self._get_jit(
+                ("prefill_seg_grp", seg, g),
+                functools.partial(self._prefill_seg_group, seg=seg,
+                                  n_group=g),
+                donate=(4,))
+            carry = grp(params, draft_params, tokens, lengths, carry,
+                        jnp.int32(done))
+            done += g
+            # sync the (tiny) last_h leaf: one bounded dispatch at a time
+            # through the tunnel, and an error surfaces at the failing
+            # group instead of at the final readback
+            jax.block_until_ready(carry[4])
+        fin = self._get_jit(("prefill_seg_fin",), self._prefill_seg_finish)
+        return fin(params, lengths, carry, rng)
 
     # ------------------------------------------------------------------
     # Vanilla autoregressive generation (ref llama_glide.py:552-585)
@@ -1262,12 +1320,18 @@ class SpecEngine:
                                    k_pre)
         elif use_seg_prefill:
             seg = ecfg.prefill_seg
-            prefill = self._get_jit(
-                ("prefill_seg", seg),
-                functools.partial(self._prefill_segmented_impl, seg=seg),
-                donate=(4,))
-            state, t0, _ = prefill(self.params, self.draft_params, input_ids,
-                                   prompt_lens, state, k_pre)
+            group = ecfg.prefill_dispatch_segs or 0
+            if group and s // seg > group:
+                state, t0, _ = self._prefill_segmented_grouped(
+                    self.params, self.draft_params, input_ids, prompt_lens,
+                    state, k_pre, seg=seg, group=group)
+            else:
+                prefill = self._get_jit(
+                    ("prefill_seg", seg),
+                    functools.partial(self._prefill_segmented_impl, seg=seg),
+                    donate=(4,))
+                state, t0, _ = prefill(self.params, self.draft_params,
+                                       input_ids, prompt_lens, state, k_pre)
         else:
             prefill = self._get_jit("prefill", self._prefill_impl,
                                     donate=(4,))

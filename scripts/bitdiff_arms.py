@@ -26,6 +26,9 @@ sys.path.insert(0, ROOT)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
 
 import numpy as np
+import collections
+
+_HostState = collections.namedtuple("_HostState", ["kv_k", "kv_v"])
 
 
 def main():
@@ -116,7 +119,15 @@ def main():
                 if int(np.asarray(carry.out_len)[0]) >= gen:
                     break
             st, out = carry.state, np.asarray(carry.output_ids)
-        return st, out
+        # pull the caches to HOST and drop every device buffer before the
+        # other arm runs — holding two full decode states on the chip next
+        # to the 5GB params OOM'd the 11:25 r3c run (RESOURCE_EXHAUSTED)
+        kv_k = np.asarray(jax.device_get(st.kv_k))
+        kv_v = np.asarray(jax.device_get(st.kv_v))
+        del st, carry, state
+        import gc
+        gc.collect()
+        return _HostState(kv_k, kv_v), out
 
     st_v, out_v = run_arm("vanilla")
     st_t, out_t = run_arm("tree")

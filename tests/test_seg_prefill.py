@@ -150,3 +150,33 @@ def test_segmented_prefill_int8_weights_kv_lossless():
     van = eng.vanilla_generate(toks, lens, max_gen_len=16)
     tree = eng.tree_spec_generate(toks, lens, max_gen_len=16)
     assert np.array_equal(van["output_ids"][:, :14], tree["output_ids"][:, :14])
+
+
+@pytest.mark.parametrize("group", [1, 2, 3])
+def test_grouped_dispatch_matches_single_dispatch(group):
+    """prefill_dispatch_segs: the host-driven grouped prefill (N segments
+    per device dispatch, carry donated between dispatches) must emit the
+    same tokens as the single-dispatch scan — including a ragged tail
+    group (5 segments at group 2/3)."""
+    cfg, params, dparams = _pair(seed=4)
+    dcfg = DraftConfig(window=8)
+    one = SpecEngine(params, dparams, cfg, dcfg,
+                     EngineConfig(tree_shape=(2, 3), gamma=2,
+                                  attn_impl="dense", prefill_seg=16,
+                                  prefill_dispatch_segs=None))
+    grp = SpecEngine(params, dparams, cfg, dcfg,
+                     EngineConfig(tree_shape=(2, 3), gamma=2,
+                                  attn_impl="dense", prefill_seg=16,
+                                  prefill_dispatch_segs=group))
+    rng = np.random.default_rng(9)
+    B, S = 2, 80                                    # 5 segments of 16
+    toks = rng.integers(2, cfg.vocab_size, (B, S))
+    lens = np.array([S, S - 13], np.int32)
+    a = one.vanilla_generate(toks, lens, max_gen_len=12,
+                             state_dtype=jnp.float32)
+    b = grp.vanilla_generate(toks, lens, max_gen_len=12,
+                             state_dtype=jnp.float32)
+    assert np.array_equal(a["output_ids"][:, :12], b["output_ids"][:, :12])
+    t = grp.tree_spec_generate(toks, lens, max_gen_len=12,
+                               state_dtype=jnp.float32)
+    assert np.array_equal(t["output_ids"][:, :12], a["output_ids"][:, :12])
