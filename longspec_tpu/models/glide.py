@@ -255,10 +255,11 @@ def glide_forward(
     qc, _, _ = _proj_qkv(x, draft_params["ca"], cfg)
     qc = apply_rope(qc, cos, sin)
     if llm_ring_anchors is not None:
-        from ..ops.ring_cache import ring_chunked_prefix_attention
-        o_c, _ = ring_chunked_prefix_attention(
+        from ..ops.ring_cache import ring_attention
+        o_c, _ = ring_attention(
             qc, llm_k, llm_v, llm_k_hi, positions, llm_written,
-            dcfg.ca_window, llm_ring_anchors)
+            dcfg.ca_window, llm_ring_anchors,
+            impl="chunked" if attn_impl == "paged" else attn_impl)
     else:
         o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi,
                                          positions, dcfg.ca_window,

@@ -642,9 +642,9 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             kv_k_c = _update_layer(kv_k_c, ck, li)
             kv_v_c = _update_layer(kv_v_c, cv, li)
         if ring_anchors is not None:
-            o_p, lse_p = rc.ring_chunked_prefix_attention(
+            o_p, lse_p = rc.ring_attention(
                 q, ck, cv, cache_lens, positions, ring_written,
-                cfg.sliding_window, ring_anchors)
+                cfg.sliding_window, ring_anchors, impl=attn_impl)
         else:
             o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens,
                                                  positions,

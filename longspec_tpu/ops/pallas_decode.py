@@ -47,7 +47,8 @@ R_MAX = 640
 
 
 def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
-                   *rest, scale, chunk, window, anchors, t, g, quant=False):
+                   *rest, scale, chunk, window, anchors, t, g, quant=False,
+                   ring=None):
     if quant:
         # int8 KV + per-row scales (ops.quantkv). Scales ride as [1, chunk]
         # lane-major tiles (a (chunk, 1) block would pad to 128 lanes and
@@ -58,6 +59,9 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         ks_ref = vs_ref = None
         (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
     c = pl.program_id(2)
+    # per-batch written-position count (ring mode), read at kernel top level:
+    # program_id inside a pl.when body fails interpret-mode lowering
+    d_count = nchunk_ref[2 + pl.program_id(0)] if ring is not None else None
 
     @pl.when(c == 0)
     def _():
@@ -70,9 +74,12 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
 
     # skip chunks above every query's k_hi AND (with a window) chunks below
     # every query's window start — the chunks holding anchor sinks (all
-    # ceil(anchors/chunk) of them, not just chunk 0) stay live
+    # ceil(anchors/chunk) of them, not just chunk 0) stay live.
+    # Ring mode: positions are scattered over physical rows mod the ring
+    # width, so no chunk is position-sorted — every chunk below n_used
+    # (= the whole ring) is live; masking is entirely per-row.
     live = c < n_used
-    if window is not None:
+    if window is not None and ring is None:
         in_win = c >= c_lo
         if anchors > 0:
             in_win = jnp.logical_or(in_win, c < -(-anchors // chunk))
@@ -89,12 +96,27 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
             s = s * ks_ref[0, 0]                     # [1, chunk] K scales
         col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         khi = khi_ref[0]                              # [R, 1]
-        mask = col < khi
+        if ring is not None:
+            # O(window) ring cache (ops/ring_cache.py): physical row `col`
+            # holds RECOVERED position p — the largest position congruent
+            # to col (mod w, past the pinned sink rows) below the written
+            # count d (per-batch scalar at prefetch slot 2+b). Same law as
+            # ring_cache.recover_positions.
+            ring_size = ring
+            d = d_count
+            w = ring_size - anchors
+            kk = jnp.maximum((d - 1 - col) // w, 0)
+            p = jnp.where(col < anchors, col, col + kk * w)
+            valid = jnp.logical_and(p < d, col < ring_size)
+            mask = jnp.logical_and(valid, p < khi)
+        else:
+            p = col
+            mask = col < khi
         if window is not None:
             qpos = qpos_ref[0]                        # [R, 1]
-            vis = col >= qpos - window
+            vis = p >= qpos - window
             if anchors > 0:
-                vis = jnp.logical_or(vis, col < anchors)
+                vis = jnp.logical_or(vis, p < anchors)
             mask = jnp.logical_and(mask, vis)
         s = jnp.where(mask, s, NEG_INF)
         m_prev = m_scr[:]                             # [R, 1]
@@ -141,11 +163,12 @@ def _scale_index_map(i, j, c, nu, *, a_chunks=1):
 
 
 @functools.partial(jax.jit, static_argnames=("window", "anchors", "chunk",
-                                             "interpret"))
+                                             "interpret", "ring"))
 def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  k_hi: jnp.ndarray, q_pos: Optional[jnp.ndarray] = None,
                  window: Optional[int] = None, anchors: int = 0,
-                 chunk: int = 2048, interpret: Optional[bool] = None):
+                 chunk: int = 2048, interpret: Optional[bool] = None,
+                 ring: bool = False, d_len: Optional[jnp.ndarray] = None):
     """Flash attention of T new queries over a KV cache.
 
     q: [B, T, H, D]; caches: [B, Hkv, S, D]; k_hi: [B] or [B, T] exclusive
@@ -153,6 +176,13 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     Returns (o fp32 [B, T, H, D], lse fp32 [B, T, H]). Matches the dense
     oracle `ops.attention.attend_masked` / `sliced_prefix_attention` exactly
     (tests/test_pallas.py).
+
+    `ring=True`: the cache is an O(window) RING (ops/ring_cache.py) whose
+    physical row r holds recovered position p(r, d_len) — masks compare
+    POSITIONS (k_hi/window/sinks all positional); `d_len` [B] is the
+    written-position count. Matches ring_chunked_prefix_attention
+    (tests/test_target_ring.py). `anchors` is the ring's pinned sink-row
+    count (must be set when ring=True and the cache has sinks).
     """
     from .quantkv import QuantKV
     quant = isinstance(k_cache, QuantKV)
@@ -185,7 +215,7 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         o, lse = jax.lax.map(
             lambda args: flash_decode(args[0], k_cache, v_cache, args[1],
                                       args[2], window, anchors, chunk,
-                                      interpret),
+                                      interpret, ring=ring, d_len=d_len),
             (qs, ks, ps))
         o = jnp.moveaxis(o, 0, 1).reshape(b, t_pad, h, d)[:, :t]
         lse = jnp.moveaxis(lse, 0, 1).reshape(b, t_pad, h)[:, :t]
@@ -228,21 +258,32 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
 
     # chunks actually needed (max over batch of max k_hi); scalar prefetch
-    max_hi = jnp.max(k_hi)
-    n_used = jnp.clip((max_hi + chunk - 1) // chunk, 1, n_chunks).astype(jnp.int32)
-    # with a window, chunks wholly below EVERY query's window start carry no
-    # visible keys (except anchor sinks, which live in chunk 0): at 32k
-    # context with a 12k window this skips ~60% of the HBM read per step
-    if window is not None:
-        lo_col = jnp.maximum(jnp.min(q_pos) - window, 0)
-        c_lo = (lo_col // chunk).astype(jnp.int32)
-    else:
+    if ring:
+        # physical rows are position-scattered: every ring chunk is needed
+        n_used = jnp.int32(n_chunks)
         c_lo = jnp.int32(0)
-    n_used_arr = jnp.stack([n_used, c_lo])
+        if d_len is None:
+            raise ValueError("flash_decode(ring=True) requires d_len [B]")
+        n_used_arr = jnp.concatenate([jnp.stack([n_used, c_lo]),
+                                      d_len.astype(jnp.int32)])
+    else:
+        max_hi = jnp.max(k_hi)
+        n_used = jnp.clip((max_hi + chunk - 1) // chunk, 1,
+                          n_chunks).astype(jnp.int32)
+        # with a window, chunks wholly below EVERY query's window start
+        # carry no visible keys (except anchor sinks, which live in chunk
+        # 0): at 32k context with a 12k window this skips ~60% of the HBM
+        # read per step
+        if window is not None:
+            lo_col = jnp.maximum(jnp.min(q_pos) - window, 0)
+            c_lo = (lo_col // chunk).astype(jnp.int32)
+        else:
+            c_lo = jnp.int32(0)
+        n_used_arr = jnp.stack([n_used, c_lo])
 
     kernel = functools.partial(_decode_kernel, scale=d ** -0.5, chunk=chunk,
                                window=window, anchors=anchors, t=t, g=g,
-                               quant=quant)
+                               quant=quant, ring=s if ring else None)
 
     a_chunks = -(-anchors // chunk) if anchors > 0 else 0
     kv_map = functools.partial(_kv_index_map, a_chunks=a_chunks)

@@ -126,6 +126,21 @@ def ring_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
                              cache_v.transpose(0, 2, 1, 3), mask)
 
 
+def ring_attention(q, cache_k, cache_v, k_hi, q_pos, d_len, window,
+                   anchors: int, impl: str = "chunked"):
+    """Ring prefix attention dispatched on the engine attention impl:
+    "pallas" streams the ring through the flash-decode kernel with in-kernel
+    position recovery (pallas_decode.flash_decode(ring=True) — one VMEM
+    pass, masks computed in registers); anything else runs the pure-XLA
+    chunked oracle below. Same (o, lse) contract."""
+    if impl == "pallas":
+        from .pallas_decode import flash_decode
+        return flash_decode(q, cache_k, cache_v, k_hi, q_pos, window,
+                            anchors, ring=True, d_len=d_len)
+    return ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos,
+                                         d_len, window, anchors)
+
+
 def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
                                   window, anchors: int, chunk: int = 2048):
     """Chunked online-softmax attention over the ring — the large-T form

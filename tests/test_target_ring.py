@@ -128,3 +128,70 @@ def test_ring_validation():
                    G.init_draft_params(jax.random.PRNGKey(1), cfg), cfg,
                    DraftConfig(window=8, ca_window=24, ca_anchors=2),
                    EngineConfig(tree_shape=(2, 2), kv_ring=128))
+
+
+def test_ring_flash_kernel_matches_oracle():
+    """pallas_decode.flash_decode(ring=True) — in-kernel position recovery —
+    must match the dense recovered-position oracle, wrapped and unwrapped,
+    with and without a window, batch-ragged d_len."""
+    rng = np.random.default_rng(5)
+    b, tq, h, hkv, d, ring, anchors = 2, 5, 4, 2, 128, 48, 3
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((b, hkv, ring, d)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((b, hkv, ring, d)), jnp.float32)
+    d_len = jnp.asarray([90, 31], jnp.int32)         # wrapped / not wrapped
+    q_pos = jnp.asarray([[90 + i for i in range(tq)],
+                         [31 + i for i in range(tq)]], jnp.int32)
+    k_hi = jnp.minimum(q_pos + 1, d_len[:, None])
+    for window in (16, 40, None):
+        o1, l1 = rc.ring_prefix_attention(q, ck, cv, k_hi, q_pos, d_len,
+                                          window, anchors)
+        o2, l2 = rc.ring_attention(q, ck, cv, k_hi, q_pos, d_len, window,
+                                   anchors, impl="pallas")
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                   atol=2e-5, rtol=2e-5, err_msg=str(window))
+        lf = np.nan_to_num(np.asarray(l2 - l1), posinf=0, neginf=0)
+        assert np.max(np.abs(lf)) < 2e-5, window
+
+
+def test_ring_flash_kernel_qsplit_exact():
+    """The flash ring path must stay exact through flash_decode's R_MAX
+    query-split (the segmented-prefill shape: T >> R_MAX/G)."""
+    from longspec_tpu.ops import pallas_decode as PD
+    rng = np.random.default_rng(6)
+    b, tq, h, hkv, d, ring, anchors = 1, 24, 4, 2, 128, 64, 2
+    q = jnp.asarray(rng.standard_normal((b, tq, h, d)), jnp.float32)
+    ck = jnp.asarray(rng.standard_normal((b, hkv, ring, d)), jnp.float32)
+    cv = jnp.asarray(rng.standard_normal((b, hkv, ring, d)), jnp.float32)
+    d_len = jnp.asarray([150], jnp.int32)
+    q_pos = jnp.asarray([[126 + i for i in range(tq)]], jnp.int32)
+    k_hi = jnp.minimum(q_pos + 1, d_len[:, None])
+    o1, l1 = rc.ring_prefix_attention(q, ck, cv, k_hi, q_pos, d_len,
+                                      40, anchors)
+    old = PD.R_MAX
+    try:
+        PD.R_MAX = 16                       # force the lax.map split path
+        o2, l2 = PD.flash_decode(q, ck, cv, k_hi, q_pos, 40, anchors,
+                                 ring=True, d_len=d_len)
+    finally:
+        PD.R_MAX = old
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("method", ["vanilla_generate", "tree_spec_generate"])
+def test_ring_engine_pallas_matches_chunked(method):
+    """A kv_ring engine under attn_impl=pallas (interpret on CPU) must emit
+    the same tokens as under chunked — the whole-engine gate that the
+    kernel's recovery law composes with segmented prefill + decode."""
+    eng_c = _engines(160, attn="chunked")
+    eng_p = _engines(160, attn="pallas")
+    rng = np.random.default_rng(11)
+    B, S = 2, 40
+    toks = rng.integers(2, 211, (B, S))
+    lens = np.array([S, S - 9], np.int32)
+    a = getattr(eng_c, method)(toks, lens, max_gen_len=16,
+                               state_dtype=jnp.float32)
+    b = getattr(eng_p, method)(toks, lens, max_gen_len=16,
+                               state_dtype=jnp.float32)
+    assert np.array_equal(a["output_ids"][:, :16], b["output_ids"][:, :16])
