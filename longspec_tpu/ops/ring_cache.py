@@ -52,6 +52,34 @@ def ring_positions(d_len, anchors: int, ring: int):
                              ring - anchors)
 
 
+def _ring_write_gather(cache, new, write_at, anchors: int, valid=None):
+    """Large-T ring write as GATHER + select instead of scatter.
+
+    TPU scatter is row-serial — a segmented-prefill write of T=8192 rows
+    into the ring costs orders of magnitude more than the bytes moved. The
+    ring is small (O(window)), so invert the mapping: for each physical row
+    r, recover the position it holds AFTER this write (recover_positions at
+    d = end-of-write) and, when that position falls inside [write_at, end),
+    gather it from `new` — two vectorized passes over the ring instead of T
+    serial row updates. Bit-identical to the scatter form (same rows end up
+    holding the same values; gated in tests/test_target_ring.py)."""
+    b, t = new.shape[0], new.shape[1]
+    ring = cache.shape[2]
+    if valid is not None:
+        count = jnp.sum(valid.astype(jnp.int32), axis=1)          # [B]
+    else:
+        count = jnp.full((b,), t, jnp.int32)
+    end = write_at + count                                        # [B]
+    r = jnp.arange(ring)
+    p, vld = recover_positions(r, end[:, None], anchors, ring - anchors)
+    take = vld & (p >= write_at[:, None])                         # [B, R]
+    j = jnp.clip(p - write_at[:, None], 0, t - 1)                 # [B, R]
+    # new: [B, T, Hkv, D] -> gather rows by j -> [B, R, Hkv, D]
+    g = jnp.take_along_axis(new, j[:, :, None, None], axis=1)
+    g = jnp.moveaxis(g, 1, 2).astype(cache.dtype)                 # [B,Hkv,R,D]
+    return jnp.where(take[:, None, :, None], g, cache)
+
+
 def ring_write(cache, new, write_at, anchors: int, valid=None):
     """Scatter T new rows at positions [write_at, write_at+T) into the ring.
 
@@ -68,6 +96,9 @@ def ring_write(cache, new, write_at, anchors: int, valid=None):
     as if it were the latest position."""
     b, t = new.shape[0], new.shape[1]
     ring = cache.shape[2]
+    if t >= 256:
+        # prefill segments: gather-select beats the row-serial TPU scatter
+        return _ring_write_gather(cache, new, write_at, anchors, valid)
     pos = write_at[:, None] + jnp.arange(t)[None, :]             # [B, T]
     w = ring - anchors
     # per-row effective end: `valid` is a prefix mask (pos < row length), so

@@ -195,3 +195,25 @@ def test_ring_engine_pallas_matches_chunked(method):
     b = getattr(eng_p, method)(toks, lens, max_gen_len=16,
                                state_dtype=jnp.float32)
     assert np.array_equal(a["output_ids"][:, :16], b["output_ids"][:, :16])
+
+
+def test_ring_write_gather_matches_scatter():
+    """_ring_write_gather (large-T fast path) must leave the ring in the
+    bit-identical state the scatter form produces: unwrapped, wrapped,
+    T > capacity (self-eviction within one call), ragged valid prefixes."""
+    rng = np.random.default_rng(13)
+    b, hkv, ring, d, a = 2, 2, 48, 16, 3
+    for t, w_at, use_valid in [(16, [0, 0], False), (16, [40, 7], False),
+                               (60, [5, 90], False), (24, [30, 61], True)]:
+        cache = jnp.asarray(rng.standard_normal((b, hkv, ring, d)),
+                            jnp.float32)
+        new = jnp.asarray(rng.standard_normal((b, t, hkv, d)), jnp.float32)
+        wa = jnp.asarray(w_at, jnp.int32)
+        valid = None
+        if use_valid:
+            lens = wa + jnp.asarray([t, t - 9], jnp.int32)
+            valid = (wa[:, None] + jnp.arange(t)[None, :]) < lens[:, None]
+        sc = rc.ring_write(cache, new, wa, a, valid=valid)
+        ga = rc._ring_write_gather(cache, new, wa, a, valid=valid)
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(ga),
+                                      err_msg=f"t={t} w_at={w_at}")
