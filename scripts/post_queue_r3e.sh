@@ -1,0 +1,25 @@
+#!/bin/bash
+# Round-3e on-chip queue: exploit the pallas ring kernel + gather writes.
+set -x
+cd /root/repo
+
+# 1. prefill timing: chunked vs pallas ring at 131k (incl. compile; the
+#    second number in each line is the steady per-segment cost)
+timeout 3600 python scripts/prefill_timing.py --ctx 131072 \
+    > prefill_timing_r3e.log 2>&1
+
+# 2. long_262k under the pallas ring kernel (new row; expect faster decode)
+timeout 5400 python bench.py --rows long_262k --attn pallas --fresh-rows \
+    --headline none > post_r3e_rows.log 2>&1
+
+# 3. batched decode at the headline context (reference never measures B>1)
+timeout 3600 python bench.py --rows hard_32k --batch 4 --fresh-rows \
+    --headline none >> post_r3e_rows.log 2>&1
+
+python scripts/results_table.py --write
+git add -f .bench_cache/row_*.json 2>/dev/null
+git add README.md post_r3e_rows.log prefill_timing_r3e.log 2>/dev/null
+git commit -q -m "Round-3e rows: pallas ring 262k, batched decode, prefill timing
+
+No-Verification-Needed: measurement artifacts only" || true
+echo "[post_queue_r3e] done $(date -u +%F' '%T)" >> bench_run.log
