@@ -3,6 +3,11 @@
 set -x
 cd /root/repo
 
+# 0. vanilla-step dissection at 32k: the O(s_max) decode-loop copy question
+#    (ring vanilla at 262k = 14.8 ms/step vs dense-cache 32k = 24.7 ms/step)
+timeout 5400 python scripts/profile_vanilla.py --ctx 32768 --gen 64 \
+    > profile_vanilla_r3e.log 2>&1
+
 # 1. prefill timing: chunked vs pallas ring at 131k (incl. compile; the
 #    second number in each line is the steady per-segment cost)
 timeout 3600 python scripts/prefill_timing.py --ctx 131072 \
@@ -18,7 +23,7 @@ timeout 3600 python bench.py --rows hard_32k --batch 4 --fresh-rows \
 
 python scripts/results_table.py --write
 git add -f .bench_cache/row_*.json 2>/dev/null
-git add README.md post_r3e_rows.log prefill_timing_r3e.log 2>/dev/null
+git add README.md post_r3e_rows.log prefill_timing_r3e.log profile_vanilla_r3e.log 2>/dev/null
 git commit -q -m "Round-3e rows: pallas ring 262k, batched decode, prefill timing
 
 No-Verification-Needed: measurement artifacts only" || true
