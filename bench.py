@@ -649,6 +649,12 @@ def main():
                     "decode_dtype). 'native' keeps the residual in bf16 — "
                     "faster on both arms; lossless iff the pinned-cast law "
                     "holds (validated by scripts/bitdiff_arms.py)")
+    ap.add_argument("--kv-ring", type=int, default=None,
+                    help="override the row's EngineConfig.kv_ring (O(window) "
+                    "target ring cache); requires --prefill-seg if the row "
+                    "spec has none")
+    ap.add_argument("--prefill-seg", type=int, default=None,
+                    help="override the row's EngineConfig.prefill_seg")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--fresh-rows", action="store_true",
                     help="re-measure rows even when a cached row result "
@@ -734,8 +740,8 @@ def main():
                 key += f"_kv{kvq}"
             if SPECS[name].get("target_quant"):
                 key += f"_w{SPECS[name]['target_quant']}"
-            if SPECS[name].get("kv_ring"):
-                key += f"_ring{SPECS[name]['kv_ring']}"
+            if args.kv_ring or SPECS[name].get("kv_ring"):
+                key += f"_ring{args.kv_ring or SPECS[name]['kv_ring']}"
             if args.decode_dtype != "fp32":
                 key += f"_dd{args.decode_dtype}"
             return os.path.join(cache_dir, f"row_{key}.json")
@@ -750,8 +756,9 @@ def main():
                                 draft_compute=args.draft_compute,
                                 kv_quant=row_kvq,
                                 decode_dtype=args.decode_dtype,
-                                prefill_seg=sp.get("prefill_seg"),
-                                kv_ring=sp.get("kv_ring"))
+                                prefill_seg=(args.prefill_seg
+                                             or sp.get("prefill_seg")),
+                                kv_ring=args.kv_ring or sp.get("kv_ring"))
             lang, n_states, seq, ctx = (sp["lang"], sp["n_states"],
                                         sp["seq"], sp["ctx"])
             tag = row_tag(name)

@@ -28,3 +28,14 @@ git commit -q -m "Round-3e rows: pallas ring 262k, batched decode, prefill timin
 
 No-Verification-Needed: measurement artifacts only" || true
 echo "[post_queue_r3e] done $(date -u +%F' '%T)" >> bench_run.log
+
+# 4. hard_32k under the O(window) ring + pallas ring kernel: ring vanilla at
+#    262k ran 67 tok/s vs the dense-cache 32k row's 40 — same law (window
+#    12288 + 4 sinks) on both arms, so the comparison is apples-to-apples
+timeout 3600 python bench.py --rows hard_32k --attn pallas --kv-ring 22528 \
+    --prefill-seg 8192 --fresh-rows --headline none >> post_r3e_rows.log 2>&1
+python scripts/results_table.py --write
+git add -f .bench_cache/row_*.json README.md post_r3e_rows.log 2>/dev/null
+git commit -q -m "r3e: hard_32k ring-cache row
+
+No-Verification-Needed: measurement artifacts only" || true
