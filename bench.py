@@ -649,6 +649,10 @@ def main():
                     "decode_dtype). 'native' keeps the residual in bf16 — "
                     "faster on both arms; lossless iff the pinned-cast law "
                     "holds (validated by scripts/bitdiff_arms.py)")
+    ap.add_argument("--uniform-decode-shape", type=int, default=1,
+                    help="EngineConfig.uniform_decode_shape (1 = the shared "
+                    "verify-shaped decode program, the structural "
+                    "losslessness law; 0 = legacy minimal shapes)")
     ap.add_argument("--kv-ring", type=int, default=None,
                     help="override the row's EngineConfig.kv_ring (O(window) "
                     "target ring cache); requires --prefill-seg if the row "
@@ -744,6 +748,8 @@ def main():
                 key += f"_ring{args.kv_ring or SPECS[name]['kv_ring']}"
             if args.decode_dtype != "fp32":
                 key += f"_dd{args.decode_dtype}"
+            if not args.uniform_decode_shape:
+                key += "_minshape"
             return os.path.join(cache_dir, f"row_{key}.json")
 
         rows = []
@@ -756,6 +762,8 @@ def main():
                                 draft_compute=args.draft_compute,
                                 kv_quant=row_kvq,
                                 decode_dtype=args.decode_dtype,
+                                uniform_decode_shape=bool(
+                                    args.uniform_decode_shape),
                                 prefill_seg=(args.prefill_seg
                                              or sp.get("prefill_seg")),
                                 kv_ring=args.kv_ring or sp.get("kv_ring"))

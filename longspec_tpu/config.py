@@ -208,6 +208,22 @@ class EngineConfig:
     # Prefill always runs native: both loops share one prefill program, so
     # its rounding is common-mode and cannot flip a comparison.
     decode_dtype: str = "fp32"  # "fp32" | "native"
+    # ONE decode-loop target program for every method (the structural
+    # losslessness guarantee): the vanilla step and the chain/magicdec
+    # verifies run the SAME [B, tree_size]-shaped, barrier-isolated forward
+    # the tree verify runs — identical jaxpr, identical shapes, so XLA
+    # compiles the identical kernels and the arms of a T=0 comparison
+    # compute the identical function BY CONSTRUCTION. Without this, the
+    # T=1 and T=N programs fuse differently and their ~1e-6 reduction-order
+    # noise flips one-ulp greedy argmax ties every few hundred tokens
+    # (measured: hard_8k/chunked first_div at 159, margin 1 bf16 ulp;
+    # hard_32k/chunked magicdec at 241). Cost: the vanilla/chain forwards
+    # are tree-sized — bandwidth-bound at decode query counts, so the step
+    # reads the same weight/KV bytes and pays only the extra FLOPs (a few
+    # percent). False = minimal per-method shapes (maximum vanilla
+    # throughput; cross-method exactness then rests on decode_dtype="fp32"
+    # numerics alone, which is ulp-tie-fragile across shapes).
+    uniform_decode_shape: bool = True
     # Beam top-k over the draft scoring logits at T=0. "approx" uses the
     # TPU-native approx_max_k (recall ~0.95, several x faster than the exact
     # sort-based TopK over V=32k+). Losslessness is structural either way —

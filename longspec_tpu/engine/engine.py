@@ -314,6 +314,9 @@ class SpecEngine:
         # fp32 islands so vanilla-vs-verify reduction-order noise cannot
         # flip greedy argmax ties (the round-2 losslessness postmortem)
         self._cdt = (jnp.float32 if ecfg.decode_dtype == "fp32" else None)
+        # the one decode-loop verify shape (uniform_decode_shape): tree
+        # nodes, or the chain block when a degenerate config makes it larger
+        self._uniform_n = max(ecfg.tree_size, ecfg.gamma + 1)
         self._decode_draft_params = draft_params
         if ecfg.draft_compute in ("int8", "int4"):
             bits = 8 if ecfg.draft_compute == "int8" else 4
@@ -620,14 +623,26 @@ class SpecEngine:
             st, cur, output_ids, i, done, num, rng = c
             rng, k1 = jax.random.split(rng)
             b = cur.shape[0]
-            pos = st.cache_lens[:, None]
-            smask = jnp.ones((b, 1, 1), bool)
-            h, kv_k, kv_v = M.forward_append(
-                params, cfg, cur[:, None], pos, smask, st.cache_lens,
-                st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl,
-                tables=st.tables, compute_dtype=self._cdt,
-                ring_anchors=self._ring)
-            logits = M.logits_at(params, h[:, 0])
+            if self.ecfg.uniform_decode_shape:
+                # the vanilla step runs THE tree-sized verify program with
+                # one live row (see _verify_forward): losslessness vs the
+                # speculative arms holds by construction, and the step is
+                # bandwidth-bound so the padded rows cost only FLOPs
+                toks, pos_t, vmask = self._uniform_args(st, cur[:, None])
+                lg_all, new_k, new_v = self._verify_forward(
+                    params, st, toks, pos_t, vmask)
+                logits = lg_all[:, 0]
+                kv_k, kv_v = self._commit_rows(
+                    st, new_k, new_v, jnp.zeros((b, 1), jnp.int32))
+            else:
+                pos = st.cache_lens[:, None]
+                smask = jnp.ones((b, 1, 1), bool)
+                h, kv_k, kv_v = M.forward_append(
+                    params, cfg, cur[:, None], pos, smask, st.cache_lens,
+                    st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl,
+                    tables=st.tables, compute_dtype=self._cdt,
+                    ring_anchors=self._ring)
+                logits = M.logits_at(params, h[:, 0])
             nxt = _sample(logits, k1, self.ecfg.temperature)
             nxt = jnp.where(done, cfg.eos_token_id, nxt)
             cache_lens = st.cache_lens + jnp.where(done, 0, 1)
@@ -640,6 +655,88 @@ class SpecEngine:
         c = jax.lax.while_loop(cond, body, carry)
         status = c[3][0] * 2 + jnp.all(c[4]).astype(jnp.int32)
         return c, status
+
+    def _verify_forward(self, params, st, tokens, pos_t, vmask):
+        """THE decode-loop target program (EngineConfig.uniform_decode_shape).
+
+        Every method's decode-loop target forward — the vanilla step, the
+        chain and magicdec verifies, the tree verify — calls this one
+        [B, tree_size]-shaped function. The inputs and outputs are pinned
+        with `optimization_barrier` so the subgraph is fusion-isolated:
+        XLA compiles the identical kernels inside every surrounding loop,
+        and the arms of a T=0 losslessness comparison therefore compute
+        the identical function of the shared cache BY CONSTRUCTION — no
+        numerical argument needed. (Everything outside this call that
+        touches emitted tokens is either bit-exact data movement — commits
+        gather/scatter these outputs verbatim — or integer bookkeeping.)
+
+        Returns (logits [B, N, V] fp32, new_k, new_v [L, B, N, Hkv, D]).
+        The cache is NOT written; callers commit selected rows."""
+        cfg, ecfg = self.cfg, self.ecfg
+        tokens, pos_t, vmask = jax.lax.optimization_barrier(
+            (tokens, pos_t, vmask))
+        hv, _, _, new_k, new_v = M.forward_append(
+            params, cfg, tokens, pos_t, vmask, st.cache_lens,
+            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
+            tables=st.tables, compute_dtype=self._cdt,
+            ring_anchors=self._ring)
+        logits = M.logits_at(params, hv)
+        return jax.lax.optimization_barrier((logits, new_k, new_v))
+
+    def _commit_rows(self, st, new_k, new_v, path_idx_c):
+        """Write the selected verify-forward rows (path_idx_c [B, P]) into
+        the target cache at cache_lens.. — bit-exact data movement shared
+        by every method (shape differences here cannot affect emitted
+        tokens; only `_verify_forward` does arithmetic)."""
+        ecfg = self.ecfg
+        sel_k = jnp.take_along_axis(new_k, path_idx_c[None, :, :, None, None],
+                                    axis=2)
+        sel_v = jnp.take_along_axis(new_v, path_idx_c[None, :, :, None, None],
+                                    axis=2)
+        if ecfg.attn_impl == "sp":
+            from ..parallel.ring import sp_write_cache_rows
+            kv_k = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_k, sel_k,
+                                       st.cache_lens, ecfg.attn_impl.axis)
+            kv_v = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_v, sel_v,
+                                       st.cache_lens, ecfg.attn_impl.axis)
+        elif ecfg.attn_impl == "paged":
+            from ..ops.pallas_paged import write_paged_rows
+            wr = jax.vmap(write_paged_rows, in_axes=(0, 0, None, None))
+            kv_k = wr(st.kv_k, sel_k, st.tables, st.cache_lens)
+            kv_v = wr(st.kv_v, sel_v, st.tables, st.cache_lens)
+        elif self._ring is not None:
+            # ring commit: same slots a vanilla step would write (ring_index
+            # is a pure function of position). Junk rows past the accepted
+            # length land on slots the next round rewrites; capacity slack
+            # >= A keeps every windowed position live (ops/ring_cache).
+            from ..ops.ring_cache import ring_write
+            sinks = self._ring
+            wr = jax.vmap(lambda c, n: ring_write(c, n, st.cache_lens, sinks))
+            kv_k = wr(st.kv_k, sel_k)
+            kv_v = wr(st.kv_v, sel_v)
+        else:
+            wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
+            kv_k = wr(st.kv_k, sel_k, st.cache_lens)
+            kv_v = wr(st.kv_v, sel_v, st.cache_lens)
+        return kv_k, kv_v
+
+    def _uniform_args(self, st, tokens_a):
+        """Pad a [B, A] chain-shaped token block to the uniform [B, N]
+        verify call: eos padding, causal visibility, positions
+        cache_lens + arange (pad rows are deterministic and never read —
+        commits take only the first A rows, logits reads row bounds)."""
+        cfg, ecfg = self.cfg, self.ecfg
+        b, a = tokens_a.shape
+        # ONE shape for every method of this engine (chain gamma can exceed
+        # the tree size on degenerate configs — take the max so vanilla,
+        # chain, magicdec and tree always produce the same-shaped call)
+        n = self._uniform_n
+        assert a <= n, (a, n)
+        tokens = jnp.full((b, n), cfg.eos_token_id, jnp.int32)
+        tokens = jax.lax.dynamic_update_slice(tokens, tokens_a, (0, 0))
+        pos_t = st.cache_lens[:, None] + jnp.arange(n)[None, :]
+        vmask = jnp.broadcast_to(att.causal_mask(n, n)[None], (b, n, n))
+        return tokens, pos_t, vmask
 
     def _vanilla_carry(self, state, t0, max_gen_len: int, rng):
         cfg = self.cfg
@@ -719,13 +816,22 @@ class SpecEngine:
         d_cache_lens_out = d_cache_lens  # only accepted re-encode advances
 
         # ---- 3. target verify of [bonus, d1..dgamma] ----
-        pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
-        cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
-        hv, kv_k, kv_v = M.forward_append(
-            params, cfg, spec, pos_t, cmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
-            compute_dtype=self._cdt, ring_anchors=self._ring)
-        ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
+        if ecfg.uniform_decode_shape:
+            toks_u, pos_u, mask_u = self._uniform_args(st, spec)
+            lg_all, new_k, new_v = self._verify_forward(
+                params, st, toks_u, pos_u, mask_u)
+            ver_logits = lg_all[:, :A]            # [B, A, V] fp32
+            kv_k, kv_v = self._commit_rows(
+                st, new_k, new_v,
+                jnp.broadcast_to(jnp.arange(A)[None], (b, A)))
+        else:
+            pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
+            cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
+            hv, kv_k, kv_v = M.forward_append(
+                params, cfg, spec, pos_t, cmask, st.cache_lens,
+                st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
+                compute_dtype=self._cdt, ring_anchors=self._ring)
+            ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
         if per_row:
             emit, correct_len, rng = _chain_accept_rows(
                 spec, spec_logits, ver_logits, carry.temps, rng)
@@ -877,13 +983,22 @@ class SpecEngine:
             spec_logits = spec_logits.at[:, s_i + 1].set(li)
 
         # ---- 3. full-cache target verify + accept (chain semantics) ----
-        pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
-        cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
-        hv, kv_k, kv_v = M.forward_append(
-            params, cfg, spec, pos_t, cmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
-            compute_dtype=self._cdt, ring_anchors=self._ring)
-        ver_logits = M.logits_at(params, hv)
+        if ecfg.uniform_decode_shape:
+            toks_u, pos_u, mask_u = self._uniform_args(st, spec)
+            lg_all, new_k, new_v = self._verify_forward(
+                params, st, toks_u, pos_u, mask_u)
+            ver_logits = lg_all[:, :A]
+            kv_k, kv_v = self._commit_rows(
+                st, new_k, new_v,
+                jnp.broadcast_to(jnp.arange(A)[None], (b, A)))
+        else:
+            pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
+            cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
+            hv, kv_k, kv_v = M.forward_append(
+                params, cfg, spec, pos_t, cmask, st.cache_lens,
+                st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
+                compute_dtype=self._cdt, ring_anchors=self._ring)
+            ver_logits = M.logits_at(params, hv)
         if per_row:
             emit, correct_len, rng = _chain_accept_rows(
                 spec, spec_logits, ver_logits, carry.temps, rng)
@@ -1094,13 +1209,24 @@ class SpecEngine:
         depth = jnp.sum(tmask, axis=-1).astype(jnp.int32) - 1  # [B, N]
 
         # ---- 3. target verification forward over the tree ----
+        # THE shared decode-loop program (_verify_forward): same shape and
+        # jaxpr as the vanilla step / chain verify of this engine
         pos_t = st.cache_lens[:, None] + depth
-        hv, _, _, new_k, new_v = M.forward_append(
-            params, cfg, tree_tokens, pos_t, tmask, st.cache_lens,
-            st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
-            tables=st.tables, compute_dtype=self._cdt,
-            ring_anchors=self._ring)
-        tgt_logits = M.logits_at(params, hv)  # [B, N, V] fp32
+        nu = self._uniform_n
+        if nu > N:  # degenerate configs where the chain block exceeds N
+            pad = nu - N
+            tree_tokens_u = jnp.pad(tree_tokens, ((0, 0), (0, pad)),
+                                    constant_values=cfg.eos_token_id)
+            pos_u = jnp.pad(pos_t, ((0, 0), (0, pad)),
+                            mode="edge")
+            tmask_u = jnp.pad(tmask, ((0, 0), (0, pad), (0, pad)))
+            tmask_u = tmask_u.at[:, N:, 0].set(True)
+        else:
+            tree_tokens_u, pos_u, tmask_u = tree_tokens, pos_t, tmask
+        lg_all, new_k, new_v = self._verify_forward(
+            params, st, tree_tokens_u, pos_u, tmask_u)
+        tgt_logits = lg_all[:, :N]          # [B, N, V] fp32
+        new_k, new_v = new_k[:, :, :N], new_v[:, :, :N]
 
         # ---- 4. accept ----
         def greedy_verify():
@@ -1138,33 +1264,7 @@ class SpecEngine:
                 ecfg.temperature, k_v, ecfg)
 
         # ---- 5. commit accepted KV rows for ALL layers ----
-        sel_k = jnp.take_along_axis(new_k, path_idx_c[None, :, :, None, None], axis=2)
-        sel_v = jnp.take_along_axis(new_v, path_idx_c[None, :, :, None, None], axis=2)
-        if ecfg.attn_impl == "sp":
-            from ..parallel.ring import sp_write_cache_rows
-            kv_k = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_k, sel_k,
-                                       st.cache_lens, ecfg.attn_impl.axis)
-            kv_v = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_v, sel_v,
-                                       st.cache_lens, ecfg.attn_impl.axis)
-        elif ecfg.attn_impl == "paged":
-            from ..ops.pallas_paged import write_paged_rows
-            wr = jax.vmap(write_paged_rows, in_axes=(0, 0, None, None))
-            kv_k = wr(st.kv_k, sel_k, st.tables, st.cache_lens)
-            kv_v = wr(st.kv_v, sel_v, st.tables, st.cache_lens)
-        elif self._ring is not None:
-            # ring commit: same slots a vanilla step would write (ring_index
-            # is a pure function of position). Junk rows past the accepted
-            # length land on slots the next round rewrites; capacity slack
-            # >= A keeps every windowed position live (ops/ring_cache).
-            from ..ops.ring_cache import ring_write
-            sinks = self._ring
-            wr = jax.vmap(lambda c, n: ring_write(c, n, st.cache_lens, sinks))
-            kv_k = wr(st.kv_k, sel_k)
-            kv_v = wr(st.kv_v, sel_v)
-        else:
-            wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
-            kv_k = wr(st.kv_k, sel_k, st.cache_lens)
-            kv_v = wr(st.kv_v, sel_v, st.cache_lens)
+        kv_k, kv_v = self._commit_rows(st, new_k, new_v, path_idx_c)
 
         adv = jnp.where(carry.done, 0, acc_num)
         adv, has_eos = _truncate_at_stop(cfg, emit, adv)

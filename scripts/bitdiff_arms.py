@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--attn", type=str, default="pallas")
     ap.add_argument("--gen", type=int, default=256)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--decode-dtype", type=str, default="fp32",
+                    choices=["fp32", "native"])
+    ap.add_argument("--uniform", type=int, default=1,
+                    help="EngineConfig.uniform_decode_shape (1/0)")
     args = ap.parse_args()
 
     import jax
@@ -75,7 +79,9 @@ def main():
         tree_shape = (2, 3)
     ecfg = EngineConfig(tree_shape=tree_shape, gamma=4, temperature=0.0,
                         attn_impl=args.attn, draft_head="int8",
-                        draft_compute="int8")
+                        draft_compute="int8",
+                        decode_dtype=args.decode_dtype,
+                        uniform_decode_shape=bool(args.uniform))
     params = load_tree(tpath)
     dparams = load_tree(dpath)
     eng = SpecEngine(params, dparams, cfg, dcfg, ecfg)

@@ -39,16 +39,20 @@ prompt = jnp.asarray(sample_corpus2(succ2, probs2, 1, a.ctx, seed=999),
                      jnp.int32)
 lens = jnp.asarray(np.full((1,), a.ctx, np.int32))
 
-for attn, dd, smax_extra in itertools.product(
-        ("pallas", "chunked"), ("fp32", "native"), (512, 16384)):
-    ecfg = EngineConfig(tree_shape=(4, 16), gamma=4, temperature=0.0,
+for attn, dd, uni, smax_extra in itertools.product(
+        ("pallas", "chunked"), ("fp32", "native"), (True, False),
+        (512, 16384)):
+    ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16, 16),
+                        gamma=4, temperature=0.0,
                         attn_impl=attn, draft_head="int8",
-                        draft_compute="int8", decode_dtype=dd)
+                        draft_compute="int8", decode_dtype=dd,
+                        uniform_decode_shape=uni)
     eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
     s_max = a.ctx + a.gen + ecfg.tree_size + smax_extra
     out = eng.vanilla_generate(prompt, lens, max_gen_len=a.gen, s_max=s_max)
     out = eng.vanilla_generate(prompt, lens, max_gen_len=a.gen, s_max=s_max)
     ms = 1000.0 * out["elapsed"] / max(int(out["num"]), 1)
-    print(f'{{"attn": "{attn}", "decode_dtype": "{dd}", "s_max": {s_max}, '
+    print(f'{{"attn": "{attn}", "decode_dtype": "{dd}", '
+          f'"uniform": {str(uni).lower()}, "s_max": {s_max}, '
           f'"ms_per_tok": {ms:.2f}}}', flush=True)
     del eng, out
