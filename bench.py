@@ -489,7 +489,7 @@ def _dissect_divergence(eng, prompt, lens, van, tree, n_cmp):
 
 
 def measure_row(name, eng, prompt, lens, gen, s_max, extras=False,
-                eng_t1=None):
+                eng_t1=None, eng_min=None):
     """Vanilla vs tree-spec on one engine; returns the row dict.
 
     Metric definitions match the reference harness
@@ -503,6 +503,13 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False,
     baseline (`--method seq` / `--method magicdec` in
     `inference_long-bench.py`) — so the row reproduces the reference's full
     method comparison, not just its headline.
+
+    `eng_min` (same weights, uniform_decode_shape=False): the MAX-THROUGHPUT
+    vanilla baseline — pure T=1 steps, no verify-shaped padding. The
+    headline `speedup` divides by the FASTER of the two vanillas, so the
+    padded same-law arm can never inflate the ratio; the losslessness gate
+    still compares same-law tokens (cross-law one-ulp tie flips are exactly
+    what uniform_decode_shape exists to rule out).
     """
     log(f"[{name}] vanilla decode...")
     van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
@@ -510,6 +517,18 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False,
     van = eng.vanilla_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
     van_tps = van["num"] / van["elapsed"]
     beat()
+    van_min_tps = None
+    if eng_min is not None:
+        log(f"[{name}] vanilla decode (min-shape baseline)...")
+        vm = eng_min.vanilla_generate(prompt, lens, max_gen_len=gen,
+                                      s_max=s_max)
+        beat()
+        vm = eng_min.vanilla_generate(prompt, lens, max_gen_len=gen,
+                                      s_max=s_max)
+        van_min_tps = vm["num"] / vm["elapsed"]
+        del vm
+        beat()
+    base_tps = max(van_tps, van_min_tps or 0.0)
 
     log(f"[{name}] tree-spec decode...")
     tree = eng.tree_spec_generate(prompt, lens, max_gen_len=gen, s_max=s_max)
@@ -525,12 +544,16 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False,
         "name": name,
         "ctx": int(lens.max()),
         "gen": gen,
-        "speedup": round(float(tree_tps / van_tps), 4),
+        "speedup": round(float(tree_tps / base_tps), 4),
         "mean_accept": round(float(accept), 4),
-        "vanilla_tok_s": round(float(van_tps), 2),
+        "vanilla_tok_s": round(float(base_tps), 2),
         "tree_tok_s": round(float(tree_tps), 2),
         "lossless": lossless,
     }
+    if van_min_tps is not None:
+        # provenance: both baselines, so the conservative ratio is auditable
+        row["vanilla_samelaw_tok_s"] = round(float(van_tps), 2)
+        row["vanilla_minshape_tok_s"] = round(float(van_min_tps), 2)
     if not lossless:
         # dissect the FIRST divergence: replay the vanilla prefix through a
         # fresh prefill and record the top-2 logit margin there. A margin
@@ -557,7 +580,7 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False,
             nc = int(min(van["num"], r["count"] + r["num"], gen - 1))
             row[f"{label}_tok_s"] = round(float(tps), 2)
             row[f"{label}_accept"] = round(float(acc), 4)
-            row[f"{label}_speedup"] = round(float(tps / van_tps), 4)
+            row[f"{label}_speedup"] = round(float(tps / base_tps), 4)
             ll = bool(np.array_equal(
                 van["output_ids"][:, :nc], r["output_ids"][:, :nc]))
             row[f"{label}_lossless"] = ll
@@ -585,7 +608,7 @@ def measure_row(name, eng, prompt, lens, gen, s_max, extras=False,
         row["t1_tree_tok_s"] = round(float(t1_tps), 2)
         row["t1_accept"] = round(float((t1["count"] + t1["num"])
                                        / max(t1["num"], 1)), 4)
-        row["t1_speedup"] = round(float(t1_tps / van_tps), 4)
+        row["t1_speedup"] = round(float(t1_tps / base_tps), 4)
 
     log(f"[{name}] {json.dumps(row)}")
     return row
@@ -865,15 +888,24 @@ def main():
                     import jax as _jax
                     params = _jax.jit(quantize_target_params)(params)
                 eng = SpecEngine(params, dparams, cfg_d, dcfg_d, ecfg)
+                import dataclasses as _dc
+                eng_min = None
+                if ecfg.uniform_decode_shape:
+                    # max-throughput vanilla baseline (pure T=1 steps):
+                    # the headline ratio divides by the faster vanilla
+                    eng_min = SpecEngine(params, dparams, cfg_d, dcfg_d,
+                                         _dc.replace(
+                                             ecfg,
+                                             uniform_decode_shape=False))
                 if is_head:
-                    import dataclasses as _dc
                     eng_t1 = SpecEngine(params, dparams, cfg_d, dcfg_d,
                                         _dc.replace(ecfg, temperature=1.0))
                 prompt = sample(args.batch, ctx, 999)
                 lens = np.full((args.batch,), ctx, np.int32)
                 row = measure_row(name, eng, prompt, lens, row_gen,
                                   ctx + row_gen + ecfg.tree_size + 16,
-                                  extras=is_head, eng_t1=eng_t1)
+                                  extras=is_head, eng_t1=eng_t1,
+                                  eng_min=eng_min)
             except Exception as e:  # noqa: BLE001 — device faults included
                 log(f"[{name}] MEASUREMENT FAILED: {type(e).__name__}: "
                     f"{str(e)[:300]}")
@@ -903,7 +935,7 @@ def main():
             WD.set_fallback(summarize(rows, headline_name, cfg, t0,
                                       partial=True))
             # drop this row's 5GB of device buffers before the next row loads
-            del eng, eng_t1, params, dparams
+            del eng, eng_t1, eng_min, params, dparams
             gc.collect()
 
     print(json.dumps(summarize(rows, headline_name if not args.smoke
