@@ -209,12 +209,17 @@ _HARD = dict(lang="hard", n_states=256, seq=16384, target_steps=1100,
              distill_steps=400, lr=3e-3, offset_cap=49152, distill_accum=4,
              window=12288, ckpt_every=250)
 SPECS = {
+    # tree_best per row = measured-best depth (r3d sweeps): acceptance
+    # saturates at max depth on the easy language (accept == depth+1 at d5,
+    # d6 AND d7) and rises through d7 on the hard one (5.8 -> 6.34)
     "easy_8k": dict(lang="easy", n_states=1024, seq=4096, ctx=8192,
                     target_steps=600, distill_steps=400, lr=1e-3,
-                    offset_cap=30000, distill_accum=1, window=0),
-    "hard_8k": dict(_HARD, ctx=8192),
+                    offset_cap=30000, distill_accum=1, window=0,
+                    tree_best="4,16,16,16,16,16,16"),
+    "hard_8k": dict(_HARD, ctx=8192, attn_best="pallas",
+                    tree_best="4,16,16,16,16,16"),
     "hard_32k": dict(_HARD, ctx=32768, attn_best="pallas",
-                     tree_best="4,16,16,16,16,16"),
+                     tree_best="4,16,16,16,16,16,16"),
     # draft_ring: O(window) draft KV via the ring buffer (saves ~0.5GB of
     # the 131k-row budget and exercises the constant-memory draft design in
     # a headline row; 1024 >> the 512-token draft window + tree-depth slack).

@@ -186,6 +186,14 @@ def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
     Implemented as a vmapped dynamic_update_slice (XLA lowers this to an
     in-place DUS when the buffer is donated/aliased).
     """
+    # Per-batch DUS chain, NOT a batch-vmapped DUS: vmapping a
+    # dynamic_update_slice over a BATCHED start index lowers to scatter,
+    # and a scatter consumer makes XLA pick a scatter-friendly cache
+    # layout INSIDE the decode while-loop while the attention kernel wants
+    # the default layout — the full cache then relayout-copies every
+    # step (measured: the 32k vanilla step carried ~0.5us per s_max ROW,
+    # ~16 of its 25 ms at s_max 33k; profile_vanilla_r3e.log). B is a
+    # static Python int, so the chain is B in-place DUS ops.
     if isinstance(cache, qkv8.QuantKV):
         # quantize AFTER transposing to cache layout: the scale update is
         # then produced [B, Hkv, T] with T minor, matching cache.scale's
@@ -195,18 +203,19 @@ def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
         # pads 16x, turning 134MB of scales into 2GB at 262k context
         # (measured; the quantize itself is per-row and order-independent).
         q8, sc = qkv8.quantize(new.transpose(0, 2, 1, 3))  # [B,H,T,D], [B,H,T]
-
-        def one_q(cq, cs, nq, ns, st):
-            cq = jax.lax.dynamic_update_slice(cq, nq, (0, st, 0))
-            cs = jax.lax.dynamic_update_slice(cs, ns, (0, st))
-            return cq, cs
-
-        qv, scale = jax.vmap(one_q)(cache.qv, cache.scale, q8, sc, starts)
+        qv, scale = cache.qv, cache.scale
+        for i in range(qv.shape[0]):
+            qv = jax.lax.dynamic_update_slice(
+                qv, q8[i:i + 1], (i, 0, starts[i], 0))
+            scale = jax.lax.dynamic_update_slice(
+                scale, sc[i:i + 1], (i, 0, starts[i]))
         return qkv8.QuantKV(qv, scale)
 
-    def one(c, n, s):
-        return jax.lax.dynamic_update_slice(c, n.astype(c.dtype), (0, s, 0))
-    return jax.vmap(one)(cache, new.transpose(0, 2, 1, 3), starts)
+    nt = new.transpose(0, 2, 1, 3).astype(cache.dtype)      # [B, H, T, D]
+    for i in range(cache.shape[0]):
+        cache = jax.lax.dynamic_update_slice(
+            cache, nt[i:i + 1], (i, 0, starts[i], 0))
+    return cache
 
 
 def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,

@@ -143,8 +143,8 @@ def main():
     div = int(d[0]) if len(d) else -1
     print(f"tokens compared: {n}, first divergence: {div}")
     if div < 0:
-        print("no divergence — arms agree; nothing to dissect")
-        return
+        print("no divergence — arms agree; comparing full caches anyway")
+        div = n  # compare every pre-end committed row
 
     # committed rows for generated tokens 0..div-1 live at plen..plen+div-1
     for name, cv, ct in (("K", st_v.kv_k, st_t.kv_k),
