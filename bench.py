@@ -950,7 +950,13 @@ def main():
 def summarize(rows, headline_name, cfg, t0, partial=False):
     """Final one-line JSON from the measured rows. The headline falls back
     to the last row that actually has numbers, so a skipped headline never
-    yields an unparseable result."""
+    yields an unparseable result.
+
+    The printed line must stay SMALL (< ~1 kB): the driver tail-captures
+    stdout and the round-3 line — which inlined every row — overflowed the
+    capture, leaving BENCH_r03.json with parsed=null at rc=0. Full rows go
+    to bench_rows.json; the stdout line carries only the headline plus a
+    pointer to that file."""
     head = None
     for r in rows:
         if r.get("name") == headline_name and "speedup" in r:
@@ -958,6 +964,17 @@ def summarize(rows, headline_name, cfg, t0, partial=False):
     if head is None:
         measured = [r for r in rows if "speedup" in r]
         head = measured[-1] if measured else None
+    rows_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_rows.json")
+    try:
+        with open(rows_file + ".tmp", "w") as f:
+            json.dump({"rows": rows, "partial": partial,
+                       "headline_row": head["name"] if head else None,
+                       "model": f"llama-{cfg.num_layers}L-{cfg.hidden_size}h",
+                       "setup_s": round(time.time() - t0, 1)}, f, indent=1)
+        os.replace(rows_file + ".tmp", rows_file)
+    except OSError as e:  # never let row persistence kill the final line
+        log(f"[summarize] could not write {rows_file}: {e}")
     result = {
         "metric": "tree_spec_speedup_vs_vanilla",
         "value": head["speedup"] if head else None,
@@ -971,7 +988,8 @@ def summarize(rows, headline_name, cfg, t0, partial=False):
         "ctx": head["ctx"] if head else None,
         "gen": head["gen"] if head else None,
         "headline_row": head["name"] if head else None,
-        "rows": rows,
+        "n_rows": len(rows),
+        "rows_file": "bench_rows.json",
         "model": f"llama-{cfg.num_layers}L-{cfg.hidden_size}h",
         "setup_s": round(time.time() - t0, 1),
     }
