@@ -400,6 +400,12 @@ class SpecEngine:
     def init_state(self, batch: int, s_max: int, dtype=jnp.bfloat16) -> DecodeState:
         n_sp = self._sp_n
         s_max = -(-s_max // n_sp) * n_sp  # sp shards need equal slices
+        # chunk-align the target cache: the pallas decode kernel streams
+        # 2048-row chunks and a ragged tail would force an O(context) pad
+        # copy of the whole cache EVERY step (stacked mode refuses it);
+        # the extra rows cost only memory and are never inside any k_hi
+        if self.ecfg.attn_impl == "pallas" and self.ecfg.kv_ring is None:
+            s_max = -(-s_max // 2048) * 2048
         if self.ecfg.kv_quant == "int8":
             from ..ops.quantkv import alloc_quant_kv
             shape = (self.cfg.num_layers, batch, self.cfg.num_kv_heads,

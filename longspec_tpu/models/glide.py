@@ -426,9 +426,12 @@ def glide_train_forward(
 
         def ca_body(_, inp):
             q_blk, khi_blk, row_blk = inp
+            # draft CA prefill: fast default matmul precision — the draft
+            # only PROPOSES tokens, so its rounding cannot affect the T=0
+            # lossless gate (the target verify decides every emitted token)
             o_blk, _ = sliced_prefix_attention(
                 q_blk, kc, vc, khi_blk, row_blk,
-                dcfg.ca_window, dcfg.ca_anchors, attn_impl)
+                dcfg.ca_window, dcfg.ca_anchors, attn_impl, precision=None)
             return None, o_blk
 
         ca_body = jax.checkpoint(ca_body, prevent_cse=False)

@@ -291,7 +291,9 @@ def causal_self_attention(q, k, v, lengths, window, anchors, attn_impl: str,
 
 
 def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
-                            attn_impl: str, chunk: int = 1024, tables=None):
+                            attn_impl: str, chunk: int = 1024, tables=None,
+                            precision=jax.lax.Precision.HIGHEST,
+                            layer_idx=None):
     """Attention of q over cache rows [0, k_hi) with optional sliding window.
 
     q: [B, Tq, H, D]; caches: [B, Hkv, S, D]. k_hi: [B] or [B, Tq] per-query
@@ -308,6 +310,16 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
         k_hi2 = jnp.broadcast_to(k_hi[:, None], (b, tq))
     else:
         k_hi2 = k_hi
+    if layer_idx is not None:
+        # stacked [L, B, Hkv, S, D] caches: the pallas kernel indexes the
+        # layer inside its BlockSpec index map (zero-copy); every other
+        # impl falls back to slicing the layer out here.
+        if attn_impl == "pallas":
+            from ..ops.pallas_decode import flash_decode
+            return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window,
+                                anchors, layer=layer_idx)
+        k_cache = _index_layer(k_cache, layer_idx)
+        v_cache = _index_layer(v_cache, layer_idx)
     if attn_impl == "dense":
         s_max = k_cache.shape[2]
         kj = jnp.arange(s_max)[None, None, :]
@@ -320,10 +332,12 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
         if isinstance(k_cache, qkv8.QuantKV):
             k_cache, v_cache = qkv8.dequant(k_cache), qkv8.dequant(v_cache)
         return att.attend_masked(q, k_cache.transpose(0, 2, 1, 3),
-                                 v_cache.transpose(0, 2, 1, 3), mask)
+                                 v_cache.transpose(0, 2, 1, 3), mask,
+                                 precision=precision)
     elif attn_impl == "chunked":
         return _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos,
-                                          window, anchors, chunk)
+                                          window, anchors, chunk,
+                                          precision=precision)
     elif attn_impl == "pallas":
         from ..ops.pallas_decode import flash_decode
         return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window, anchors)
@@ -341,10 +355,16 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
 
 
 def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
-                               anchors, chunk):
+                               anchors, chunk, precision=None):
     """Chunked online-softmax prefix attention with per-query upper bounds.
 
     q: [B, Tq, H, D]; caches: [B, Hkv, S, D] (native layout).
+
+    `precision`: QK/PV matmul precision — HIGHEST on the decode/verify
+    path (see `att.attend_masked`: the lossless gate needs the two arms'
+    different prefix extents to agree below token margins, and the TPU
+    default truncates the fp32 q and p operands to bf16), default (fast)
+    for prefill, which is computed once and shared by both arms.
     """
     b, tq, h, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
@@ -385,14 +405,16 @@ def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
                 vis = vis | (kj[None, None, :] < anchors)
             mask = mask & vis
         mask = mask[:, None, None]                 # [B, 1, 1, Tq, chunk]
-        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32))
+        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32),
+                         precision=precision)
         sco = jnp.where(mask, sco, att.NEG_INF)
         m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
         p = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(p, axis=-1)
         acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32))
+            "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32),
+            precision=precision)
         return (m_new, l_new, acc_new), None
 
     m0 = jnp.full((b, hkv, groups, tq), att.NEG_INF, jnp.float32)
@@ -630,11 +652,26 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     # to 17.4G. A carry updates in place. The per-layer math is unchanged
     # (the kernel always read a per-layer slice), so results are
     # bit-identical to the xs/ys form.
+    # Decode/verify fast path (collect_kv=True, pallas): attention reads the
+    # STACKED [L, ...] cache with the layer picked inside the kernel's
+    # BlockSpec index map. Slicing the layer out here (dynamic-slice feeding
+    # an opaque pallas_call) materializes the full [B, Hkv, S, D] slice —
+    # ~134MB x 2(KV) x L per step, measured as the s_max-proportional ~2/3
+    # of the 32k vanilla step (profile_vanilla_r3e.log).
+    _s_rows = (kv_k.qv if isinstance(kv_k, qkv8.QuantKV) else kv_k).shape[3]
+    # unaligned caches (tests, small rings) fall back to per-layer slicing —
+    # stacked mode would otherwise need an O(S) pad copy per step
+    stacked_read = (collect_kv and attn_impl == "pallas"
+                    and _s_rows % 2048 == 0)
+
     def layer(carry, lp_li):
         h, kv_k_c, kv_v_c = carry
         lp, li = lp_li
-        ck = _index_layer(kv_k_c, li)
-        cv = _index_layer(kv_v_c, li)
+        if stacked_read:
+            ck, cv = kv_k_c, kv_v_c  # stacked; kernels index the layer
+        else:
+            ck = _index_layer(kv_k_c, li)
+            cv = _index_layer(kv_v_c, li)
         x = rms_norm(h, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = qkv(x, lp, cfg)
         q = apply_rope(q, cos, sin)
@@ -650,16 +687,28 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             cv = write_rows(cv, v)
             kv_k_c = _update_layer(kv_k_c, ck, li)
             kv_v_c = _update_layer(kv_v_c, cv, li)
+        li_read = li if stacked_read else None
         if ring_anchors is not None:
+            # decode/verify (suffix_mask given): HIGHEST matmul precision —
+            # the lossless-gate law (see _attend_prefix_chunked_khi). The
+            # segmented-prefill form (suffix_mask None) keeps the fast
+            # default: prefill is computed once, shared by both arms.
             o_p, lse_p = rc.ring_attention(
                 q, ck, cv, cache_lens, positions, ring_written,
-                cfg.sliding_window, ring_anchors, impl=attn_impl)
+                cfg.sliding_window, ring_anchors, impl=attn_impl,
+                precision=(jax.lax.Precision.HIGHEST
+                           if suffix_mask is not None else None),
+                layer=li_read)
         else:
-            o_p, lse_p = sliced_prefix_attention(q, ck, cv, cache_lens,
-                                                 positions,
-                                                 cfg.sliding_window,
-                                                 cfg.attn_sinks, attn_impl,
-                                                 tables=tables)
+            # suffix_mask None = segmented prefill: fast default precision
+            # (one computation shared by both lossless-gate arms). Decode/
+            # verify: HIGHEST (see _attend_prefix_chunked_khi docstring).
+            o_p, lse_p = sliced_prefix_attention(
+                q, ck, cv, cache_lens, positions, cfg.sliding_window,
+                cfg.attn_sinks, attn_impl, tables=tables,
+                precision=(jax.lax.Precision.HIGHEST
+                           if suffix_mask is not None else None),
+                layer_idx=li_read)
         if suffix_mask is None:
             # segmented prefill: causality is fully encoded in the per-query
             # prefix bound (rows were written above); no suffix term
@@ -684,7 +733,8 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             # read never will (see _mm).
             k_s = jax.lax.optimization_barrier(k.astype(ck.dtype))
             v_s = jax.lax.optimization_barrier(v.astype(ck.dtype))
-        o_s, lse_s = att.attend_masked(q, k_s, v_s, suffix_mask)
+        o_s, lse_s = att.attend_masked(q, k_s, v_s, suffix_mask,
+                                       precision=jax.lax.Precision.HIGHEST)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
         o = _mm(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
         h = h + o

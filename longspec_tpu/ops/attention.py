@@ -34,13 +34,22 @@ def _repeat_kv(x: jnp.ndarray, groups: int) -> jnp.ndarray:
 
 
 def attend_masked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                  mask: jnp.ndarray, scale: Optional[float] = None):
+                  mask: jnp.ndarray, scale: Optional[float] = None,
+                  precision=None):
     """Dense masked attention with LSE output (oracle for all kernels).
 
     q: [B, Tq, H, D]; k, v: [B, Tk, Hkv, D]; mask: broadcastable to
     [B, H, Tq, Tk] (bool; True = attend).
     Returns (out [B, Tq, H, D] fp32, lse [B, Tq, H] fp32). Rows with no
     valid key get out = 0 and lse = -inf (so they merge away exactly).
+
+    `precision`: matmul precision for the QK and PV products. The TPU
+    default truncates fp32 operands to bf16 on the MXU — fine for prefill
+    (common to both arms of a losslessness comparison), but the decode/
+    verify island passes Precision.HIGHEST: the two arms compute the same
+    token's attention under DIFFERENT prefix/suffix splits, and bf16-ulp
+    rounding of q / p flips greedy tokens at ~0.06 logit margins (the
+    round-3 chunked-arm `lossless: false` root cause).
     """
     b, tq, h, d = q.shape
     hkv = k.shape[2]
@@ -48,7 +57,8 @@ def attend_masked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     k = _repeat_kv(k, h // hkv)
     v = _repeat_kv(v, h // hkv)
     qf = q.astype(jnp.float32) * scale
-    s = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    s = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32),
+                   precision=precision)
     if mask.ndim == 3:
         mask = mask[:, None, :, :]
     s = jnp.where(mask, s, NEG_INF)
@@ -58,7 +68,8 @@ def attend_masked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     p = jnp.exp(s - m_safe)
     p = jnp.where(mask, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32))
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32),
+                   precision=precision)
     o = o / jnp.maximum(l, 1e-30).transpose(0, 2, 1, 3)
     o = jnp.where(valid.transpose(0, 2, 1, 3), o, 0.0)
     lse = jnp.where(valid[..., 0], m_safe[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-30)),

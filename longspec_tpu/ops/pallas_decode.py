@@ -48,7 +48,7 @@ R_MAX = 640
 
 def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
                    *rest, scale, chunk, window, anchors, t, g, quant=False,
-                   ring=None):
+                   ring=None, stacked=False):
     if quant:
         # int8 KV + per-row scales (ops.quantkv). Scales ride as [1, chunk]
         # lane-major tiles (a (chunk, 1) block would pad to 128 lanes and
@@ -59,9 +59,11 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         ks_ref = vs_ref = None
         (o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
     c = pl.program_id(2)
+    # scalar-prefetch layout: [n_used, c_lo, layer, d_len(b)...] — slot 2 is
+    # the stacked-cache layer index (consumed by the index maps, not here)
     # per-batch written-position count (ring mode), read at kernel top level:
     # program_id inside a pl.when body fails interpret-mode lowering
-    d_count = nchunk_ref[2 + pl.program_id(0)] if ring is not None else None
+    d_count = nchunk_ref[3 + pl.program_id(0)] if ring is not None else None
 
     @pl.when(c == 0)
     def _():
@@ -88,12 +90,12 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
     @pl.when(live)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [chunk, D]
+        k = (k_ref[0, 0, 0] if stacked else k_ref[0, 0]).astype(jnp.float32)
         s = jax.lax.dot_general(q * scale, k,
                                 (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [R, chunk]
-        if quant:
-            s = s * ks_ref[0, 0]                     # [1, chunk] K scales
+        if quant:                                    # [1, chunk] K scales
+            s = s * (ks_ref[0, 0, 0] if stacked else ks_ref[0, 0])
         col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         khi = khi_ref[0]                              # [R, 1]
         if ring is not None:
@@ -126,8 +128,9 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)               # [R, 1]
         l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)           # [chunk, D]
-        pv_in = p * vs_ref[0, 0] if quant else p      # [1, chunk] V scales
+        v = (v_ref[0, 0, 0] if stacked else v_ref[0, 0]).astype(jnp.float32)
+        pv_in = (p * (vs_ref[0, 0, 0] if stacked else vs_ref[0, 0])
+                 if quant else p)                     # [1, chunk] V scales
         pv = jax.lax.dot_general(pv_in, v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # [R, D]
         acc_scr[:] = acc_scr[:] * alpha + pv
@@ -146,20 +149,24 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         lse_ref[0, 0] = lse
 
 
-def _kv_index_map(i, j, c, nu, *, a_chunks=1):
+def _kv_index_map(i, j, c, nu, *, a_chunks=1, stacked=False):
     """KV block fetch index: skipped grid steps re-point at an already-
     fetched block so Pallas copies nothing for them — chunks past n_used
     (nu[0]) clamp to the last useful chunk; with a window, dead chunks
     below c_lo (nu[1], except the `a_chunks` anchor-sink chunks) point at
-    the window-start chunk."""
+    the window-start chunk. `stacked`: the cache keeps its [L, ...] layer
+    dim and nu[2] picks the layer — the caller never materializes a
+    per-layer slice (an O(context) copy per layer per decode step)."""
     cc = jnp.where(c < nu[1], jnp.where(c < a_chunks, c, nu[1]), c)
-    return (i, j, jnp.minimum(cc, nu[0] - 1), 0)
+    cc = jnp.minimum(cc, nu[0] - 1)
+    return (nu[2], i, j, cc, 0) if stacked else (i, j, cc, 0)
 
 
-def _scale_index_map(i, j, c, nu, *, a_chunks=1):
+def _scale_index_map(i, j, c, nu, *, a_chunks=1, stacked=False):
     """Same clamping for the lane-major [B, Hkv, 1, S] scale blocks."""
     cc = jnp.where(c < nu[1], jnp.where(c < a_chunks, c, nu[1]), c)
-    return (i, j, 0, jnp.minimum(cc, nu[0] - 1))
+    cc = jnp.minimum(cc, nu[0] - 1)
+    return (nu[2], i, j, 0, cc) if stacked else (i, j, 0, cc)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "anchors", "chunk",
@@ -168,7 +175,8 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  k_hi: jnp.ndarray, q_pos: Optional[jnp.ndarray] = None,
                  window: Optional[int] = None, anchors: int = 0,
                  chunk: int = 2048, interpret: Optional[bool] = None,
-                 ring: bool = False, d_len: Optional[jnp.ndarray] = None):
+                 ring: bool = False, d_len: Optional[jnp.ndarray] = None,
+                 layer: Optional[jnp.ndarray] = None):
     """Flash attention of T new queries over a KV cache.
 
     q: [B, T, H, D]; caches: [B, Hkv, S, D]; k_hi: [B] or [B, T] exclusive
@@ -183,11 +191,22 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     written-position count. Matches ring_chunked_prefix_attention
     (tests/test_target_ring.py). `anchors` is the ring's pinned sink-row
     count (must be set when ring=True and the cache has sinks).
+
+    `layer` (traced int32 scalar): STACKED mode — the caches keep their
+    [L, B, Hkv, S, D] layer dim and the kernel streams layer `layer` via
+    the BlockSpec index map. This is the decode fast path: a dynamic-slice
+    feeding a pallas_call must materialize the whole [B, Hkv, S, D] layer
+    slice (~134MB at 32k), and doing that per layer per step was measured
+    as ~2/3 of the 32k vanilla step time (profile_vanilla_r3e.log: ms/tok
+    scaled with s_max although the kernel clamps to n_used chunks).
+    Requires S % chunk == 0 (allocate caches chunk-aligned) so no O(S)
+    pad copy is needed either.
     """
     from .quantkv import QuantKV
     quant = isinstance(k_cache, QuantKV)
+    stacked = layer is not None
     b, t, h, d = q.shape
-    hkv = (k_cache.qv if quant else k_cache).shape[1]
+    hkv = (k_cache.qv if quant else k_cache).shape[1 + stacked]
     g = h // hkv
 
     # The kernel keeps all R = G*T query rows resident in VMEM (q block +
@@ -215,17 +234,22 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         o, lse = jax.lax.map(
             lambda args: flash_decode(args[0], k_cache, v_cache, args[1],
                                       args[2], window, anchors, chunk,
-                                      interpret, ring=ring, d_len=d_len),
+                                      interpret, ring=ring, d_len=d_len,
+                                      layer=layer),
             (qs, ks, ps))
         o = jnp.moveaxis(o, 0, 1).reshape(b, t_pad, h, d)[:, :t]
         lse = jnp.moveaxis(lse, 0, 1).reshape(b, t_pad, h)[:, :t]
         return o, lse
 
     if quant:
-        k_scale = k_cache.scale[:, :, None, :]   # [B, Hkv, 1, S] lane-major
-        v_scale = v_cache.scale[:, :, None, :]
+        if stacked:                      # [L, B, Hkv, 1, S] lane-major
+            k_scale = k_cache.scale[:, :, :, None, :]
+            v_scale = v_cache.scale[:, :, :, None, :]
+        else:                            # [B, Hkv, 1, S] lane-major
+            k_scale = k_cache.scale[:, :, None, :]
+            v_scale = v_cache.scale[:, :, None, :]
         k_cache, v_cache = k_cache.qv, v_cache.qv
-    s = k_cache.shape[2]
+    s = k_cache.shape[2 + stacked]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if k_hi.ndim == 1:
@@ -251,6 +275,12 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     n_chunks = -(-s // chunk)
     s_pad = n_chunks * chunk
     if s_pad != s:
+        if stacked:
+            # padding here would copy the WHOLE multi-layer cache every
+            # step — the exact O(context) cost stacked mode exists to kill
+            raise ValueError(
+                f"stacked flash_decode needs a chunk-aligned cache "
+                f"(S={s}, chunk={chunk}); allocate s_max rounded up")
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, s_pad - s), (0, 0)))
         if quant:
@@ -258,13 +288,16 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
 
     # chunks actually needed (max over batch of max k_hi); scalar prefetch
+    # layout: [n_used, c_lo, layer, d_len(b)... (ring only)]
+    layer_s = (jnp.int32(0) if layer is None
+               else jnp.asarray(layer, jnp.int32).reshape(()))
     if ring:
         # physical rows are position-scattered: every ring chunk is needed
         n_used = jnp.int32(n_chunks)
         c_lo = jnp.int32(0)
         if d_len is None:
             raise ValueError("flash_decode(ring=True) requires d_len [B]")
-        n_used_arr = jnp.concatenate([jnp.stack([n_used, c_lo]),
+        n_used_arr = jnp.concatenate([jnp.stack([n_used, c_lo, layer_s]),
                                       d_len.astype(jnp.int32)])
     else:
         max_hi = jnp.max(k_hi)
@@ -279,16 +312,21 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             c_lo = (lo_col // chunk).astype(jnp.int32)
         else:
             c_lo = jnp.int32(0)
-        n_used_arr = jnp.stack([n_used, c_lo])
+        n_used_arr = jnp.stack([n_used, c_lo, layer_s])
 
     kernel = functools.partial(_decode_kernel, scale=d ** -0.5, chunk=chunk,
                                window=window, anchors=anchors, t=t, g=g,
-                               quant=quant, ring=s if ring else None)
+                               quant=quant, ring=s if ring else None,
+                               stacked=stacked)
 
     a_chunks = -(-anchors // chunk) if anchors > 0 else 0
-    kv_map = functools.partial(_kv_index_map, a_chunks=a_chunks)
-    sc_map = functools.partial(_scale_index_map, a_chunks=a_chunks)
+    kv_map = functools.partial(_kv_index_map, a_chunks=a_chunks,
+                               stacked=stacked)
+    sc_map = functools.partial(_scale_index_map, a_chunks=a_chunks,
+                               stacked=stacked)
     vm = pltpu.VMEM
+    kv_block = (1, 1, 1, chunk, d) if stacked else (1, 1, chunk, d)
+    sc_block = (1, 1, 1, 1, chunk) if stacked else (1, 1, 1, chunk)
     in_specs = [
         pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu: (i, 0, 0),
                      memory_space=vm),
@@ -296,14 +334,14 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                      memory_space=vm),
         pl.BlockSpec((1, 1, r_pad, d), lambda i, j, c, nu: (i, j, 0, 0),
                      memory_space=vm),
-        pl.BlockSpec((1, 1, chunk, d), kv_map, memory_space=vm),
-        pl.BlockSpec((1, 1, chunk, d), kv_map, memory_space=vm),
+        pl.BlockSpec(kv_block, kv_map, memory_space=vm),
+        pl.BlockSpec(kv_block, kv_map, memory_space=vm),
     ]
     inputs = [n_used_arr, khi_rows, qpos_rows, qg, k_cache, v_cache]
     if quant:
         in_specs += [
-            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=vm),
-            pl.BlockSpec((1, 1, 1, chunk), sc_map, memory_space=vm),
+            pl.BlockSpec(sc_block, sc_map, memory_space=vm),
+            pl.BlockSpec(sc_block, sc_map, memory_space=vm),
         ]
         inputs += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -158,22 +158,31 @@ def ring_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
 
 
 def ring_attention(q, cache_k, cache_v, k_hi, q_pos, d_len, window,
-                   anchors: int, impl: str = "chunked"):
+                   anchors: int, impl: str = "chunked", precision=None,
+                   layer=None):
     """Ring prefix attention dispatched on the engine attention impl:
     "pallas" streams the ring through the flash-decode kernel with in-kernel
     position recovery (pallas_decode.flash_decode(ring=True) — one VMEM
     pass, masks computed in registers); anything else runs the pure-XLA
-    chunked oracle below. Same (o, lse) contract."""
+    chunked oracle below. Same (o, lse) contract.
+
+    `layer`: stacked [L, ...] caches — pallas indexes the layer in its
+    BlockSpec (zero-copy); the chunked fallback slices it out here."""
     if impl == "pallas":
         from .pallas_decode import flash_decode
         return flash_decode(q, cache_k, cache_v, k_hi, q_pos, window,
-                            anchors, ring=True, d_len=d_len)
+                            anchors, ring=True, d_len=d_len, layer=layer)
+    if layer is not None:
+        cache_k = jax.lax.dynamic_index_in_dim(cache_k, layer, keepdims=False)
+        cache_v = jax.lax.dynamic_index_in_dim(cache_v, layer, keepdims=False)
     return ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos,
-                                         d_len, window, anchors)
+                                         d_len, window, anchors,
+                                         precision=precision)
 
 
 def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
-                                  window, anchors: int, chunk: int = 2048):
+                                  window, anchors: int, chunk: int = 2048,
+                                  precision=None):
     """Chunked online-softmax attention over the ring — the large-T form
     (segmented prefill runs 8192-query segments; a dense [T, R] mask matrix
     would be GBs there). Per KV chunk, key positions are RECOVERED from the
@@ -208,7 +217,7 @@ def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
         o, lse = jax.lax.map(
             lambda args: ring_chunked_prefix_attention(
                 args[0], cache_k, cache_v, args[1], args[2], d_len,
-                window, anchors, chunk),
+                window, anchors, chunk, precision),
             (qs, ks, ps))
         o = jnp.moveaxis(o, 0, 1).reshape(b, t_pad, h, d)[:, :tq]
         lse = jnp.moveaxis(lse, 0, 1).reshape(b, t_pad, h)[:, :tq]
@@ -243,13 +252,14 @@ def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
             mask = mask & vis                                  # [B, Tq, chunk]
         mask = mask[:, None, None]                             # [B,1,1,Tq,chunk]
         sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf,
-                         kch.astype(jnp.float32))
+                         kch.astype(jnp.float32), precision=precision)
         sco = jnp.where(mask, sco, att.NEG_INF)
         m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
         pmat = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(pmat, axis=-1)
-        pv = jnp.einsum("bhgqk,bhkd->bhgqd", pmat, vch.astype(jnp.float32))
+        pv = jnp.einsum("bhgqk,bhkd->bhgqd", pmat, vch.astype(jnp.float32),
+                        precision=precision)
         acc = acc * alpha[..., None] + pv
         return (m_new, l_new, acc), None
 

@@ -200,3 +200,77 @@ def test_prefill_pallas_int8_kv_reads_dequant():
                                atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(lse[0]), np.asarray(lse_ref[0]),
                                atol=2e-5, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# stacked-layer decode (zero-copy per-layer reads)
+# ---------------------------------------------------------------------------
+
+def test_flash_decode_stacked_layer_matches_sliced():
+    """`flash_decode(layer=i)` over a stacked [L, B, Hkv, S, D] cache must
+    equal the per-layer-sliced call exactly (the BlockSpec index map picks
+    the layer; no materialized slice). Covers bf16 + int8 caches, window +
+    anchors. S chunk-aligned (stacked mode refuses ragged tails)."""
+    from longspec_tpu.ops import quantkv as qkv8
+    from longspec_tpu.ops.pallas_decode import flash_decode
+    L, b, t, h, hkv, d, s = 3, 2, 5, 4, 2, 32, 256
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (L, b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (L, b, hkv, s, d), jnp.float32)
+    q_pos = jnp.asarray([[200 + i for i in range(t)],
+                         [90 + i for i in range(t)]], jnp.int32)
+    k_hi = jnp.asarray([[200] * t, [90] * t], jnp.int32)
+    kq = qkv8.QuantKV(*qkv8.quantize(k))
+    vq = qkv8.QuantKV(*qkv8.quantize(v))
+    for kk, vv, tag in [(k, v, "f32"), (kq, vq, "int8")]:
+        for window, anchors in [(None, 0), (64, 4)]:
+            for li in range(L):
+                sl_k = (qkv8.QuantKV(kk.qv[li], kk.scale[li])
+                        if tag == "int8" else kk[li])
+                sl_v = (qkv8.QuantKV(vv.qv[li], vv.scale[li])
+                        if tag == "int8" else vv[li])
+                o_ref, lse_ref = flash_decode(q, sl_k, sl_v, k_hi, q_pos,
+                                              window, anchors, chunk=128)
+                o, lse = flash_decode(q, kk, vv, k_hi, q_pos, window,
+                                      anchors, chunk=128,
+                                      layer=jnp.int32(li))
+                np.testing.assert_array_equal(
+                    np.asarray(o), np.asarray(o_ref),
+                    err_msg=f"{tag} w={window} layer={li}")
+                np.testing.assert_array_equal(np.asarray(lse),
+                                              np.asarray(lse_ref))
+
+
+def test_flash_decode_stacked_ring_matches_sliced():
+    """Stacked + ring mode: position recovery in-kernel over the layer
+    picked by the index map."""
+    from longspec_tpu.ops.ring_cache import ring_write, ring_positions
+    from longspec_tpu.ops.pallas_decode import flash_decode
+    L, b, t, h, hkv, d, ring = 2, 1, 3, 4, 2, 32, 128
+    anchors, window = 4, 100
+    ks = jax.random.split(jax.random.PRNGKey(22), 3)
+    q = jax.random.normal(ks[0], (b, t, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (L, b, hkv, ring, d), jnp.float32)
+    v = jax.random.normal(ks[2], (L, b, hkv, ring, d), jnp.float32)
+    d_len = jnp.asarray([150], jnp.int32)   # wrapped past the ring once
+    q_pos = jnp.asarray([[150, 151, 152]], jnp.int32)
+    k_hi = jnp.asarray([[150, 151, 152]], jnp.int32)
+    for li in range(L):
+        o_ref, lse_ref = flash_decode(q, k[li], v[li], k_hi, q_pos, window,
+                                      anchors, chunk=64, ring=True,
+                                      d_len=d_len)
+        o, lse = flash_decode(q, k, v, k_hi, q_pos, window, anchors,
+                              chunk=64, ring=True, d_len=d_len,
+                              layer=jnp.int32(li))
+        np.testing.assert_array_equal(np.asarray(o), np.asarray(o_ref))
+        np.testing.assert_array_equal(np.asarray(lse), np.asarray(lse_ref))
+
+
+def test_flash_decode_stacked_refuses_ragged():
+    from longspec_tpu.ops.pallas_decode import flash_decode
+    q = jnp.zeros((1, 1, 2, 32), jnp.float32)
+    k = jnp.zeros((2, 1, 2, 200, 32), jnp.float32)
+    with pytest.raises(ValueError, match="chunk-aligned"):
+        flash_decode(q, k, k, jnp.asarray([[100]], jnp.int32), chunk=128,
+                     layer=jnp.int32(0))
