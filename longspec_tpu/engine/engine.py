@@ -726,6 +726,21 @@ class SpecEngine:
             kv_v = wr(st.kv_v, sel_v, st.cache_lens)
         return kv_k, kv_v
 
+    def _llm_ca_args(self, st):
+        """(llm_k, llm_v, llm_layer) for the draft cross-attention.
+
+        Pallas + chunk-aligned cache: pass the STACKED [L, ...] target
+        cache with the last-layer index — the kernel's BlockSpec picks the
+        layer and nothing O(context) is materialized (the old `kv_k[-1]`
+        slice fed a pallas_call, forcing a full last-layer copy per draft
+        micro-step). Otherwise: the materialized last-layer slice."""
+        from ..ops.quantkv import QuantKV
+        kv_k, kv_v = st.kv_k, st.kv_v
+        s = (kv_k.qv if isinstance(kv_k, QuantKV) else kv_k).shape[3]
+        if self.ecfg.attn_impl == "pallas" and s % 2048 == 0:
+            return kv_k, kv_v, jnp.int32(self.cfg.num_layers - 1)
+        return kv_k[-1], kv_v[-1], None
+
     def _uniform_args(self, st, tokens_a):
         """Pad a [B, A] chain-shaped token block to the uniform [B, N]
         verify call: eos padding, causal visibility, positions
@@ -769,13 +784,15 @@ class SpecEngine:
         pos = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
         emb = M.embed(params, carry.acc_tokens)
         ca_hi = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
+        llm_k, llm_v, llm_layer = self._llm_ca_args(st)
         h, d_kv_k, d_kv_v = G.glide_forward(
             draft_params, cfg, dcfg, emb, pos,
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
-            st.kv_k[-1], st.kv_v[-1], ca_hi,
+            llm_k, llm_v, ca_hi,
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens,
             tables=st.tables,
-            llm_ring_anchors=self._ring, llm_written=st.cache_lens)
+            llm_ring_anchors=self._ring, llm_written=st.cache_lens,
+            llm_layer=llm_layer)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
         logits = self._draft_logits(params, bonus_h)  # [B, V] fp32
@@ -807,10 +824,11 @@ class SpecEngine:
             embi = M.embed(params, cur[:, None])
             hi, dkk, dkv = G.glide_forward(
                 draft_params, cfg, dcfg, embi, posi, dkk, dkv, dcl,
-                st.kv_k[-1], st.kv_v[-1], st.cache_lens[:, None],
+                llm_k, llm_v, st.cache_lens[:, None],
                 suffix_mask=smask1, attn_impl=ecfg.attn_impl, write_at=dcl,
                 tables=st.tables,
-                llm_ring_anchors=self._ring, llm_written=st.cache_lens)
+                llm_ring_anchors=self._ring, llm_written=st.cache_lens,
+                llm_layer=llm_layer)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             li = self._draft_logits(params, hi[:, 0])
             cur = draft_sample(li, jax.random.fold_in(k_draft, s_i))
@@ -1051,13 +1069,15 @@ class SpecEngine:
         pos = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
         emb = M.embed(params, carry.acc_tokens)
         ca_hi = st.d_cache_lens[:, None] + jnp.arange(A)[None, :]
+        llm_k, llm_v, llm_layer = self._llm_ca_args(st)
         h, d_kv_k, d_kv_v = G.glide_forward(
             draft_params, cfg, dcfg, emb, pos,
             st.d_kv_k, st.d_kv_v, st.d_cache_lens,
-            st.kv_k[-1], st.kv_v[-1], ca_hi,
+            llm_k, llm_v, ca_hi,
             attn_impl=ecfg.attn_impl, write_at=st.d_cache_lens,
             tables=st.tables,
-            llm_ring_anchors=self._ring, llm_written=st.cache_lens)
+            llm_ring_anchors=self._ring, llm_written=st.cache_lens,
+            llm_layer=llm_layer)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         root_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
 
@@ -1137,12 +1157,13 @@ class SpecEngine:
             h_l, tk, tv = G.glide_forward(
                 draft_params, cfg, dcfg, emb_l, pos_l,
                 d_kv_k, d_kv_v, root_row,  # prefix excludes root (it's in tk)
-                st.kv_k[-1], st.kv_v[-1],
+                llm_k, llm_v,
                 jnp.broadcast_to(st.cache_lens[:, None], (b, c_l)),
                 suffix_mask=sfx_mask, attn_impl=ecfg.attn_impl,
                 suffix_kv=(tk, tv), suffix_write_offset=lo,
                 d_written=d_cache_lens, tables=st.tables,
-                llm_ring_anchors=self._ring, llm_written=st.cache_lens)
+                llm_ring_anchors=self._ring, llm_written=st.cache_lens,
+                llm_layer=llm_layer)
             if need_q:
                 logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l),
                                             axis=-1)

@@ -165,6 +165,10 @@ def glide_forward(
                                                 # (EngineConfig.kv_ring):
                                                 # CA recovers key positions
     llm_written: Optional[jnp.ndarray] = None,  # [B] target written count
+    llm_layer=None,                             # llm_k/v are the STACKED
+                                                # [L, ...] target cache; CA
+                                                # reads this layer zero-copy
+                                                # (pallas BlockSpec index)
 ):
     """One GLIDE layer step over T new tokens.
 
@@ -259,12 +263,13 @@ def glide_forward(
         o_c, _ = ring_attention(
             qc, llm_k, llm_v, llm_k_hi, positions, llm_written,
             dcfg.ca_window, llm_ring_anchors,
-            impl="chunked" if attn_impl == "paged" else attn_impl)
+            impl="chunked" if attn_impl == "paged" else attn_impl,
+            layer=llm_layer)
     else:
         o_c, _ = sliced_prefix_attention(qc, llm_k, llm_v, llm_k_hi,
                                          positions, dcfg.ca_window,
                                          dcfg.ca_anchors, attn_impl,
-                                         tables=tables)
+                                         tables=tables, layer_idx=llm_layer)
     o_c = qdot(o_c.astype(hidden.dtype).reshape(b, t, -1),
                   draft_params["ca"]["wo"])
     hidden = hidden + o_c
