@@ -230,6 +230,25 @@ class EngineConfig:
     # the beam only chooses which tokens get PROPOSED; a missed top child
     # can only lower the accept rate, never change emitted tokens.
     beam_topk: str = "exact"  # "exact" | "approx"
+    # T>0 tree PROPOSAL policy.
+    #   "iid"  (default): children are i.i.d. samples from the draft's
+    #     temperature-T distribution — the premise under which the residual
+    #     verification walk (engine/verify.py) emits EXACTLY the target law.
+    #   "topk": children are the top-k of the draft distribution, walked
+    #     with the same residual verifier — the reference's T>0 behavior
+    #     (`llama_glide.py:1177-1245`). Distinct children waste no tree
+    #     slots on duplicate samples, so acceptance is higher, but the
+    #     emitted distribution only APPROXIMATES the target law (top-k is
+    #     not the proposal distribution the rejection test assumes).
+    t_proposals: str = "iid"  # "iid" | "topk"
+    # Proposal sharpening for "iid" T>0 trees: children are sampled from
+    # q' = softmax(draft_logp / (T * proposal_sharpness)) and the verifier
+    # uses the SAME q' in its accept ratios, so any value stays EXACT
+    # (rejection sampling is exact for every proposal distribution; only
+    # acceptance rate changes). <1 concentrates proposals on the draft's
+    # head — recovering most of top-k's no-duplicate benefit when the
+    # target is peaked — while 1.0 proposes at the target temperature.
+    proposal_sharpness: float = 1.0
 
     def __post_init__(self):
         # a typo'd kv_quant/draft precision would silently run (and label
@@ -249,6 +268,12 @@ class EngineConfig:
         if self.decode_dtype not in ("fp32", "native"):
             raise ValueError(f"decode_dtype must be fp32|native, "
                              f"got {self.decode_dtype!r}")
+        if self.t_proposals not in ("iid", "topk"):
+            raise ValueError(f"t_proposals must be iid|topk, "
+                             f"got {self.t_proposals!r}")
+        if not (self.proposal_sharpness > 0.0):
+            raise ValueError("proposal_sharpness must be > 0, "
+                             f"got {self.proposal_sharpness!r}")
 
     @property
     def tree_size(self) -> int:

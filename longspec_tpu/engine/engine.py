@@ -75,6 +75,14 @@ class GenCarry(NamedTuple):
                               # when EngineConfig.per_row_temperature; 0 =
                               # greedy row). Traced — changing it never
                               # recompiles the round.
+    # Deferred commit (see _flush_pending): last round's accepted all-layer
+    # KV rows [L, B, A, Hkv, D] (raw compute dtype) + their start positions
+    # [B]. None on paths whose target-cache writes already happen inside
+    # forward_append before its reads (uniform_decode_shape=False chain /
+    # magicdec / vanilla).
+    pend_k: Optional[jnp.ndarray] = None
+    pend_v: Optional[jnp.ndarray] = None
+    pend_at: Optional[jnp.ndarray] = None
 
 
 def _is_eos(cfg, tok):
@@ -432,6 +440,10 @@ class SpecEngine:
             sp = sh.state_pspecs(sp=n_sp > 1,
                                  ring=self.dcfg.ring_size is not None,
                                  kv_quant=self.ecfg.kv_quant == "int8")
+            # batch not divisible by dp (e.g. the serving prefill's dense
+            # batch-1 state): keep the batch replicated instead
+            if batch % dict(self.mesh.shape).get("dp", 1):
+                sp = sh.drop_axis(sp, "dp")
             P = jax.sharding.PartitionSpec
 
             def put(x, spec):
@@ -465,13 +477,28 @@ class SpecEngine:
             kv_k, kv_v = alloc_quant_kv(pool), alloc_quant_kv(pool)
         else:
             kv_k, kv_v = jnp.zeros(pool, dtype), jnp.zeros(pool, dtype)
-        return DecodeState(
+        state = DecodeState(
             kv_k=kv_k, kv_v=kv_v,
             d_kv_k=jnp.zeros(d_shape, dtype), d_kv_v=jnp.zeros(d_shape, dtype),
             cache_lens=jnp.zeros((batch,), jnp.int32),
             d_cache_lens=jnp.zeros((batch,), jnp.int32),
             tables=jnp.zeros((batch, n_chunks), jnp.int32),
         )
+        if self.mesh is not None:
+            from ..parallel import shardings as sh
+            sp = sh.paged_state_pspecs(kv_quant=self.ecfg.kv_quant == "int8")
+            P = jax.sharding.PartitionSpec
+
+            def put(x, spec):
+                shard = jax.tree.map(
+                    lambda s: jax.sharding.NamedSharding(self.mesh, s),
+                    spec, is_leaf=lambda y: isinstance(y, P))
+                return jax.device_put(x, shard)
+
+            state = DecodeState(*[
+                x if x is None else put(x, sp[f])
+                for f, x in zip(DecodeState._fields, state)])
+        return state
 
     def _prefill_impl(self, params, draft_params, tokens, lengths,
                       state: DecodeState, rng):
@@ -626,7 +653,7 @@ class SpecEngine:
             return (~jnp.all(c[4])) & (c[3][0] < limit)
 
         def body(c):
-            st, cur, output_ids, i, done, num, rng = c
+            st, cur, output_ids, i, done, num, rng, pk, pv, pat = c
             rng, k1 = jax.random.split(rng)
             b = cur.shape[0]
             if self.ecfg.uniform_decode_shape:
@@ -634,12 +661,23 @@ class SpecEngine:
                 # one live row (see _verify_forward): losslessness vs the
                 # speculative arms holds by construction, and the step is
                 # bandwidth-bound so the padded rows cost only FLOPs
+                if pk is not None:
+                    # deferred commit: flush last step's row BEFORE the read
+                    # (see _flush_pending — kills the in-loop cache copies)
+                    kv_k, kv_v = self._write_rows_at(st, pk, pv, pat)
+                    st = st._replace(kv_k=kv_k, kv_v=kv_v)
                 toks, pos_t, vmask = self._uniform_args(st, cur[:, None])
                 lg_all, new_k, new_v = self._verify_forward(
                     params, st, toks, pos_t, vmask)
                 logits = lg_all[:, 0]
-                kv_k, kv_v = self._commit_rows(
-                    st, new_k, new_v, jnp.zeros((b, 1), jnp.int32))
+                if pk is not None:
+                    pk = new_k[:, :, :1].astype(pk.dtype)
+                    pv = new_v[:, :, :1].astype(pv.dtype)
+                    pat = st.cache_lens
+                    kv_k, kv_v = st.kv_k, st.kv_v
+                else:
+                    kv_k, kv_v = self._commit_rows(
+                        st, new_k, new_v, jnp.zeros((b, 1), jnp.int32))
             else:
                 pos = st.cache_lens[:, None]
                 smask = jnp.ones((b, 1, 1), bool)
@@ -656,7 +694,7 @@ class SpecEngine:
             num = num + jnp.sum(~done)
             done = done | _is_eos(cfg, nxt)
             st = st._replace(kv_k=kv_k, kv_v=kv_v, cache_lens=cache_lens)
-            return (st, nxt, output_ids, i + 1, done, num, rng)
+            return (st, nxt, output_ids, i + 1, done, num, rng, pk, pv, pat)
 
         c = jax.lax.while_loop(cond, body, carry)
         status = c[3][0] * 2 + jnp.all(c[4]).astype(jnp.int32)
@@ -689,27 +727,33 @@ class SpecEngine:
         logits = M.logits_at(params, hv)
         return jax.lax.optimization_barrier((logits, new_k, new_v))
 
-    def _commit_rows(self, st, new_k, new_v, path_idx_c):
-        """Write the selected verify-forward rows (path_idx_c [B, P]) into
-        the target cache at cache_lens.. — bit-exact data movement shared
-        by every method (shape differences here cannot affect emitted
-        tokens; only `_verify_forward` does arithmetic)."""
-        ecfg = self.ecfg
+    def _select_rows(self, new_k, new_v, path_idx_c):
+        """Gather the selected verify-forward rows (path_idx_c [B, P]) out
+        of the per-layer collected KV [L, B, N, Hkv, D] — the gather half
+        of the commit. Raw (un-cast) rows: QuantKV caches quantize from
+        full precision at write time (quantkv.py rule 2)."""
         sel_k = jnp.take_along_axis(new_k, path_idx_c[None, :, :, None, None],
                                     axis=2)
         sel_v = jnp.take_along_axis(new_v, path_idx_c[None, :, :, None, None],
                                     axis=2)
+        return sel_k, sel_v
+
+    def _write_rows_at(self, st, sel_k, sel_v, at):
+        """Write raw all-layer KV rows (sel_* [L, B, P, Hkv, D]) into the
+        target cache at positions `at` [B] — the write half of the commit,
+        shared by the in-round commit and the DEFERRED flush."""
+        ecfg = self.ecfg
         if ecfg.attn_impl == "sp":
             from ..parallel.ring import sp_write_cache_rows
             kv_k = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_k, sel_k,
-                                       st.cache_lens, ecfg.attn_impl.axis)
+                                       at, ecfg.attn_impl.axis)
             kv_v = sp_write_cache_rows(ecfg.attn_impl.mesh, st.kv_v, sel_v,
-                                       st.cache_lens, ecfg.attn_impl.axis)
+                                       at, ecfg.attn_impl.axis)
         elif ecfg.attn_impl == "paged":
             from ..ops.pallas_paged import write_paged_rows
             wr = jax.vmap(write_paged_rows, in_axes=(0, 0, None, None))
-            kv_k = wr(st.kv_k, sel_k, st.tables, st.cache_lens)
-            kv_v = wr(st.kv_v, sel_v, st.tables, st.cache_lens)
+            kv_k = wr(st.kv_k, sel_k, st.tables, at)
+            kv_v = wr(st.kv_v, sel_v, st.tables, at)
         elif self._ring is not None:
             # ring commit: same slots a vanilla step would write (ring_index
             # is a pure function of position). Junk rows past the accepted
@@ -717,14 +761,47 @@ class SpecEngine:
             # >= A keeps every windowed position live (ops/ring_cache).
             from ..ops.ring_cache import ring_write
             sinks = self._ring
-            wr = jax.vmap(lambda c, n: ring_write(c, n, st.cache_lens, sinks))
+            wr = jax.vmap(lambda c, n: ring_write(c, n, at, sinks))
             kv_k = wr(st.kv_k, sel_k)
             kv_v = wr(st.kv_v, sel_v)
         else:
-            wr = jax.vmap(M.write_cache_rows, in_axes=(0, 0, None))
-            kv_k = wr(st.kv_k, sel_k, st.cache_lens)
-            kv_v = wr(st.kv_v, sel_v, st.cache_lens)
+            kv_k = M.write_cache_rows_stacked(st.kv_k, sel_k, at)
+            kv_v = M.write_cache_rows_stacked(st.kv_v, sel_v, at)
         return kv_k, kv_v
+
+    def _commit_rows(self, st, new_k, new_v, path_idx_c):
+        """Write the selected verify-forward rows (path_idx_c [B, P]) into
+        the target cache at cache_lens.. — bit-exact data movement shared
+        by every method (shape differences here cannot affect emitted
+        tokens; only `_verify_forward` does arithmetic)."""
+        sel_k, sel_v = self._select_rows(new_k, new_v, path_idx_c)
+        return self._write_rows_at(st, sel_k, sel_v, st.cache_lens)
+
+    def _flush_pending(self, carry: GenCarry) -> DecodeState:
+        """DEFERRED COMMIT, write half: the previous round's accepted rows
+        (stashed in the tiny carry.pend_* scratch) are written into the
+        target cache at the TOP of the round, BEFORE any cache read.
+
+        Why not commit right after the verify that produced them: inside
+        the decode while-loop the verify's pallas read and a commit write
+        of the same carried buffer force XLA to insert defensive
+        whole-cache copies (measured: six bf16[16,1,8,34816,128] copies,
+        2.96GB peak temps, ~7 ms of the 18 ms 32k step — scripts/
+        hlo_commit.py). With every write preceding every read the carry
+        aliases in place (the same law forward_append relies on:
+        models/llama.py "Write BEFORE the attention read").
+
+        Correctness: pend rows [0, P) land at [pend_at, pend_at + P); the
+        accepted prefix (adv rows) is exactly [pend_at, cache_lens) and
+        rows past cache_lens are never inside any k_hi until a later
+        flush overwrites them — the same junk-beyond-cache_lens argument
+        the in-round commit already used. The verify that follows reads
+        the post-flush buffer with k_hi = cache_lens, which is exactly
+        what it read under the in-round commit."""
+        st = carry.state
+        kv_k, kv_v = self._write_rows_at(st, carry.pend_k, carry.pend_v,
+                                         carry.pend_at)
+        return st._replace(kv_k=kv_k, kv_v=kv_v)
 
     def _llm_ca_args(self, st):
         """(llm_k, llm_v, llm_layer) for the draft cross-attention.
@@ -765,8 +842,16 @@ class SpecEngine:
         output_ids = jnp.full((b, max_gen_len + 1), cfg.eos_token_id, jnp.int32)
         output_ids = output_ids.at[:, 0].set(t0)
         done0 = _is_eos(cfg, t0)
+        pend_k = pend_v = pend_at = None
+        if self.ecfg.uniform_decode_shape:
+            # deferred-commit scratch (see _flush_pending): one row/step
+            pdt = self._cdt or jnp.bfloat16
+            pshape = (cfg.num_layers, b, 1, cfg.num_kv_heads, cfg.head_dim_)
+            pend_k = jnp.zeros(pshape, pdt)
+            pend_v = pend_k.copy()   # distinct buffer (see _spec_carry)
+            pend_at = state.cache_lens.copy()
         return (state, t0, output_ids, jnp.zeros((1,), jnp.int32), done0,
-                jnp.zeros((), jnp.int32), rng)
+                jnp.zeros((), jnp.int32), rng, pend_k, pend_v, pend_at)
 
     # ------------------------------------------------------------------
     # Chain speculation (ref spec_generate, llama_glide.py:621-774)
@@ -778,6 +863,8 @@ class SpecEngine:
         A = gamma + 1
         b = carry.acc_tokens.shape[0]
         st = carry.state
+        if carry.pend_k is not None:   # deferred commit: write-before-read
+            st = self._flush_pending(carry)
         rng, k_draft = jax.random.split(carry.rng)
 
         # ---- 1. draft re-encode of accepted tokens (micro-step 0) ----
@@ -845,10 +932,19 @@ class SpecEngine:
             lg_all, new_k, new_v = self._verify_forward(
                 params, st, toks_u, pos_u, mask_u)
             ver_logits = lg_all[:, :A]            # [B, A, V] fp32
-            kv_k, kv_v = self._commit_rows(
-                st, new_k, new_v,
-                jnp.broadcast_to(jnp.arange(A)[None], (b, A)))
+            if carry.pend_k is not None:
+                # deferred commit (see _flush_pending): stash all A rows
+                pend_k = new_k[:, :, :A].astype(carry.pend_k.dtype)
+                pend_v = new_v[:, :, :A].astype(carry.pend_v.dtype)
+                pend_at = st.cache_lens
+                kv_k, kv_v = st.kv_k, st.kv_v
+            else:
+                pend_k = pend_v = pend_at = None
+                kv_k, kv_v = self._commit_rows(
+                    st, new_k, new_v,
+                    jnp.broadcast_to(jnp.arange(A)[None], (b, A)))
         else:
+            pend_k = pend_v = pend_at = None
             pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
             cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
             hv, kv_k, kv_v = M.forward_append(
@@ -883,7 +979,7 @@ class SpecEngine:
                          st.tables)
         return GenCarry(st, acc_tokens_new, acc_len, output_ids, out_len, done,
                         count, num, carry.rounds + 1, rng, carry.out_cap,
-                        carry.temps)
+                        carry.temps, pend_k, pend_v, pend_at)
 
     # ------------------------------------------------------------------
     # MagicDec / StreamingLLM self-speculation baseline
@@ -952,6 +1048,8 @@ class SpecEngine:
         A = gamma + 1
         b = carry.acc_tokens.shape[0]
         st = carry.state
+        if carry.pend_k is not None:   # deferred commit: write-before-read
+            st = self._flush_pending(carry)
         rng, k_draft = jax.random.split(carry.rng)
         # The stream cache is COMPACTED (row index != position), so the
         # position-derived sliding-window cut would mask the wrong rows.
@@ -1012,10 +1110,19 @@ class SpecEngine:
             lg_all, new_k, new_v = self._verify_forward(
                 params, st, toks_u, pos_u, mask_u)
             ver_logits = lg_all[:, :A]
-            kv_k, kv_v = self._commit_rows(
-                st, new_k, new_v,
-                jnp.broadcast_to(jnp.arange(A)[None], (b, A)))
+            if carry.pend_k is not None:
+                # deferred commit (see _flush_pending): stash all A rows
+                pend_k = new_k[:, :, :A].astype(carry.pend_k.dtype)
+                pend_v = new_v[:, :, :A].astype(carry.pend_v.dtype)
+                pend_at = st.cache_lens
+                kv_k, kv_v = st.kv_k, st.kv_v
+            else:
+                pend_k = pend_v = pend_at = None
+                kv_k, kv_v = self._commit_rows(
+                    st, new_k, new_v,
+                    jnp.broadcast_to(jnp.arange(A)[None], (b, A)))
         else:
+            pend_k = pend_v = pend_at = None
             pos_t = st.cache_lens[:, None] + jnp.arange(A)[None, :]
             cmask = jnp.broadcast_to(att.causal_mask(A, A)[None], (b, A, A))
             hv, kv_k, kv_v = M.forward_append(
@@ -1047,7 +1154,7 @@ class SpecEngine:
                          st.tables)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
                         count, num, carry.rounds + 1, rng, carry.out_cap,
-                        carry.temps)
+                        carry.temps, pend_k, pend_v, pend_at)
 
     # ------------------------------------------------------------------
     # Tree speculation (ref tree_spec_generate, llama_glide.py:915-1126)
@@ -1062,6 +1169,8 @@ class SpecEngine:
         A = gamma + 1                  # max accepted path length
         b = carry.acc_tokens.shape[0]
         st = carry.state
+        if carry.pend_k is not None:   # deferred commit: write-before-read
+            st = self._flush_pending(carry)
         hd = cfg.head_dim_
         rng = carry.rng
 
@@ -1106,20 +1215,32 @@ class SpecEngine:
             spec_logp = spec_logp.at[:, 0].set(root_logp)
 
         # level 1: T=0 -> top-k of the root distribution (greedy beam);
-        # T>0 -> c1 i.i.d. samples from q_T at the root. i.i.d. proposals are
-        # what makes the residual verification walk (engine/verify.py)
-        # EXACTLY target-law — the reference's top-k children at T>0 are only
-        # approximate (`llama_glide.py:1177-1245`).
+        # T>0 default ("iid") -> c1 i.i.d. samples from the PROPOSAL
+        # distribution q' = softmax(logp / (T * proposal_sharpness)).
+        # i.i.d.-from-q' proposals are what makes the residual verification
+        # walk (engine/verify.py) EXACTLY target-law — rejection sampling is
+        # exact for ANY proposal distribution as long as the verifier's
+        # accept ratios use the same q' (verify.py applies the same
+        # sharpness). t_proposals="topk" instead takes the top-k of q' —
+        # the reference's T>0 behavior (`llama_glide.py:1177-1245`):
+        # distinct children (no duplicate-sample waste) but only an
+        # approximation of the target law.
         c1 = shape[0]
+        ref_topk = ecfg.t_proposals == "topk" and not per_row
         if need_q:
-            rng, k1 = jax.random.split(rng)
+            sharp = ecfg.proposal_sharpness
             logq_root = jax.nn.log_softmax(
-                root_logp / (t_row if per_row else ecfg.temperature), -1)
-            ids1 = jax.random.categorical(
-                k1, jnp.broadcast_to(logq_root[:, None, :],
-                                     (b, c1, cfg.vocab_size)),
-                axis=-1).astype(jnp.int32)
-            logp1 = jnp.take_along_axis(logq_root, ids1, axis=1)
+                root_logp / ((t_row if per_row else ecfg.temperature)
+                             * sharp), -1)
+            if ref_topk:
+                logp1, ids1 = self._logp_topk(logq_root, c1)
+            else:
+                rng, k1 = jax.random.split(rng)
+                ids1 = jax.random.categorical(
+                    k1, jnp.broadcast_to(logq_root[:, None, :],
+                                         (b, c1, cfg.vocab_size)),
+                    axis=-1).astype(jnp.int32)
+                logp1 = jnp.take_along_axis(logq_root, ids1, axis=1)
             if per_row:
                 lg_g, id_g = self._logp_topk(root_logp, c1)
                 ids1 = jnp.where(row_g[:, None], id_g, ids1)
@@ -1168,17 +1289,31 @@ class SpecEngine:
                 logp_l = jax.nn.log_softmax(self._draft_logits(params, h_l),
                                             axis=-1)
                 spec_logp = jax.lax.dynamic_update_slice(spec_logp, logp_l, (0, lo, 0))
+                logq_l = jax.nn.log_softmax(
+                    logp_l / ((t_lvl if per_row else ecfg.temperature)
+                              * ecfg.proposal_sharpness), -1)
+                hist_lvl = hist_logp[:, lo:hi]                   # [B, c_l]
+            if need_q and ref_topk:
+                # reference-style T>0 expansion: flat beam top-k over the
+                # proposal distribution — same select as the greedy beam,
+                # scored on logq' (`llama_glide.py:1064-1067` semantics)
+                vals_l, ids_l = self._logp_topk(logq_l, c_next)
+                v_flat = (hist_lvl[:, :, None] + vals_l).reshape(
+                    b, c_l * c_next)
+                i_flat = ids_l.reshape(b, c_l * c_next)
+                sel_v, sel = jax.lax.top_k(v_flat, c_next)
+                father_l = (sel // c_next).astype(jnp.int32) + lo
+                pred = jnp.take_along_axis(i_flat, sel,
+                                           axis=1).astype(jnp.int32)
+            elif need_q:
                 # ---- exact T>0 expansion ----
                 # Child counts per node are allocated from PATH weights only
                 # (largest-remainder on softmax(hist)), never from the new
                 # samples, so conditional on the tree-so-far each node's
-                # children are i.i.d. draws from its q_T — the premise under
+                # children are i.i.d. draws from its q' — the premise under
                 # which verify_stochastic's residual walk preserves the
                 # target law exactly.
                 rng, k_tok = jax.random.split(rng)
-                logq_l = jax.nn.log_softmax(
-                    logp_l / (t_lvl if per_row else ecfg.temperature), -1)
-                hist_lvl = hist_logp[:, lo:hi]                   # [B, c_l]
                 t_alloc = jax.nn.softmax(hist_lvl, axis=-1) * c_next
                 k_base = jnp.floor(t_alloc)
                 rem = (c_next - jnp.sum(k_base, -1)).astype(jnp.int32)  # [B]
@@ -1291,7 +1426,17 @@ class SpecEngine:
                 ecfg.temperature, k_v, ecfg)
 
         # ---- 5. commit accepted KV rows for ALL layers ----
-        kv_k, kv_v = self._commit_rows(st, new_k, new_v, path_idx_c)
+        if carry.pend_k is not None:
+            # deferred: stash the selected rows; the NEXT round's top flush
+            # writes them (see _flush_pending — avoids in-loop cache copies)
+            sel_k, sel_v = self._select_rows(new_k, new_v, path_idx_c)
+            pend_k = sel_k.astype(carry.pend_k.dtype)
+            pend_v = sel_v.astype(carry.pend_v.dtype)
+            pend_at = st.cache_lens
+            kv_k, kv_v = st.kv_k, st.kv_v
+        else:
+            pend_k = pend_v = pend_at = None
+            kv_k, kv_v = self._commit_rows(st, new_k, new_v, path_idx_c)
 
         adv = jnp.where(carry.done, 0, acc_num)
         adv, has_eos = _truncate_at_stop(cfg, emit, adv)
@@ -1310,7 +1455,7 @@ class SpecEngine:
                          st.tables)
         return GenCarry(st, emit, acc_len, output_ids, out_len, done,
                         count, num, carry.rounds + 1, rng, carry.out_cap,
-                        carry.temps)
+                        carry.temps, pend_k, pend_v, pend_at)
 
     # ------------------------------------------------------------------
     # Public generation APIs (timing excludes prefill, like the reference)
@@ -1322,13 +1467,28 @@ class SpecEngine:
                                             static_argnums=())
         return self._jit_cache[name]
 
-    def _spec_carry(self, state, t0, max_gen_len: int, rng, a_max: int):
+    def _spec_carry(self, state, t0, max_gen_len: int, rng, a_max: int,
+                    defer: bool = False):
         cfg = self.cfg
         b = t0.shape[0]
         out_buf = max_gen_len + a_max + 1
         output_ids = jnp.full((b, out_buf), cfg.eos_token_id, jnp.int32)
         output_ids = output_ids.at[:, 0].set(t0)
         acc_tokens = jnp.zeros((b, a_max), jnp.int32).at[:, 0].set(t0)
+        pend_k = pend_v = pend_at = None
+        if defer:
+            # deferred-commit scratch (see _flush_pending): zero rows at
+            # cache_lens — the first flush writes junk strictly beyond
+            # every k_hi, exactly like unaccepted committed rows
+            pdt = self._cdt or jnp.bfloat16
+            pshape = (cfg.num_layers, b, a_max, cfg.num_kv_heads,
+                      cfg.head_dim_)
+            pend_k = jnp.zeros(pshape, pdt)
+            # distinct buffer: jax dedupes identical zeros constants, and a
+            # shared buffer donated as both pend_k and pend_v trips
+            # "donate the same buffer twice"
+            pend_v = pend_k.copy()
+            pend_at = state.cache_lens.copy()   # distinct buffer, donated
         return GenCarry(
             state=state, acc_tokens=acc_tokens,
             acc_len=jnp.ones((b,), jnp.int32),
@@ -1342,7 +1502,8 @@ class SpecEngine:
             rounds=jnp.zeros((), jnp.int32), rng=rng,
             out_cap=jnp.full((b,), out_buf, jnp.int32),
             temps=(jnp.full((b,), self.ecfg.temperature, jnp.float32)
-                   if self.ecfg.per_row_temperature else None))
+                   if self.ecfg.per_row_temperature else None),
+            pend_k=pend_k, pend_v=pend_v, pend_at=pend_at)
 
     def _spec_segment(self, round_fn, params, draft_params, carry, limit):
         def cond(c):
@@ -1480,7 +1641,7 @@ class SpecEngine:
                 return seg(self.params, carry, limit)
 
             carry, elapsed = self._drive(run_seg, carry, max_gen_len)
-            _, _, output_ids, _, _, num, _ = carry
+            _, _, output_ids, _, _, num, _ = carry[:7]
             n = int(num)
             return dict(output_ids=np.asarray(output_ids), count=0, num=max(n, 1),
                         elapsed=elapsed, new_tokens=n + b)
@@ -1493,7 +1654,12 @@ class SpecEngine:
             round_fn, a_max = self._tree_round, ecfg.tree_depth + 1
         else:
             raise ValueError(f"unknown method {method}")
-        carry = self._spec_carry(state, t0, max_gen_len, k_gen, a_max)
+        # deferred commit (see _flush_pending): tree always verifies via
+        # _verify_forward; chain/magicdec only on the uniform-shape path
+        # (their non-uniform forward_append already writes before reading)
+        defer = method == "tree" or self.ecfg.uniform_decode_shape
+        carry = self._spec_carry(state, t0, max_gen_len, k_gen, a_max,
+                                 defer=defer)
         seg = self._get_jit((method, "seg"),
                             functools.partial(self._spec_segment, round_fn),
                             donate=(2,))

@@ -53,7 +53,10 @@ def verify_stochastic(tree_tokens, tmask, father, depth, tgt_logits, spec_logp,
     t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
     t = t.reshape(-1, 1, 1) if t.ndim else t   # [B,1,1] when per-row
     p_all = jax.nn.softmax(tgt_logits / t, axis=-1)
-    q_all = jax.nn.softmax(spec_logp / t, axis=-1)
+    # q must be the distribution proposals were actually drawn from: the
+    # engine samples children from softmax(logp / (T * proposal_sharpness))
+    # (exact for any sharpness — rejection sampling only needs matching q).
+    q_all = jax.nn.softmax(spec_logp / (t * ecfg.proposal_sharpness), axis=-1)
 
     cur = jnp.zeros((b,), jnp.int32)           # current accepted node (root)
     alive = jnp.ones((b,), bool)               # still walking

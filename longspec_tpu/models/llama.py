@@ -194,6 +194,27 @@ def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
     # step (measured: the 32k vanilla step carried ~0.5us per s_max ROW,
     # ~16 of its 25 ms at s_max 33k; profile_vanilla_r3e.log). B is a
     # static Python int, so the chain is B in-place DUS ops.
+    #
+    # Past serving-scale batch the chain would unroll into a B-op graph
+    # whose XLA compile time explodes (distribution tests run B=16k
+    # engines; a 16384-DUS while body compiles for tens of minutes) — use
+    # ONE true batched scatter there instead.
+    n_b = (cache.qv if isinstance(cache, qkv8.QuantKV) else cache).shape[0]
+    if n_b > 16:
+        t = new.shape[1]
+        b_idx = jnp.repeat(jnp.arange(n_b), t)                    # [B*T]
+        s_idx = (starts[:, None] + jnp.arange(t)[None]).reshape(n_b * t)
+        if isinstance(cache, qkv8.QuantKV):
+            q8, sc = qkv8.quantize(new.transpose(0, 2, 1, 3))     # [B,H,T,D]
+            qv = cache.qv.at[b_idx, :, s_idx, :].set(
+                q8.transpose(0, 2, 1, 3).reshape(n_b * t, q8.shape[1],
+                                                 q8.shape[3]))
+            scale = cache.scale.at[b_idx, :, s_idx].set(
+                sc.transpose(0, 2, 1).reshape(n_b * t, sc.shape[1]))
+            return qkv8.QuantKV(qv, scale)
+        vals = new.astype(cache.dtype).reshape(n_b * t, new.shape[2],
+                                               new.shape[3])      # [B*T,H,D]
+        return cache.at[b_idx, :, s_idx, :].set(vals)
     if isinstance(cache, qkv8.QuantKV):
         # quantize AFTER transposing to cache layout: the scale update is
         # then produced [B, Hkv, T] with T minor, matching cache.scale's
@@ -215,6 +236,61 @@ def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
     for i in range(cache.shape[0]):
         cache = jax.lax.dynamic_update_slice(
             cache, nt[i:i + 1], (i, 0, starts[i], 0))
+    return cache
+
+
+def write_cache_rows_stacked(cache, new: jnp.ndarray, starts: jnp.ndarray):
+    """All-layer commit write: new [L, B, T, Hkv, D] raw rows into the
+    STACKED cache [L, B, Hkv, S, D] at per-batch offsets starts [B].
+
+    NOT `vmap(write_cache_rows)` over L: the vmap batching rule turns the
+    per-batch dynamic_update_slice into a SCATTER (operand batched, index
+    unbatched), and a scatter consumer inside the decode while-loop makes
+    XLA (a) relayout-copy the whole cache to a scatter-friendly layout and
+    back, and (b) give up on in-place aliasing — measured as six
+    bf16[16,1,8,34816,128] copies / 2.95GB peak temps per 32k step
+    (scripts/hlo_engine_seg.py). A per-batch chain of plain DUS ops on the
+    stacked array keeps the cache in the kernels' layout and in place.
+
+    Large batches (distribution tests run B=16k engines) would unroll into
+    a B-op graph whose XLA compile time explodes — past serving-scale
+    batch ONE true batched scatter is the right trade (decode-loop layout
+    perf is not the concern there)."""
+    n_b = (cache.qv if isinstance(cache, qkv8.QuantKV) else cache).shape[1]
+    t = new.shape[2]
+    if n_b > 16:
+        bt = n_b * t
+        b_idx = jnp.repeat(jnp.arange(n_b), t)                    # [B*T]
+        s_idx = (starts[:, None] + jnp.arange(t)[None]).reshape(bt)
+        if isinstance(cache, qkv8.QuantKV):
+            q8, sc = qkv8.quantize(new.transpose(0, 1, 3, 2, 4))  # [L,B,H,T,D]
+            # advanced indices on non-adjacent axes (1, 3) move to front:
+            # updates are [B*T, L, H, D] / [B*T, L, H]
+            qv = cache.qv.at[:, b_idx, :, s_idx, :].set(
+                q8.transpose(1, 3, 0, 2, 4).reshape(
+                    bt, q8.shape[0], q8.shape[2], q8.shape[4]))
+            scale = cache.scale.at[:, b_idx, :, s_idx].set(
+                sc.transpose(1, 3, 0, 2).reshape(bt, sc.shape[0],
+                                                 sc.shape[2]))
+            return qkv8.QuantKV(qv, scale)
+        vals = new.astype(cache.dtype).transpose(1, 2, 0, 3, 4)   # [B,T,L,H,D]
+        vals = vals.reshape(bt, new.shape[0], new.shape[3], new.shape[4])
+        return cache.at[:, b_idx, :, s_idx, :].set(vals)
+    if isinstance(cache, qkv8.QuantKV):
+        # same scale-layout rule as write_cache_rows: quantize AFTER
+        # transposing so the scale update is S-minor like cache.scale
+        q8, sc = qkv8.quantize(new.transpose(0, 1, 3, 2, 4))  # [L,B,H,T,D]
+        qv, scale = cache.qv, cache.scale
+        for i in range(qv.shape[1]):
+            qv = jax.lax.dynamic_update_slice(
+                qv, q8[:, i:i + 1], (0, i, 0, starts[i], 0))
+            scale = jax.lax.dynamic_update_slice(
+                scale, sc[:, i:i + 1], (0, i, 0, starts[i]))
+        return qkv8.QuantKV(qv, scale)
+    nt = new.transpose(0, 1, 3, 2, 4).astype(cache.dtype)    # [L,B,H,T,D]
+    for i in range(cache.shape[1]):
+        cache = jax.lax.dynamic_update_slice(
+            cache, nt[:, i:i + 1], (0, i, 0, starts[i], 0))
     return cache
 
 

@@ -107,6 +107,39 @@ def state_pspecs(sp: bool = False, ring: bool = False,
     }
 
 
+def paged_state_pspecs(kv_quant: bool = False) -> dict:
+    """PartitionSpecs for a PAGED engine.DecodeState (serve.SpecServer
+    kv="paged"): the shared page pools [L, n_pages, Hkv, page, D] shard on
+    kv-heads over `tp` like the dense cache; page indirection (tables) and
+    per-slot bookkeeping stay replicated — pages are a memory-management
+    axis, not a parallelism axis. Serving data-parallelism is server
+    replicas (one pool per replica), so the slot/batch dims stay
+    unsharded here; `tp` is the in-server scaling axis."""
+    pool = P(None, None, "tp", None, None)
+    if kv_quant:
+        from ..ops.quantkv import QuantKV
+        pool = QuantKV(pool, P(None, None, "tp", None))
+    return {
+        "kv_k": pool,
+        "kv_v": pool,
+        "d_kv_k": P(None, "tp", None, None),
+        "d_kv_v": P(None, "tp", None, None),
+        "cache_lens": P(None),
+        "d_cache_lens": P(None),
+        "tables": P(None, None),
+    }
+
+
+def drop_axis(pspecs, axis: str):
+    """Replace `axis` with None in every PartitionSpec of a pspec tree —
+    used when a dimension is not divisible by the mesh axis (e.g. the
+    serving prefill's batch-1 dense state under a dp>1 mesh: the batch
+    stays replicated instead of dp-sharded)."""
+    def fix(s):
+        return P(*(None if a == axis else a for a in s))
+    return jax.tree.map(fix, pspecs, is_leaf=lambda x: isinstance(x, P))
+
+
 def shard_tree(tree, pspecs, mesh: Mesh):
     """Device_put a pytree with matching PartitionSpecs.
 

@@ -24,6 +24,14 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--ctx", type=int, default=32768)
 ap.add_argument("--gen", type=int, default=64)
 ap.add_argument("--row", type=str, default="hard_32k")
+ap.add_argument("--attn", type=str, default="pallas,chunked",
+                help="comma list of attn impls to sweep")
+ap.add_argument("--dd", type=str, default="fp32,native",
+                help="comma list of decode dtypes to sweep")
+ap.add_argument("--uni", type=str, default="1,0",
+                help="comma list of uniform_decode_shape values")
+ap.add_argument("--smax-extra", type=str, default="512,16384",
+                help="comma list of s_max slack values")
 a = ap.parse_args()
 
 cfg = BN.big_model_config()
@@ -40,8 +48,9 @@ prompt = jnp.asarray(sample_corpus2(succ2, probs2, 1, a.ctx, seed=999),
 lens = jnp.asarray(np.full((1,), a.ctx, np.int32))
 
 for attn, dd, uni, smax_extra in itertools.product(
-        ("pallas", "chunked"), ("fp32", "native"), (True, False),
-        (512, 16384)):
+        a.attn.split(","), a.dd.split(","),
+        tuple(bool(int(x)) for x in a.uni.split(",")),
+        tuple(int(x) for x in a.smax_extra.split(","))):
     ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16, 16),
                         gamma=4, temperature=0.0,
                         attn_impl=attn, draft_head="int8",

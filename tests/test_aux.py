@@ -198,6 +198,40 @@ def test_mathx_extract_and_equal():
     assert score_generations(recs) == 0.5
 
 
+def test_mathx_equivalence_core():
+    """The deepseek/mathscale answer-equivalence semantics (T11): LaTeX
+    normalization, percent leniency, tuples/matrices/set-unions
+    element-wise, sympy symbolic equality (ref eval_utils.py math_equal,
+    eval_script.py is_correct)."""
+    from longspec_tpu.utils.mathx import math_equal
+    checks = [
+        (r"\dfrac{1}{2}", r"\frac{1}{2}", True),
+        ("50%", "0.5", True),                       # percent leniency
+        (r"\frac{\sqrt{2}}{2}", r"\frac{1}{\sqrt{2}}", True),
+        ("(1, 2)", "(1.0, 2)", True),               # tuple element-wise
+        ("(1, 2)", "(1, 3)", False),
+        (r"\begin{pmatrix}1&2\\3&4\end{pmatrix}",
+         r"\begin{bmatrix}1 & 2 \\ 3 & 4\end{bmatrix}", True),
+        (r"\begin{pmatrix}1&2\\3&4\end{pmatrix}",
+         r"\begin{pmatrix}1&2\\3&5\end{pmatrix}", False),
+        (r"[0,1)\cup(2,3]", r"(2,3]\cup[0,1)", True),   # set, any order
+        (r"[0,1)\cup(2,3]", r"(2,4]\cup[0,1)", False),
+        ("2\\pi", "2*\\pi", True),
+        ("x+1=2", "x=1", True),                     # equation difference law
+        ("x+1=2", "x=5", False),
+        ("2.50", "2.5", True),
+        ("12 degrees", "12", True),                 # unit stripping
+        (r"\sqrt{8}", r"2\sqrt{2}", True),          # sympy simplify
+        (r"\sqrt{8}", r"3\sqrt{2}", False),
+        ("x^2-1", "(x-1)(x+1)", True),
+        (r"\frac{x}{2}", "x/2", True),
+        ("1,234", "1234", True),
+        (r"\text{12 cm}", "12", True),
+    ]
+    for p, g, want in checks:
+        assert math_equal(p, g) == want, (p, g, want)
+
+
 def test_phase_timer():
     from longspec_tpu.utils.profiling import PhaseTimer
     import jax.numpy as jnp

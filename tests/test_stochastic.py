@@ -144,3 +144,57 @@ def test_engine_t1_first_token_law_exact(method):
     # noise floor ~0.012 for V=13, B=16k; 0.035 leaves 3x margin while
     # still catching the top-k/resample-from-p biases (both O(0.1) here)
     assert tv(emp, exact) < 0.035, (tv(emp, exact), emp, exact)
+
+
+def test_engine_t1_sharpened_proposals_law_exact():
+    """proposal_sharpness < 1 samples children from a SHARPER q' but the
+    verifier divides by the same q' — rejection sampling is exact for any
+    proposal distribution, so the engine-level emitted law must still be
+    the target's (the whole point of offering sharpness as the exact
+    alternative to the reference's approximate top-k proposals)."""
+    from longspec_tpu.config import DraftConfig, tiny_test
+    from longspec_tpu.models import llama as M
+    from longspec_tpu.models import glide as G
+    from longspec_tpu.engine.engine import SpecEngine
+
+    cfg = tiny_test(vocab_size=13, num_layers=2)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    dparams = G.init_draft_params(jax.random.PRNGKey(9), cfg)
+    ecfg = EngineConfig(tree_shape=(2, 3), gamma=2, temperature=1.0,
+                        attn_impl="dense", proposal_sharpness=0.4)
+    eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg)
+
+    rng = np.random.default_rng(4)
+    S, B = 9, 16384
+    prompt1 = rng.integers(2, cfg.vocab_size, (1, S)).astype(np.int32)
+    exact = _exact_first_token_law(cfg, params, prompt1, 1.0)
+    toks = np.tile(prompt1, (B, 1))
+    lens = np.full((B,), S, np.int32)
+    out = eng.tree_spec_generate(toks, lens, max_gen_len=2,
+                                 state_dtype=jnp.float32, seed=123)
+    ids = out["output_ids"]
+    live = ids[:, 0] != cfg.eos_token_id
+    first = ids[live, 1]
+    emp = np.bincount(first, minlength=cfg.vocab_size) / live.sum()
+    assert out["count"] > 0
+    assert tv(emp, exact) < 0.035, (tv(emp, exact), emp, exact)
+
+
+def test_engine_t1_topk_proposals_run():
+    """t_proposals="topk" (reference-parity approximate mode,
+    `llama_glide.py:1177-1245`): distinct top-k children + the residual
+    walk. Smoke-level: executes, emits in-vocab tokens, accepts drafts.
+    (No law assertion — the mode is documented as approximate.)"""
+    from tests.test_lossless import build_engine
+    eng, cfg = build_engine(temperature=1.0)
+    eng = type(eng)(eng.params, eng.draft_params, eng.cfg, eng.dcfg,
+                    __import__("dataclasses").replace(
+                        eng.ecfg, t_proposals="topk"))
+    rng = np.random.default_rng(2)
+    toks = rng.integers(2, cfg.vocab_size, (2, 15))
+    lens = np.array([15, 11], np.int32)
+    out = eng.tree_spec_generate(toks, lens, max_gen_len=16,
+                                 state_dtype=jnp.float32, seed=3)
+    ids = out["output_ids"]
+    assert ((ids >= 0) & (ids < cfg.vocab_size)).all()
+    assert out["count"] > 0
