@@ -175,8 +175,15 @@ class SpecServer:
         else:
             state = engine.init_state(n_slots, s_max, state_dtype)
         eos = jnp.full((n_slots,), self.cfg.eos_token_id, jnp.int32)
+        # defer=True: rounds stash accepted KV rows and flush them at the
+        # next round's top (engine._flush_pending) — the write-before-read
+        # law that keeps the slot caches free of per-step whole-cache
+        # copies. Host-side slot surgery compensates: admissions reset the
+        # slot's pend_at (stale pend rows then land beyond k_hi), and
+        # hibernation flushes before gathering page contents.
         self._carry: GenCarry = engine._spec_carry(
-            state, eos, max_new_cap, jax.random.PRNGKey(seed), a_max)
+            state, eos, max_new_cap, jax.random.PRNGKey(seed), a_max,
+            defer=True)
         # donate the carry (same cache key as generate()'s segment): the KV
         # slabs update in place across decode segments instead of
         # double-buffering — at serving scale the state is most of HBM
@@ -247,6 +254,11 @@ class SpecServer:
                 kw = {}
                 if per_row:
                     kw["temps"] = carry.temps.at[slot].set(temp)
+                if carry.pend_k is not None:
+                    # stale pend rows of whoever held this slot must land
+                    # beyond the new request's k_hi, never inside its prompt
+                    kw["pend_at"] = carry.pend_at.at[slot].set(
+                        pst.cache_lens[0])
                 return carry._replace(
                     state=state,
                     acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
@@ -317,6 +329,9 @@ class SpecServer:
                 kw = {}
                 if per_row:
                     kw["temps"] = carry.temps.at[slot].set(temp)
+                if carry.pend_k is not None:
+                    kw["pend_at"] = carry.pend_at.at[slot].set(
+                        pst.cache_lens[0])
                 return carry._replace(
                     state=state,
                     acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
@@ -446,6 +461,8 @@ class SpecServer:
                 kw = {}
                 if per_row:
                     kw["temps"] = carry.temps.at[slot].set(temp)
+                if carry.pend_k is not None:
+                    kw["pend_at"] = carry.pend_at.at[slot].set(l)
                 return carry._replace(
                     state=state,
                     acc_tokens=carry.acc_tokens.at[slot].set(acc_row),
@@ -465,6 +482,20 @@ class SpecServer:
             jnp.int32(l), jnp.int32(s0), jnp.asarray(trow, jnp.int32),
             jnp.int32(slot), jnp.int32(req.max_new_tokens), rng,
             jnp.float32(self._req_temp(req)))
+
+    def _flush_pend(self):
+        """Write every slot's pending (deferred-commit) KV rows into the
+        cache NOW. Idempotent: re-flushing writes the same rows at the same
+        positions. Needed before host-side reads of cache contents
+        (hibernation); admissions instead neutralize the slot's pend_at."""
+        if self._carry.pend_k is None:
+            return
+        if not hasattr(self, "_flush_jit"):
+            def impl(carry):
+                return carry._replace(
+                    state=self.engine._flush_pending(carry))
+            self._flush_jit = jax.jit(impl, donate_argnums=(0,))
+        self._carry = self._flush_jit(self._carry)
 
     def _finish_slot(self, carry: GenCarry, slot):
         if not hasattr(self, "_finish_jit"):
@@ -559,6 +590,9 @@ class SpecServer:
                 kw = {}
                 if carry.temps is not None:
                     kw["temps"] = carry.temps.at[slot].set(sv["temp"])
+                if carry.pend_k is not None:
+                    kw["pend_at"] = carry.pend_at.at[slot].set(
+                        sv["cache_len"])
                 return carry._replace(
                     state=state,
                     acc_tokens=carry.acc_tokens.at[slot].set(sv["acc_tokens"]),
@@ -579,6 +613,8 @@ class SpecServer:
         """Preempt the request in `slot`: save its state to the host, free
         its pages, park the slot on scratch, requeue the uid at the FRONT."""
         uid = self._slot_uid[slot]
+        self._flush_pend()   # the slot's last accepted rows are still
+                             # pending; its saved pages must be complete
         pages = self._pool.pages_of(uid)
         k = 1
         while k < len(pages):
