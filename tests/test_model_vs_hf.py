@@ -179,3 +179,36 @@ def test_dynamic_ntk_matches_hf_at_design_length():
     logits = M.logits_at(params, hidden)
     np.testing.assert_allclose(np.asarray(logits), hf_logits,
                                atol=4e-4, rtol=3e-3)
+
+
+def test_llama3_rope_at_262k_design_positions():
+    """Llama-3 rope scaling at the reference registry's 262144 maximum
+    context (`inference_long-bench.py:58-62`): our rope_cos_sin must match
+    transformers' rotary embedding at positions up to the design length,
+    not just at test-sized offsets (verdict r4 item 8)."""
+    import torch
+    from transformers import LlamaConfig
+    from transformers.models.llama.modeling_llama import LlamaRotaryEmbedding
+    from longspec_tpu.models.llama import rope_cos_sin
+
+    hf_cfg = LlamaConfig(
+        vocab_size=211, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=262144, rope_theta=500000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32768},
+    )
+    cfg = config_from_hf(hf_cfg)
+    rot = LlamaRotaryEmbedding(config=hf_cfg)
+    pos = np.array([[0, 1, 32768, 131072, 262140, 262143]], np.int64)
+    with torch.no_grad():
+        hf_cos, hf_sin = rot(torch.zeros(1, dtype=torch.float32),
+                             torch.tensor(pos))
+    cos, sin = rope_cos_sin(jnp.asarray(pos, jnp.int32), cfg.head_dim_,
+                            cfg.rope_theta, scaling=cfg.rope_scaling)
+    # both are [B, S, D] with duplicated halves (HF layout)
+    np.testing.assert_allclose(np.asarray(cos), hf_cos.numpy(),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sin), hf_sin.numpy(),
+                               atol=1e-5, rtol=1e-5)

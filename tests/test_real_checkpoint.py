@@ -255,3 +255,70 @@ def test_infer_cli_target_ring_end_to_end(llama_ckpt, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["mean_accept"] >= 1.0 and summary["tok_s"] > 0
+
+
+def test_sharded_safetensors_checkpoint_loads(tmp_path):
+    """Realistic released checkpoints ship MULTIPLE safetensors shards plus
+    a model.safetensors.index.json — the loader must reassemble them into
+    the same params a single-file save produces (verdict r4 item 8)."""
+    import torch
+    import jax.numpy as jnp
+    from longspec_tpu.models.convert import load_hf_checkpoint
+
+    one = str(tmp_path / "one")
+    sharded = str(tmp_path / "sharded")
+    model = _write_hf_checkpoint(one, "llama")
+    model.save_pretrained(sharded, safe_serialization=True,
+                          max_shard_size="50KB")
+    _write_tokenizer(sharded)
+    import os as _os
+    shards = [f for f in _os.listdir(sharded) if f.endswith(".safetensors")]
+    assert len(shards) > 1, shards
+    assert "model.safetensors.index.json" in _os.listdir(sharded)
+
+    cfg1, p1 = load_hf_checkpoint(one, jnp.float32)
+    cfg2, p2 = load_hf_checkpoint(sharded, jnp.float32)
+    assert cfg1 == cfg2
+    import jax
+    leaves1 = jax.tree_util.tree_leaves_with_path(p1)
+    leaves2 = dict(jax.tree_util.tree_leaves_with_path(p2))
+    for path, v in leaves1:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(leaves2[path]), str(path))
+
+
+def test_tied_embeddings_checkpoint_logits_match_hf(tmp_path):
+    """tie_word_embeddings=True checkpoints (Qwen2.5 small, Llama-3.2-1B)
+    store no lm_head tensor — the loader must share the embedding and the
+    forward must produce HF's logits."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from longspec_tpu.models.convert import load_hf_checkpoint
+    from longspec_tpu.models import llama as M
+
+    d = str(tmp_path / "tied")
+    cfg_hf = LlamaConfig(vocab_size=VOCAB, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=2048,
+                         eos_token_id=1, pad_token_id=0,
+                         tie_word_embeddings=True)
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(cfg_hf).eval().to(torch.float32)
+    model.save_pretrained(d, safe_serialization=True)
+    _write_tokenizer(d)
+
+    cfg, params = load_hf_checkpoint(d, jnp.float32)
+    assert cfg.tie_word_embeddings and "lm_head" not in params
+    rng = np.random.default_rng(5)
+    toks = rng.integers(2, VOCAB, (1, 24))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(toks)).logits.numpy()
+    kv_k, kv_v = M.alloc_kv_cache(cfg, 1, 32, jnp.float32)
+    h, _, _ = M.forward_prefill(params, cfg, jnp.asarray(toks),
+                                jnp.full((1,), 24, jnp.int32), kv_k, kv_v)
+    logits = M.logits_at(params, h)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=3e-4, rtol=2e-3)
