@@ -239,6 +239,29 @@ def write_cache_rows(cache, new: jnp.ndarray, starts: jnp.ndarray):
     return cache
 
 
+def write_cache_rows_layer(cache, new: jnp.ndarray, starts: jnp.ndarray, li):
+    """Write new [B, T, Hkv, D] rows into ONE layer (traced index `li`) of
+    the STACKED cache [L, B, Hkv, S, D] at per-batch offsets starts [B] —
+    a plain DUS chain, so the carried stack updates in place with no
+    per-layer slice-out/update-back pair (which XLA can materialize as an
+    O(S) layer copy around an opaque kernel read)."""
+    li = jnp.asarray(li, jnp.int32)
+    if isinstance(cache, qkv8.QuantKV):
+        q8, sc = qkv8.quantize(new.transpose(0, 2, 1, 3))  # [B,H,T,D],[B,H,T]
+        qv, scale = cache.qv, cache.scale
+        for i in range(qv.shape[1]):
+            qv = jax.lax.dynamic_update_slice(
+                qv, q8[None, i:i + 1], (li, i, 0, starts[i], 0))
+            scale = jax.lax.dynamic_update_slice(
+                scale, sc[None, i:i + 1], (li, i, 0, starts[i]))
+        return qkv8.QuantKV(qv, scale)
+    nt = new.transpose(0, 2, 1, 3).astype(cache.dtype)      # [B, H, T, D]
+    for i in range(cache.shape[1]):
+        cache = jax.lax.dynamic_update_slice(
+            cache, nt[None, i:i + 1], (li, i, 0, starts[i], 0))
+    return cache
+
+
 def write_cache_rows_stacked(cache, new: jnp.ndarray, starts: jnp.ndarray):
     """All-layer commit write: new [L, B, T, Hkv, D] raw rows into the
     STACKED cache [L, B, Hkv, S, D] at per-batch offsets starts [B].
@@ -737,8 +760,13 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     _s_rows = (kv_k.qv if isinstance(kv_k, qkv8.QuantKV) else kv_k).shape[3]
     # unaligned caches (tests, small rings) fall back to per-layer slicing —
     # stacked mode would otherwise need an O(S) pad copy per step
-    stacked_read = (collect_kv and attn_impl == "pallas"
-                    and _s_rows % 2048 == 0)
+    stacked_read = (attn_impl == "pallas" and _s_rows % 2048 == 0)
+    # stacked WRITES too (non-collect paths): a per-layer slice-out /
+    # update-back pair around the row write invites XLA to materialize the
+    # [B, Hkv, S, D] layer slice; a plain DUS at (li, b, ..) on the carried
+    # stack stays in place
+    stacked_write = stacked_read and ring_anchors is None \
+        and attn_impl not in ("sp", "paged")
 
     def layer(carry, lp_li):
         h, kv_k_c, kv_v_c = carry
@@ -759,10 +787,20 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
         # copies at 262k). Decode prefix bounds (k_hi = cache_lens) never
         # cover the new rows, so results are unchanged.
         if not collect_kv:
-            ck = write_rows(ck, k)
-            cv = write_rows(cv, v)
-            kv_k_c = _update_layer(kv_k_c, ck, li)
-            kv_v_c = _update_layer(kv_v_c, cv, li)
+            if stacked_write:
+                kv_k_c = write_cache_rows_layer(kv_k_c, k, write_at, li)
+                kv_v_c = write_cache_rows_layer(kv_v_c, v, write_at, li)
+                ck, cv = kv_k_c, kv_v_c
+            else:
+                # ring/sp/paged writers operate on a per-layer slice
+                ck_l = ck if not stacked_read else _index_layer(kv_k_c, li)
+                cv_l = cv if not stacked_read else _index_layer(kv_v_c, li)
+                ck_l = write_rows(ck_l, k)
+                cv_l = write_rows(cv_l, v)
+                kv_k_c = _update_layer(kv_k_c, ck_l, li)
+                kv_v_c = _update_layer(kv_v_c, cv_l, li)
+                ck = kv_k_c if stacked_read else ck_l
+                cv = kv_v_c if stacked_read else cv_l
         li_read = li if stacked_read else None
         if ring_anchors is not None:
             # decode/verify (suffix_mask given): HIGHEST matmul precision —
@@ -775,6 +813,20 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                 precision=(jax.lax.Precision.HIGHEST
                            if suffix_mask is not None else None),
                 layer=li_read)
+        elif suffix_mask is None and attn_impl == "pallas":
+            # segmented prefill, pallas: positions are AFFINE (q_off +
+            # arange — _prefill_seg_body's contract) with per-query bound
+            # k_hi = min(pos + 1, row_len). The dedicated prefill kernel
+            # derives positions from its block index, so query blocks are
+            # 512 positions instead of flash_decode's R_MAX=640 ROWS —
+            # ~13x fewer streaming passes over the KV band and no host
+            # lax.map splitting (the old path cut a T=8192 segment into
+            # ~52 sequential pallas calls).
+            from ..ops.pallas_prefill import flash_cache_prefill
+            o_p = flash_cache_prefill(
+                q, ck, cv, positions[0, 0], jnp.max(cache_lens, axis=1),
+                cfg.sliding_window, cfg.attn_sinks, layer=li_read)
+            lse_p = None
         else:
             # suffix_mask None = segmented prefill: fast default precision
             # (one computation shared by both lossless-gate arms). Decode/

@@ -274,3 +274,57 @@ def test_flash_decode_stacked_refuses_ragged():
     with pytest.raises(ValueError, match="chunk-aligned"):
         flash_decode(q, k, k, jnp.asarray([[100]], jnp.int32), chunk=128,
                      layer=jnp.int32(0))
+
+
+@pytest.mark.parametrize("window,anchors,quant,stacked", [
+    (None, 0, False, False),
+    (24, 4, False, False),
+    (24, 4, False, True),
+    (None, 0, True, False),
+    (24, 4, True, True),
+])
+def test_flash_cache_prefill_vs_oracle(window, anchors, quant, stacked):
+    """Segmented-prefill kernel (affine positions, per-row lengths) vs the
+    generic sliced_prefix_attention oracle with k_hi = min(pos+1, len)."""
+    import jax
+    import jax.numpy as jnp
+    from longspec_tpu.ops.pallas_prefill import flash_cache_prefill
+    from longspec_tpu.models.llama import sliced_prefix_attention
+    from longspec_tpu.ops import quantkv as qkv8
+
+    rng = np.random.default_rng(17)
+    B, T, H, Hkv, D, S, OFF = 2, 16, 4, 2, 16, 128, 40
+    L = 3
+    lens = jnp.asarray([OFF + T, OFF + 5], jnp.int32)  # row 1 ends mid-seg
+    q = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(L, B, Hkv, S, D)), jnp.float32)
+    li = 1
+    if quant:
+        q8k, sck = qkv8.quantize(kc.reshape(-1, S, D))
+        q8v, scv = qkv8.quantize(vc.reshape(-1, S, D))
+        kq = qkv8.QuantKV(q8k.reshape(L, B, Hkv, S, D),
+                          sck.reshape(L, B, Hkv, S))
+        vq = qkv8.QuantKV(q8v.reshape(L, B, Hkv, S, D),
+                          scv.reshape(L, B, Hkv, S))
+        k_in = kq if stacked else qkv8.QuantKV(kq.qv[li], kq.scale[li])
+        v_in = vq if stacked else qkv8.QuantKV(vq.qv[li], vq.scale[li])
+        k_or = qkv8.QuantKV(kq.qv[li], kq.scale[li])
+        v_or = qkv8.QuantKV(vq.qv[li], vq.scale[li])
+    else:
+        k_in = kc if stacked else kc[li]
+        v_in = vc if stacked else vc[li]
+        k_or, v_or = kc[li], vc[li]
+
+    pos = OFF + jnp.arange(T)[None, :]
+    pos = jnp.broadcast_to(pos, (B, T))
+    k_hi = jnp.minimum(pos + 1, lens[:, None])
+    got = flash_cache_prefill(q, k_in, v_in, jnp.int32(OFF), lens,
+                              window, anchors, q_blk=8, chunk=32,
+                              layer=jnp.int32(li) if stacked else None)
+    want, _ = sliced_prefix_attention(q, k_or, v_or, k_hi, pos, window,
+                                      anchors, "chunked", precision=None)
+    # rows past a row's length are garbage in both; compare live rows
+    live = np.asarray(pos < lens[:, None])
+    np.testing.assert_allclose(np.asarray(got)[live], np.asarray(want)[live],
+                               atol=2e-5, rtol=2e-5)
