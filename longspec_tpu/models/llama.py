@@ -416,7 +416,10 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
         if attn_impl == "pallas":
             from ..ops.pallas_decode import flash_decode
             return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window,
-                                anchors, layer=layer_idx)
+                                anchors, layer=layer_idx,
+                                precision=(jax.lax.Precision.DEFAULT
+                                           if precision is None
+                                           else precision))
         k_cache = _index_layer(k_cache, layer_idx)
         v_cache = _index_layer(v_cache, layer_idx)
     if attn_impl == "dense":
@@ -439,7 +442,9 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
                                           precision=precision)
     elif attn_impl == "pallas":
         from ..ops.pallas_decode import flash_decode
-        return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window, anchors)
+        return flash_decode(q, k_cache, v_cache, k_hi2, q_pos, window, anchors,
+                            precision=(jax.lax.Precision.DEFAULT
+                                       if precision is None else precision))
     elif attn_impl == "paged":
         from ..ops.pallas_paged import paged_flash_decode
         assert tables is not None, "paged attention needs page tables"

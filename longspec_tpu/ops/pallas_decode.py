@@ -48,7 +48,7 @@ R_MAX = 640
 
 def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
                    *rest, scale, chunk, window, anchors, t, g, quant=False,
-                   ring=None, stacked=False):
+                   ring=None, stacked=False, precision=None):
     if quant:
         # int8 KV + per-row scales (ops.quantkv). Scales ride as [1, chunk]
         # lane-major tiles (a (chunk, 1) block would pad to 128 lanes and
@@ -91,9 +91,17 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
         k = (k_ref[0, 0, 0] if stacked else k_ref[0, 0]).astype(jnp.float32)
+        # precision=HIGHEST: a default-precision f32 MXU dot truncates the
+        # operands to bf16, injecting ~1e-3 split-dependent rounding into
+        # the scores — enough that the vanilla and tree arms' committed
+        # K/V rows drift 1-2 bf16 ulps and a 0.004-margin greedy tie flips
+        # (bitdiff_hard8k_r4.log; the CPU chunked oracle shows the arms
+        # bit-identical). Decode/verify is bandwidth-bound, so the extra
+        # MXU passes are free.
         s = jax.lax.dot_general(q * scale, k,
                                 (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [R, chunk]
+                                preferred_element_type=jnp.float32,
+                                precision=precision)  # [R, chunk]
         if quant:                                    # [1, chunk] K scales
             s = s * (ks_ref[0, 0, 0] if stacked else ks_ref[0, 0])
         col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -132,7 +140,8 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         pv_in = (p * (vs_ref[0, 0, 0] if stacked else vs_ref[0, 0])
                  if quant else p)                     # [1, chunk] V scales
         pv = jax.lax.dot_general(pv_in, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [R, D]
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)  # [R, D]
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
         l_scr[:] = l_new
@@ -170,13 +179,15 @@ def _scale_index_map(i, j, c, nu, *, a_chunks=1, stacked=False):
 
 
 @functools.partial(jax.jit, static_argnames=("window", "anchors", "chunk",
-                                             "interpret", "ring"))
+                                             "interpret", "ring",
+                                             "precision"))
 def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                  k_hi: jnp.ndarray, q_pos: Optional[jnp.ndarray] = None,
                  window: Optional[int] = None, anchors: int = 0,
                  chunk: int = 2048, interpret: Optional[bool] = None,
                  ring: bool = False, d_len: Optional[jnp.ndarray] = None,
-                 layer: Optional[jnp.ndarray] = None):
+                 layer: Optional[jnp.ndarray] = None,
+                 precision=jax.lax.Precision.HIGHEST):
     """Flash attention of T new queries over a KV cache.
 
     q: [B, T, H, D]; caches: [B, Hkv, S, D]; k_hi: [B] or [B, T] exclusive
@@ -235,7 +246,7 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             lambda args: flash_decode(args[0], k_cache, v_cache, args[1],
                                       args[2], window, anchors, chunk,
                                       interpret, ring=ring, d_len=d_len,
-                                      layer=layer),
+                                      layer=layer, precision=precision),
             (qs, ks, ps))
         o = jnp.moveaxis(o, 0, 1).reshape(b, t_pad, h, d)[:, :t]
         lse = jnp.moveaxis(lse, 0, 1).reshape(b, t_pad, h)[:, :t]
@@ -317,7 +328,7 @@ def flash_decode(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     kernel = functools.partial(_decode_kernel, scale=d ** -0.5, chunk=chunk,
                                window=window, anchors=anchors, t=t, g=g,
                                quant=quant, ring=s if ring else None,
-                               stacked=stacked)
+                               stacked=stacked, precision=precision)
 
     a_chunks = -(-anchors // chunk) if anchors > 0 else 0
     kv_map = functools.partial(_kv_index_map, a_chunks=a_chunks,

@@ -171,7 +171,9 @@ def ring_attention(q, cache_k, cache_v, k_hi, q_pos, d_len, window,
     if impl == "pallas":
         from .pallas_decode import flash_decode
         return flash_decode(q, cache_k, cache_v, k_hi, q_pos, window,
-                            anchors, ring=True, d_len=d_len, layer=layer)
+                            anchors, ring=True, d_len=d_len, layer=layer,
+                            precision=(jax.lax.Precision.DEFAULT
+                                       if precision is None else precision))
     if layer is not None:
         cache_k = jax.lax.dynamic_index_in_dim(cache_k, layer, keepdims=False)
         cache_v = jax.lax.dynamic_index_in_dim(cache_v, layer, keepdims=False)
