@@ -246,7 +246,10 @@ SPECS = {
     # cache holds 22528 physical rows (1.5GB bf16) instead of 262k (8.6GB
     # int8). The full-length graphs at 262k need >19G on the 15.75G chip
     # (cache + XLA relayout/remat copies); the ring fits with GBs to spare.
-    "long_262k": dict(_HARD, ctx=262144, attn_best="chunked",
+    # attn_best pallas: the in-kernel ring position recovery beat the XLA
+    # chunked path 2.55x vs 2.33x on this row (r3e/r4 measurements — the
+    # chunked path materializes the recovered-position mask chain per step)
+    "long_262k": dict(_HARD, ctx=262144, attn_best="pallas",
                       tree_best="4,16,16,16,16,16", kv_ring=22528,
                       gen=64, draft_ring=1024, prefill_seg=8192,
                       target_quant="int8"),
@@ -293,6 +296,30 @@ def row_is_fresh(rpath, tpath, dpath, row):
                 and row.get("_dfp") == fingerprint(dpath))
     # legacy rows recorded only byte sizes (a weak proxy); require re-measure
     return False
+
+
+def row_is_stale(row):
+    """Does the cached row predate source changes to longspec_tpu/?
+
+    A row measured at commit X is evidence about THAT code; if the decode
+    path changed since, the row can no longer prove anything about HEAD
+    (round-4 postmortem: the official artifact silently reused rows from
+    five different commits, one of them red at head). Conservative: an
+    unknown commit or a dirty working tree counts as stale."""
+    c = row.get("_commit")
+    if not c:
+        return True
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        same = subprocess.run(
+            ["git", "diff", "--quiet", c, "HEAD", "--", "longspec_tpu/"],
+            cwd=root, timeout=10).returncode == 0
+        clean = subprocess.run(
+            ["git", "diff", "--quiet", "HEAD", "--", "longspec_tpu/"],
+            cwd=root, timeout=10).returncode == 0
+        return not (same and clean)
+    except Exception:
+        return True
 
 
 def big_model_config():
@@ -818,6 +845,15 @@ def main():
                 # measurements is re-measured, not reused
                 if row and (not is_head or ("chain_tok_s" in row
                                             and "t1_tree_tok_s" in row)):
+                    if row_is_stale(row):
+                        # label, don't refuse: the driver path must always
+                        # produce a final JSON, but a row measured before
+                        # source changes cannot claim to describe HEAD
+                        row["stale"] = True
+                        log(f"[{name}] WARNING: cached row predates "
+                            f"longspec_tpu/ changes (measured at "
+                            f"{row.get('_commit')}) — labeled stale; run "
+                            f"--fresh-rows for current evidence")
                     log(f"[{name}] reusing cached row result {row}")
                     rows.append(row)
                     WD.set_fallback(summarize(rows, headline_name, cfg, t0,

@@ -271,6 +271,15 @@ class EngineConfig:
         if self.t_proposals not in ("iid", "topk"):
             raise ValueError(f"t_proposals must be iid|topk, "
                              f"got {self.t_proposals!r}")
+        if self.t_proposals == "topk" and self.per_row_temperature:
+            # the topk (reference-parity) proposal scheme needs one shared
+            # temperature baked into the level walk; silently falling back
+            # to iid would hand a user the wrong proposal law
+            raise ValueError(
+                "t_proposals='topk' is incompatible with "
+                "per_row_temperature=True (topk bakes one shared "
+                "temperature into the beam walk; per-row rounds sample "
+                "iid proposals) — use t_proposals='iid'")
         if not (self.proposal_sharpness > 0.0):
             raise ValueError("proposal_sharpness must be > 0, "
                              f"got {self.proposal_sharpness!r}")

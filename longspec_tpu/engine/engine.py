@@ -322,6 +322,13 @@ class SpecEngine:
         # fp32 islands so vanilla-vs-verify reduction-order noise cannot
         # flip greedy argmax ties (the round-2 losslessness postmortem)
         self._cdt = (jnp.float32 if ecfg.decode_dtype == "fp32" else None)
+        # deferred-commit scratch dtype: the dtype of the raw KV rows the
+        # verify forward collects. decode_dtype="fp32" pins fp32 islands;
+        # "native" computes in the params' own dtype — assume nothing
+        # (fp32 params + a bf16 scratch would round the rows BEFORE the
+        # flush, so the cache would store values the verify's suffix
+        # attention never saw, and QuantKV would quantize from rounded rows)
+        self._pend_dt = self._cdt or M.lm_head_weight(params).dtype
         # the one decode-loop verify shape (uniform_decode_shape): tree
         # nodes, or the chain block when a degenerate config makes it larger
         self._uniform_n = max(ecfg.tree_size, ecfg.gamma + 1)
@@ -845,7 +852,7 @@ class SpecEngine:
         pend_k = pend_v = pend_at = None
         if self.ecfg.uniform_decode_shape:
             # deferred-commit scratch (see _flush_pending): one row/step
-            pdt = self._cdt or jnp.bfloat16
+            pdt = self._pend_dt
             pshape = (cfg.num_layers, b, 1, cfg.num_kv_heads, cfg.head_dim_)
             pend_k = jnp.zeros(pshape, pdt)
             pend_v = pend_k.copy()   # distinct buffer (see _spec_carry)
@@ -1480,7 +1487,7 @@ class SpecEngine:
             # deferred-commit scratch (see _flush_pending): zero rows at
             # cache_lens — the first flush writes junk strictly beyond
             # every k_hi, exactly like unaccepted committed rows
-            pdt = self._cdt or jnp.bfloat16
+            pdt = self._pend_dt
             pshape = (cfg.num_layers, b, a_max, cfg.num_kv_heads,
                       cfg.head_dim_)
             pend_k = jnp.zeros(pshape, pdt)
@@ -1521,8 +1528,13 @@ class SpecEngine:
 
     def _run(self, method: str, input_ids, prompt_lens, max_gen_len: int,
              seed: int = 0, state_dtype=jnp.bfloat16,
-             s_max: Optional[int] = None):
-        """Shared driver. Returns dict with output_ids, count, num, elapsed."""
+             s_max: Optional[int] = None, return_state: bool = False):
+        """Shared driver. Returns dict with output_ids, count, num, elapsed.
+
+        `return_state=True` adds the final `DecodeState` (key "state") with
+        every deferred-commit row FLUSHED — the cache then holds exactly the
+        rows `cache_lens` counts (the cross-arm committed-KV law tested by
+        tests/test_deferred_commit.py and scripts/bitdiff_arms.py)."""
         cfg, ecfg = self.cfg, self.ecfg
         if ecfg.attn_impl == "paged":
             raise NotImplementedError(
@@ -1641,10 +1653,20 @@ class SpecEngine:
                 return seg(self.params, carry, limit)
 
             carry, elapsed = self._drive(run_seg, carry, max_gen_len)
-            _, _, output_ids, _, _, num, _ = carry[:7]
+            st_f, _, output_ids = carry[0], carry[1], carry[2]
+            num = carry[5]
+            pk, pv, pat = carry[7], carry[8], carry[9]
+            if pk is not None:
+                # flush the last step's deferred row (see the spec-path
+                # flush below) so the final cache is self-consistent
+                kv_k, kv_v = self._write_rows_at(st_f, pk, pv, pat)
+                st_f = st_f._replace(kv_k=kv_k, kv_v=kv_v)
             n = int(num)
-            return dict(output_ids=np.asarray(output_ids), count=0, num=max(n, 1),
-                        elapsed=elapsed, new_tokens=n + b)
+            out = dict(output_ids=np.asarray(output_ids), count=0,
+                       num=max(n, 1), elapsed=elapsed, new_tokens=n + b)
+            if return_state:
+                out["state"] = st_f
+            return out
 
         if method == "chain":
             round_fn, a_max = self._chain_round, ecfg.gamma + 1
@@ -1668,14 +1690,26 @@ class SpecEngine:
             return seg(self.params, self._decode_draft_params, carry, limit)
 
         carry, elapsed = self._drive(run_seg, carry, max_gen_len)
+        if carry.pend_k is not None:
+            # the last round's accepted rows are still in the deferred
+            # scratch — flush so the final state's cache actually holds
+            # every row cache_lens counts (outside the timed loop; one
+            # tiny A-row write). Without this, any future reuse of the
+            # post-generate state would read a cache missing its newest
+            # rows.
+            carry = carry._replace(state=self._flush_pending(carry),
+                                   pend_at=carry.state.cache_lens)
         count, num = int(carry.count), int(carry.num)
         # mask junk beyond each row's emitted length with eos
         out_buf = carry.output_ids.shape[1]
         output_ids = jnp.where(jnp.arange(out_buf)[None] < carry.out_len[:, None],
                                carry.output_ids, cfg.eos_token_id)
-        return dict(output_ids=np.asarray(output_ids), count=count,
-                    num=num, elapsed=elapsed,
-                    new_tokens=int(jnp.sum(carry.out_len)))
+        out = dict(output_ids=np.asarray(output_ids), count=count,
+                   num=num, elapsed=elapsed,
+                   new_tokens=int(jnp.sum(carry.out_len)))
+        if return_state:
+            out["state"] = carry.state
+        return out
 
     def _drive(self, run_seg, carry, max_rounds: int):
         """Dispatch bounded while-loop segments until done; returns

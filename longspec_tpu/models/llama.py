@@ -449,12 +449,18 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
         from ..ops.pallas_paged import paged_flash_decode
         assert tables is not None, "paged attention needs page tables"
         return paged_flash_decode(q, k_cache, v_cache, tables, k_hi2, q_pos,
-                                  window, anchors)
+                                  window, anchors,
+                                  precision=(jax.lax.Precision.DEFAULT
+                                             if precision is None
+                                             else precision))
     elif attn_impl == "sp":
         # exact decode/verify attention over a sequence-sharded cache
         from ..parallel.ring import sp_flash_decode
         return sp_flash_decode(attn_impl.mesh, q, k_cache, v_cache, k_hi2,
-                               q_pos, window, anchors, axis_name=attn_impl.axis)
+                               q_pos, window, anchors, axis_name=attn_impl.axis,
+                               precision=(jax.lax.Precision.DEFAULT
+                                          if precision is None
+                                          else precision))
     raise ValueError(f"unknown attn_impl {attn_impl}")
 
 

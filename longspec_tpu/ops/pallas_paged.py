@@ -55,7 +55,8 @@ class PagedAttn(str):
 
 
 def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
-                  *rest, scale, page, window, anchors, quant=False):
+                  *rest, scale, page, window, anchors, quant=False,
+                  precision=None):
     if quant:
         # int8 pools + per-row scales (ops.quantkv), lane-major [1, page]
         # scale tiles applied to the score/probability matrices (see
@@ -79,9 +80,14 @@ def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
     def _():
         q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
         k = k_ref[0, 0].astype(jnp.float32)          # [page, D]
+        # precision=HIGHEST on decode/verify: a default-precision f32 MXU
+        # dot truncates operands to bf16 — the same split-dependent drift
+        # that flipped a 0.004-margin greedy tie on the dense pallas arm
+        # (ops/pallas_decode._decode_kernel, bitdiff_hard8k_r4.log).
         s = jax.lax.dot_general(q * scale, k,
                                 (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [R, page]
+                                preferred_element_type=jnp.float32,
+                                precision=precision)  # [R, page]
         if quant:
             s = s * ks_ref[0, 0]                     # [1, page] K scales
         # logical position of column j in this page: c*page + j (the page
@@ -105,7 +111,8 @@ def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         v = v_ref[0, 0].astype(jnp.float32)           # [page, D]
         pv_in = p * vs_ref[0, 0] if quant else p      # [1, page] V scales
         pv = jax.lax.dot_general(pv_in, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
         l_scr[:] = l_new
@@ -122,12 +129,14 @@ def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
                                   -jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("window", "anchors", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "anchors", "interpret",
+                                             "precision"))
 def paged_flash_decode(q: jnp.ndarray, k_pool: jnp.ndarray,
                        v_pool: jnp.ndarray, page_table: jnp.ndarray,
                        k_hi: jnp.ndarray, q_pos: Optional[jnp.ndarray] = None,
                        window: Optional[int] = None, anchors: int = 0,
-                       interpret: Optional[bool] = None):
+                       interpret: Optional[bool] = None,
+                       precision=jax.lax.Precision.HIGHEST):
     """Flash attention of T new queries over PAGED KV.
 
     q: [B, T, H, D]; pools: [n_pages, Hkv, page, D]; page_table:
@@ -175,7 +184,8 @@ def paged_flash_decode(q: jnp.ndarray, k_pool: jnp.ndarray,
     pt_safe = jnp.take_along_axis(pt, safe_idx, axis=1)   # [B, n_chunks]
 
     kernel = functools.partial(_paged_kernel, scale=d ** -0.5, page=page,
-                               window=window, anchors=anchors, quant=quant)
+                               window=window, anchors=anchors, quant=quant,
+                               precision=precision)
     vm = pltpu.VMEM
     in_specs = [
         pl.BlockSpec((1, r_pad, 1), lambda i, j, c, nu, pt_: (i, 0, 0),

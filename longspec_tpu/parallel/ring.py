@@ -128,11 +128,18 @@ def sp_write_cache_rows(mesh: Mesh, cache, new: jnp.ndarray,
     )(cache, new, starts)
 
 
-def _block_update(carry, qf, kch, vch, k_offset, q_pos, k_hi, window, anchors):
+def _block_update(carry, qf, kch, vch, k_offset, q_pos, k_hi, window, anchors,
+                  precision=None):
     """One online-softmax update of queries against a KV block at global
     sequence offset `k_offset`. qf: [B,Hkv,G,Tq,D] pre-scaled fp32;
     kch/vch: [B,Hkv,Tk,D]; q_pos/k_hi: [B,Tq] global positions / exclusive
-    visibility bounds. Returns the updated (m, l, acc) carry."""
+    visibility bounds. Returns the updated (m, l, acc) carry.
+
+    `precision`: QK/PV matmul precision — HIGHEST on the decode/verify path
+    (sp_flash_decode; the TPU default truncates fp32 operands to bf16, the
+    exact drift that flipped greedy ties on the dense arms — see
+    ops/pallas_decode._decode_kernel), default (fast) for the ring prefill,
+    which is computed once and shared by both arms."""
     m_run, l_run, acc = carry
     tk = kch.shape[2]
     kj = k_offset + jnp.arange(tk)                      # global key positions
@@ -143,14 +150,16 @@ def _block_update(carry, qf, kch, vch, k_offset, q_pos, k_hi, window, anchors):
             vis = vis | (kj[None, None, :] < anchors)
         mask = mask & vis
     mask = mask[:, None, None]                          # [B, 1, 1, Tq, Tk]
-    sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32))
+    sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32),
+                     precision=precision)
     sco = jnp.where(mask, sco, att.NEG_INF)
     m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
     p = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
     alpha = jnp.exp(m_run - m_new)
     l_new = l_run * alpha + jnp.sum(p, axis=-1)
     acc_new = acc * alpha[..., None] + jnp.einsum(
-        "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32))
+        "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32),
+        precision=precision)
     return m_new, l_new, acc_new
 
 
@@ -226,7 +235,8 @@ def ring_flash_prefill(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
 def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache, v_cache,
                     k_hi: jnp.ndarray,
                     q_pos: jnp.ndarray, window: Optional[int] = None,
-                    anchors: int = 0, axis_name: str = "sp"):
+                    anchors: int = 0, axis_name: str = "sp",
+                    precision=jax.lax.Precision.HIGHEST):
     """Decode/verify attention over a SEQUENCE-SHARDED KV cache, exact.
 
     q: [B, Tq, H, D] replicated; k_cache/v_cache: [B, Hkv, S, D] sharded
@@ -263,7 +273,7 @@ def sp_flash_decode(mesh: Mesh, q: jnp.ndarray, k_cache, v_cache,
         a0 = jnp.zeros((b, hkv, groups, tq, d), jnp.float32)
         m_f, l_f, acc_f = _block_update(
             (m0, l0, a0), qf, k_loc, v_loc, start, q_pos, k_hi,
-            window, anchors)
+            window, anchors, precision=precision)
         # exact cross-shard merge; all in the pre-normalized (m, l, acc)
         # domain so empty shards (l=0, m=NEG_INF) contribute nothing.
         # stop_gradient: m is a log-sum-exp stabilization constant whose

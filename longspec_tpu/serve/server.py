@@ -181,9 +181,14 @@ class SpecServer:
         # copies. Host-side slot surgery compensates: admissions reset the
         # slot's pend_at (stale pend rows then land beyond k_hi), and
         # hibernation flushes before gathering page contents.
+        # generate()'s rule: chain's non-uniform forward_append already
+        # writes before reading and its round returns pend_*=None — passing
+        # defer=True there would change the while_loop carry structure
+        # mid-trace (arrays in, None out) and crash
+        defer = method == "tree" or engine.ecfg.uniform_decode_shape
         self._carry: GenCarry = engine._spec_carry(
             state, eos, max_new_cap, jax.random.PRNGKey(seed), a_max,
-            defer=True)
+            defer=defer)
         # donate the carry (same cache key as generate()'s segment): the KV
         # slabs update in place across decode segments instead of
         # double-buffering — at serving scale the state is most of HBM

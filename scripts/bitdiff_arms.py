@@ -112,9 +112,18 @@ def main():
                 if int(np.asarray(status)) % 2 == 1 or int(carry[3][0]) >= gen:
                     break
             st, out = carry[0], np.asarray(carry[2])
+            pk, pv, pat = carry[7], carry[8], carry[9]
+            if pk is not None:
+                # flush the deferred-commit scratch so the cache holds
+                # every row cache_lens counts (engine._run does the same)
+                kv_k, kv_v = eng._write_rows_at(st, pk, pv, pat)
+                st = st._replace(kv_k=kv_k, kv_v=kv_v)
         else:
             A = ecfg.tree_depth + 1
-            carry = eng._spec_carry(state, t0, gen, k_gen, A)
+            # defer matches engine._run: tree always runs the deferred
+            # commit — measuring the non-deferred carry here would compare
+            # a path the bench never executes
+            carry = eng._spec_carry(state, t0, gen, k_gen, A, defer=True)
             seg = jax.jit(functools.partial(eng._spec_segment,
                                             eng._tree_round))
             for _ in range(gen + 4):
@@ -125,6 +134,8 @@ def main():
                 if int(np.asarray(carry.out_len)[0]) >= gen:
                     break
             st, out = carry.state, np.asarray(carry.output_ids)
+            if carry.pend_k is not None:
+                st = eng._flush_pending(carry)
         # pull the caches to HOST and drop every device buffer before the
         # other arm runs — holding two full decode states on the chip next
         # to the 5GB params OOM'd the 11:25 r3c run (RESOURCE_EXHAUSTED)
