@@ -708,6 +708,12 @@ def main():
                     help="EngineConfig.uniform_decode_shape (1 = the shared "
                     "verify-shaped decode program, the structural "
                     "losslessness law; 0 = legacy minimal shapes)")
+    ap.add_argument("--target-quant", type=str, default=None,
+                    choices=["int8"],
+                    help="override the row's frozen-target weight quant "
+                    "(BOTH arms see the identical redefined target, like "
+                    "the long rows' target_quant spec — halves the "
+                    "dominant per-step weight read)")
     ap.add_argument("--kv-ring", type=int, default=None,
                     help="override the row's EngineConfig.kv_ring (O(window) "
                     "target ring cache); requires --prefill-seg if the row "
@@ -797,8 +803,8 @@ def main():
                 key += f"_sw{SPECS[name]['window']}"
             if kvq != "none":
                 key += f"_kv{kvq}"
-            if SPECS[name].get("target_quant"):
-                key += f"_w{SPECS[name]['target_quant']}"
+            if args.target_quant or SPECS[name].get("target_quant"):
+                key += f"_w{args.target_quant or SPECS[name]['target_quant']}"
             if args.kv_ring or SPECS[name].get("kv_ring"):
                 key += f"_ring{args.kv_ring or SPECS[name]['kv_ring']}"
             if args.decode_dtype != "fp32":
@@ -923,7 +929,7 @@ def main():
             # rows measured/reused so far (round-2 parsed=null postmortem).
             eng = eng_t1 = None
             try:
-                if sp.get("target_quant") == "int8":
+                if (args.target_quant or sp.get("target_quant")) == "int8":
                     from longspec_tpu.ops.quantparams import (
                         quantize_target_params)
                     import jax as _jax
@@ -961,8 +967,8 @@ def main():
             row["tree_shape"] = "x".join(map(str, row_tree))
             if row_kvq != "none":
                 row["kv_quant"] = row_kvq
-            if sp.get("target_quant"):
-                row["target_quant"] = sp["target_quant"]
+            if args.target_quant or sp.get("target_quant"):
+                row["target_quant"] = args.target_quant or sp["target_quant"]
             # provenance: which code + model bytes produced these numbers
             # (scripts/results_table.py renders these into README)
             row["_commit"] = git_head()

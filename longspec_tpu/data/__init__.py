@@ -1,3 +1,3 @@
 from .collators import (SFTCollator, LongDataCollator, LongCoTCollator,
-                        pack_documents)
+                        ShareGPTCollator, DPOCollator, pack_documents)
 from .dataset import MappingDataset, MultiMappingDataset, add_id_aligner, concat_aligner

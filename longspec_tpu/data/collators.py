@@ -14,6 +14,12 @@ Variants mirror the three training stages:
   * LongCoTCollator    — chat-formatted problem + long chain-of-thought,
                          prompt masked (ref LongCoTDataSFTCollator,
                          `general_collator.py:514`)
+  * ShareGPTCollator   — multi-turn ChatML, labels on assistant turns only
+                         (ref ShareGPTDataSFTCollator,
+                         `general_collator.py:163-210`)
+  * DPOCollator        — chosen/reject preference pairs stacked [2B, S],
+                         prompt-masked (ref DPOCollator,
+                         `general_collator.py:24-74`)
 
 Collators are tokenizer-agnostic: they take a callable `encode(text) ->
 list[int]` (an HF tokenizer's `__call__` can be adapted trivially), so unit
@@ -108,6 +114,85 @@ class LongDataCollator(_Base):
                 ids = ids + [self.eos_id]
             rows.append(ids)
         return self._batch(rows, None)
+
+
+class ShareGPTCollator(_Base):
+    """Multi-turn ChatML conversations; labels on ASSISTANT turns only
+    (ref ShareGPTDataSFTCollator, `general_collator.py:163-210`: each user
+    turn is appended unmasked, each assistant turn is appended with its
+    tokens mirrored into the labels).
+
+    Examples: {"conversations": [{"role": "user"|"assistant",
+    "content": str}, ...]}. A leading system prompt is prepended (masked).
+    """
+
+    system_prompt = ("<|im_start|>system\nYou are a helpful assistant"
+                     "<|im_end|>\n")
+    user_template = "<|im_start|>user\n{content}<|im_end|>\n"
+    assistant_template = "<|im_start|>assistant\n{content}<|im_end|>\n"
+
+    def __call__(self, examples: Sequence[Dict]) -> Dict[str, np.ndarray]:
+        b, s = len(examples), self.seq_len
+        input_ids = np.full((b, s), self.pad_id, np.int32)
+        labels = np.full((b, s), IGNORE_INDEX, np.int32)
+        lengths = np.zeros((b,), np.int32)
+        sys_ids = self.encode(self.system_prompt)
+        for i, ex in enumerate(examples):
+            pos = min(len(sys_ids), s)
+            input_ids[i, :pos] = sys_ids[:pos]
+            for turn in ex["conversations"]:
+                if pos >= s:
+                    break
+                if turn["role"] == "user":
+                    ids = self.encode(
+                        self.user_template.format(content=turn["content"]))
+                    lo, pos = pos, min(pos + len(ids), s)
+                    input_ids[i, lo:pos] = ids[:pos - lo]
+                elif turn["role"] == "assistant":
+                    ids = self.encode(self.assistant_template.format(
+                        content=turn["content"]))
+                    lo, pos = pos, min(pos + len(ids), s)
+                    input_ids[i, lo:pos] = ids[:pos - lo]
+                    labels[i, lo:pos] = ids[:pos - lo]
+                else:
+                    raise ValueError(f"unknown role {turn['role']!r}")
+            lengths[i] = pos
+        return {"input_ids": input_ids, "labels": labels, "lengths": lengths}
+
+
+class DPOCollator(_Base):
+    """Preference pairs for DPO-style training (ref DPOCollator,
+    `general_collator.py:24-74`): chosen and rejected completions of each
+    example are stacked into ONE [2B, S] batch — rows [0, B) chosen,
+    rows [B, 2B) rejected — with the prompt tokens masked out of the
+    labels. Consumed by `train.postproc.DPOPostProcessor` (which splits
+    the two halves back apart).
+
+    Examples: {"prompt": str, "chosen": str, "reject": str}; optional
+    per-side prompts "chosen_prompt"/"reject_prompt" override "prompt"
+    (the reference supports asymmetric prompts, `general_collator.py:37-46`).
+    """
+
+    def __call__(self, examples: Sequence[Dict[str, str]]) -> Dict[str, np.ndarray]:
+        rows, mask = [], []
+        for side, pkey in (("chosen", "chosen_prompt"),
+                           ("reject", "reject_prompt")):
+            for ex in examples:
+                p = self.encode(ex.get(pkey) or ex["prompt"])
+                r = self.encode(ex[side])
+                if self.eos_id is not None:
+                    r = r + [self.eos_id]
+                rows.append(p + r)
+                mask.append(len(p))
+        out = self._batch(rows, mask)
+        # all-masked rows feed NaN into a mean-over-labels loss (the
+        # reference hit exactly this, `general_collator.py:58` FIXME);
+        # guarantee at least the final token carries a label
+        for i in range(len(rows)):
+            if out["lengths"][i] and not (out["labels"][i] != IGNORE_INDEX).any():
+                j = out["lengths"][i] - 1
+                out["labels"][i, j] = out["input_ids"][i, j]
+        return out
 
 
 class LongCoTCollator(_Base):

@@ -182,10 +182,84 @@ def load_safetensors_dir(path: str) -> Dict:
     return sd
 
 
+def presplit_rank_dirs(path: str):
+    """The `mp_{r}-of-{w}` rank subdirectories of a pre-split (tensor-
+    parallel) checkpoint, in rank order — the reference's on-disk TP format
+    (`longspec/train/models/mixin.py:123-145`: each fairscale rank
+    loads/saves its own full HF-style directory). Empty list if `path` is a
+    plain single checkpoint."""
+    import re
+    found = []
+    if os.path.isdir(path):
+        for fn in os.listdir(path):
+            m = re.fullmatch(r"mp_(\d+)-of-(\d+)", fn)
+            if m and os.path.isdir(os.path.join(path, fn)):
+                found.append((int(m.group(1)), int(m.group(2)), fn))
+    if not found:
+        return []
+    w = found[0][1]
+    ranks = sorted(r for r, _, _ in found)
+    if any(ww != w for _, ww, _ in found) or ranks != list(range(w)):
+        raise ValueError(
+            f"incomplete pre-split checkpoint at {path}: found ranks "
+            f"{ranks} of world {sorted(set(ww for _, ww, _ in found))}")
+    by_rank = {r: fn for r, _, fn in found}
+    return [os.path.join(path, by_rank[r]) for r in range(w)]
+
+
+# megatron/fairscale TP split conventions for HF torch weights [out, in]:
+# column-parallel layers shard the OUTPUT dim (0), row-parallel the INPUT
+# dim (1); everything else (norms, rotary, scalar heads) is replicated and
+# must be identical across ranks.
+_TP_DIM0 = ("q_proj.weight", "k_proj.weight", "v_proj.weight",
+            "gate_proj.weight", "up_proj.weight", "lm_head.weight",
+            "embed_tokens.weight",
+            "q_proj.bias", "k_proj.bias", "v_proj.bias")
+_TP_DIM1 = ("o_proj.weight", "down_proj.weight")
+
+
+def merge_presplit_state_dict(shards) -> Dict:
+    """Merge per-rank state dicts of a pre-split TP checkpoint into ONE
+    full-model dict: column-parallel tensors concatenate on dim 0,
+    row-parallel on dim 1, replicated tensors are verified equal and taken
+    from rank 0. Inverse of the reference's per-rank save
+    (`models/mixin.py:137-145`)."""
+    full = {}
+    keys = set(shards[0].keys())
+    for sd in shards[1:]:
+        if set(sd.keys()) != keys:
+            raise ValueError("pre-split shards disagree on tensor names")
+    for k in keys:
+        parts = [np.asarray(sd[k]) for sd in shards]
+        if k.endswith(_TP_DIM0):
+            full[k] = np.concatenate(parts, axis=0)
+        elif k.endswith(_TP_DIM1):
+            full[k] = np.concatenate(parts, axis=1)
+        else:
+            for i, p in enumerate(parts[1:], 1):
+                if p.shape != parts[0].shape or not np.array_equal(
+                        p, parts[0]):
+                    raise ValueError(
+                        f"replicated tensor {k!r} differs between rank 0 "
+                        f"and rank {i} — not a valid pre-split checkpoint")
+            full[k] = parts[0]
+    return full
+
+
 def load_hf_checkpoint(path: str, dtype=jnp.bfloat16):
-    """Load (ModelConfig, params) from a local HF checkpoint directory."""
-    with open(os.path.join(path, "config.json")) as f:
-        raw = json.load(f)
+    """Load (ModelConfig, params) from a local HF checkpoint directory.
+
+    Accepts plain checkpoints AND the reference's pre-split per-rank format
+    (`mp_{r}-of-{w}` subdirectories, `models/mixin.py:123-145`): shards are
+    merged on host into the full model, then sharded the TPU way (pjit over
+    a mesh) — the on-disk split and the device mesh need not match."""
+    rank_dirs = presplit_rank_dirs(path)
+    if rank_dirs:
+        with open(os.path.join(rank_dirs[0], "config.json")) as f:
+            raw = json.load(f)
+    else:
+        with open(os.path.join(path, "config.json")) as f:
+            raw = json.load(f)
 
     class _C:  # minimal attr view
         pass
@@ -194,5 +268,9 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16):
     for k, val in raw.items():
         setattr(hf, k, val)
     cfg = config_from_hf(hf)
-    sd = load_safetensors_dir(path)
+    if rank_dirs:
+        sd = merge_presplit_state_dict(
+            [load_safetensors_dir(d) for d in rank_dirs])
+    else:
+        sd = load_safetensors_dir(path)
     return cfg, params_from_hf_state_dict(sd, cfg, dtype)

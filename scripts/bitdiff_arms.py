@@ -170,7 +170,10 @@ def main():
             print(f"{name}: all {div} committed rows bit-identical")
         else:
             ne = np.argwhere(~np.all(eq, axis=(1, 2, 4)))
-            first = ne[np.lexsort((ne[:, 0],))][0] if len(ne) else None
+            # earliest differing POSITION (the previous lexsort keyed on
+            # layer only, so "first" was an arbitrary slice)
+            order = np.lexsort((ne[:, 0], ne[:, 1]))
+            first = ne[order][0] if len(ne) else None
             per_pos = np.sort(np.unique(ne[:, 1]))
             print(f"{name}: {len(ne)} (layer,pos) slices differ; "
                   f"first (layer={first[0]}, pos={int(first[1])}); "
@@ -180,6 +183,24 @@ def main():
             dt = rows_t[l0, 0, :, p0, :].astype(np.float32)
             print(f"  max abs diff at first slice: {np.max(np.abs(dv - dt))}")
             print(f"  n elements differing: {int(np.sum(dv != dt))} of {dv.size}")
+            # magnitude PROFILE: is the drift ulp-class (split-dependent
+            # rounding, amplifying through feedback) or wholesale (wrong
+            # rows committed)? Print per-position max |diff| for the first
+            # positions and quartiles over the window.
+            d_all = np.abs(rows_v.astype(np.float32)
+                           - rows_t.astype(np.float32))
+            per_pos_max = d_all.max(axis=(0, 1, 2, 4))   # [div]
+            head = ", ".join(f"{p}:{per_pos_max[p]:.2e}"
+                             for p in range(min(div, 16)))
+            print(f"  per-pos max diff [0..16): {head}")
+            nz = per_pos_max[per_pos_max > 0]
+            if len(nz):
+                print(f"  diff>0 positions: {len(nz)}/{div}; "
+                      f"p50={np.percentile(nz, 50):.2e} "
+                      f"p90={np.percentile(nz, 90):.2e} "
+                      f"max={nz.max():.2e} "
+                      f"first>1e-2 at pos "
+                      f"{int(np.argmax(per_pos_max > 1e-2)) if (per_pos_max > 1e-2).any() else -1}")
     # prompt rows must be identical (same prefill law) — sanity
     pv = np.asarray(jax.device_get(st_v.kv_k))[:, :, :, :plen, :]
     pt = np.asarray(jax.device_get(st_t.kv_k))[:, :, :, :plen, :]

@@ -65,6 +65,10 @@ def main():
     ap.add_argument("--decode-dtype", type=str, default="fp32",
                     choices=["fp32", "native"],
                     help="EngineConfig.decode_dtype for the profiled engine")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="prompt batch size (the tree-round batch-scaling "
+                    "question, VERDICT r4 #5: which component stops "
+                    "scaling from b=1 to b=4)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU run (logic check only)")
     args = ap.parse_args()
@@ -117,9 +121,9 @@ def main():
 
     succ2, probs2 = make_markov2_lm(cfg.vocab_size, seed=7,
                                     n_states=args.n_states, branch_frac=0.2)
-    prompt = sample_corpus2(succ2, probs2, 1, args.ctx, seed=999)
-    lens = jnp.asarray(np.full((1,), args.ctx, np.int32))
-    b = 1
+    prompt = sample_corpus2(succ2, probs2, args.batch, args.ctx, seed=999)
+    lens = jnp.asarray(np.full((args.batch,), args.ctx, np.int32))
+    b = args.batch
     N, A = ecfg.tree_size, ecfg.tree_depth + 1
     s_max = args.ctx + 512 + N + 16
 
@@ -129,12 +133,13 @@ def main():
     state, t0, _ = prefill(eng.params, eng.draft_params,
                            jnp.asarray(prompt, jnp.int32), lens, state, rng)
     np.asarray(t0)
-    out = {"ctx": args.ctx, "attn": args.attn, "draft_head": args.draft_head,
+    out = {"ctx": args.ctx, "batch": b, "attn": args.attn,
+           "draft_head": args.draft_head,
            "draft_compute": args.draft_compute, "tree_shape": args.tree_shape,
            "decode_dtype": args.decode_dtype}
 
     # --- full tree round (limit-1 segment) ---
-    carry = eng._spec_carry(state, t0, 512, rng, A)
+    carry = eng._spec_carry(state, t0, 512, rng, A, defer=True)
     import functools
     seg = jax.jit(functools.partial(eng._spec_segment, eng._tree_round))
     # carry is never donated here, so rounds stays 0 and limit=1 executes
@@ -199,11 +204,13 @@ def main():
     def reenc(params, dpar, st_):
         pos = st_.d_cache_lens[:, None] + jnp.arange(A)[None, :]
         emb = M.embed(params, acc)
+        llm_k, llm_v, llm_layer = eng._llm_ca_args(st_)
         h, _, _ = G.glide_forward(
             dpar, cfg, dcfg, emb, pos,
             st_.d_kv_k, st_.d_kv_v, st_.d_cache_lens,
-            st_.kv_k[-1], st_.kv_v[-1], pos,
-            attn_impl=ecfg.attn_impl, write_at=st_.d_cache_lens)
+            llm_k, llm_v, pos,
+            attn_impl=ecfg.attn_impl, write_at=st_.d_cache_lens,
+            llm_written=st_.cache_lens, llm_layer=llm_layer)
         return h[:, -1, 0]
     out["draft_reenc_ms"] = timeit(reenc, eng.params,
                                    eng._decode_draft_params, state, iters=20)
@@ -218,13 +225,15 @@ def main():
     def level(params, dpar, st_, tk_, tv_):
         emb_l = M.embed(params, toks_l)
         pos_l = jnp.broadcast_to((st_.d_cache_lens - 1 + 1)[:, None], (b, c_l))
+        llm_k, llm_v, llm_layer = eng._llm_ca_args(st_)
         h_l, tk2, tv2 = G.glide_forward(
             dpar, cfg, dcfg, emb_l, pos_l,
             st_.d_kv_k, st_.d_kv_v, st_.d_cache_lens,
-            st_.kv_k[-1], st_.kv_v[-1],
+            llm_k, llm_v,
             jnp.broadcast_to(st_.cache_lens[:, None], (b, c_l)),
             suffix_mask=sfx, attn_impl=ecfg.attn_impl,
-            suffix_kv=(tk_, tv_), suffix_write_offset=1)
+            suffix_kv=(tk_, tv_), suffix_write_offset=1,
+            llm_written=st_.cache_lens, llm_layer=llm_layer)
         vals, ids = eng._beam_topk(params, h_l, ecfg.tree_shape[1]
                                    if len(ecfg.tree_shape) > 1 else 4)
         return vals

@@ -38,6 +38,76 @@ def test_longdata_collator_no_mask():
     assert (b["labels"][0, :5] == b["input_ids"][0, :5]).all()
 
 
+def test_sharegpt_collator_masks_user_turns():
+    from longspec_tpu.data import ShareGPTCollator
+    from longspec_tpu.data.collators import IGNORE_INDEX
+    c = ShareGPTCollator(toy_encode, seq_len=256, pad_id=0)
+    conv = [{"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "yo"},
+            {"role": "user", "content": "more?"},
+            {"role": "assistant", "content": "sure"}]
+    b = c([{"conversations": conv}])
+    ids, lab = b["input_ids"][0], b["labels"][0]
+    L = int(b["lengths"][0])
+    assert L > 0
+    # labeled positions mirror input ids exactly
+    m = lab != IGNORE_INDEX
+    assert m.any()
+    assert (lab[m] == ids[m]).all()
+    # the system prompt + first user turn are fully masked
+    n_sys = len(toy_encode(c.system_prompt))
+    n_u1 = len(toy_encode(c.user_template.format(content="hi")))
+    assert (lab[:n_sys + n_u1] == IGNORE_INDEX).all()
+    # the first assistant turn is fully labeled
+    n_a1 = len(toy_encode(c.assistant_template.format(content="yo")))
+    assert (lab[n_sys + n_u1:n_sys + n_u1 + n_a1] != IGNORE_INDEX).all()
+    # exactly the two assistant turns carry labels
+    n_a2 = len(toy_encode(c.assistant_template.format(content="sure")))
+    assert int(m.sum()) == n_a1 + n_a2
+    with pytest.raises(ValueError):
+        c([{"conversations": [{"role": "tool", "content": "x"}]}])
+
+
+def test_sharegpt_collator_truncates_at_seq_len():
+    from longspec_tpu.data import ShareGPTCollator
+    c = ShareGPTCollator(toy_encode, seq_len=40, pad_id=0)
+    conv = [{"role": "user", "content": "u" * 30},
+            {"role": "assistant", "content": "a" * 30}]
+    b = c([{"conversations": conv}])
+    assert int(b["lengths"][0]) == 40
+    assert b["input_ids"].shape == (1, 40)
+
+
+def test_dpo_collator_pairs_and_masking():
+    from longspec_tpu.data import DPOCollator
+    from longspec_tpu.data.collators import IGNORE_INDEX
+    c = DPOCollator(toy_encode, seq_len=32, pad_id=0, eos_id=2)
+    b = c([{"prompt": "pq", "chosen": "good", "reject": "bad"},
+           {"prompt": "rr", "chosen": "yes", "reject": "no",
+            "reject_prompt": "ssss"}])
+    # [2B, S]: rows 0-1 chosen, rows 2-3 rejected
+    assert b["input_ids"].shape == (4, 32)
+    # prompt region masked on every row
+    assert (b["labels"][0, :2] == IGNORE_INDEX).all()
+    assert (b["labels"][2, :2] == IGNORE_INDEX).all()
+    # per-side prompt override: reject row of example 2 uses reject_prompt
+    assert int(b["lengths"][3]) == len(toy_encode("ssss")) + len(toy_encode("no")) + 1
+    # completion + eos labeled
+    assert b["labels"][0, 2] == b["input_ids"][0, 2]
+    assert b["input_ids"][0, 2 + 4] == 2
+
+
+def test_dpo_collator_never_all_masked():
+    from longspec_tpu.data import DPOCollator
+    from longspec_tpu.data.collators import IGNORE_INDEX
+    # completion empty + no eos: the prompt fills the row; the guard must
+    # keep >= 1 labeled token (the reference's NaN-loss FIXME class)
+    c = DPOCollator(toy_encode, seq_len=8, pad_id=0)
+    b = c([{"prompt": "p" * 12, "chosen": "", "reject": ""}])
+    for i in range(2):
+        assert (b["labels"][i] != IGNORE_INDEX).any()
+
+
 def test_pack_documents():
     from longspec_tpu.data import pack_documents
     docs = [[5, 6, 7], [8, 9]]

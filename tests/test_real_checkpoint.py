@@ -322,3 +322,65 @@ def test_tied_embeddings_checkpoint_logits_match_hf(tmp_path):
     logits = M.logits_at(params, h)
     np.testing.assert_allclose(np.asarray(logits), hf_logits,
                                atol=3e-4, rtol=2e-3)
+
+
+def test_presplit_tp_checkpoint_merges(tmp_path):
+    """The reference's pre-split per-rank TP format (`mp_{r}-of-{w}` dirs,
+    `train/models/mixin.py:123-145`): column-parallel tensors split on the
+    output dim, row-parallel on the input dim, the rest replicated. The
+    loader must reassemble the full model bit-exactly."""
+    import json as _json
+    import os as _os
+    import shutil
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file, load_file
+    from longspec_tpu.models.convert import load_hf_checkpoint
+
+    one = str(tmp_path / "one")
+    _write_hf_checkpoint(one, "llama")
+    sd = load_file(_os.path.join(one, "model.safetensors"))
+
+    split = str(tmp_path / "presplit")
+    w = 2
+    dim0 = ("q_proj.weight", "k_proj.weight", "v_proj.weight",
+            "gate_proj.weight", "up_proj.weight", "lm_head.weight",
+            "embed_tokens.weight")
+    dim1 = ("o_proj.weight", "down_proj.weight")
+    for r in range(w):
+        d = _os.path.join(split, f"mp_{r}-of-{w}")
+        _os.makedirs(d)
+        shard = {}
+        for k, v in sd.items():
+            # ascontiguousarray: save_file writes the base buffer of a
+            # strided view verbatim (silent corruption otherwise)
+            if k.endswith(dim0):
+                shard[k] = np.ascontiguousarray(
+                    np.array_split(v, w, axis=0)[r])
+            elif k.endswith(dim1):
+                shard[k] = np.ascontiguousarray(
+                    np.array_split(v, w, axis=1)[r])
+            else:
+                shard[k] = v
+        save_file(shard, _os.path.join(d, "model.safetensors"))
+        shutil.copy(_os.path.join(one, "config.json"),
+                    _os.path.join(d, "config.json"))
+
+    cfg1, p1 = load_hf_checkpoint(one, jnp.float32)
+    cfg2, p2 = load_hf_checkpoint(split, jnp.float32)
+    assert cfg1 == cfg2
+    leaves1 = jax.tree_util.tree_leaves_with_path(p1)
+    leaves2 = dict(jax.tree_util.tree_leaves_with_path(p2))
+    for path, v in leaves1:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(leaves2[path]), str(path))
+
+
+def test_presplit_checkpoint_rejects_incomplete(tmp_path):
+    import os as _os
+    import pytest as _pytest
+    from longspec_tpu.models.convert import presplit_rank_dirs
+    p = str(tmp_path / "bad")
+    _os.makedirs(_os.path.join(p, "mp_0-of-2"))
+    with _pytest.raises(ValueError, match="incomplete"):
+        presplit_rank_dirs(p)
