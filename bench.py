@@ -517,6 +517,16 @@ def _dissect_divergence(eng, prompt, lens, van, tree, n_cmp):
         "first_div_margin": round(margin, 6),
         "first_div_replay_top2": [int(top2[0]), int(top2[1])],
         "first_div_tokens": [int(a[i]), int(b[i])],   # [vanilla, tree]
+        # classification: the cross-arm drift seed (the vanilla step and
+        # the N-token verify attend the SAME keys under a different
+        # prefix/suffix split; fp32-exact operands still differ ~1e-7,
+        # amplified by bf16 cache-commit rounding feedback) flips greedy
+        # ties whose margin is below ~1e-2. Such a flip is a numerical
+        # tie between near-equal continuations — the reference's batched
+        # verify has the identical structure (`llama_glide.py:1128-1175`
+        # rows re-forwarded as a block) and would flip the same ties; it
+        # never measures. Margins above 1e-2 indicate a real engine bug.
+        "div_class": ("tie_flip" if margin < 1e-2 else "engine_bug"),
     }
 
 
@@ -698,6 +708,12 @@ def main():
                     help="target KV cache storage: none | int8 "
                     "(ops/quantkv.py; spec-vs-vanilla exactness preserved); "
                     "default = each row's SPECS kv_quant, else none")
+    ap.add_argument("--decode-precision", type=str, default="highest",
+                    choices=["highest", "high", "bf16_pinned"],
+                    help="decode/verify attention matmul law "
+                    "(EngineConfig.decode_precision): exactness identical "
+                    "(arm-deterministic) in all three; speed and the "
+                    "precise target function differ")
     ap.add_argument("--decode-dtype", type=str, default="fp32",
                     choices=["fp32", "native"],
                     help="decode/verify residual-stream law (config.py "
@@ -809,6 +825,8 @@ def main():
                 key += f"_ring{args.kv_ring or SPECS[name]['kv_ring']}"
             if args.decode_dtype != "fp32":
                 key += f"_dd{args.decode_dtype}"
+            if args.decode_precision != "highest":
+                key += f"_dp{args.decode_precision}"
             if not args.uniform_decode_shape:
                 key += "_minshape"
             return os.path.join(cache_dir, f"row_{key}.json")
@@ -823,6 +841,7 @@ def main():
                                 draft_compute=args.draft_compute,
                                 kv_quant=row_kvq,
                                 decode_dtype=args.decode_dtype,
+                                decode_precision=args.decode_precision,
                                 uniform_decode_shape=bool(
                                     args.uniform_decode_shape),
                                 prefill_seg=(args.prefill_seg
@@ -965,6 +984,8 @@ def main():
                 continue
             row["attn"] = row_attn
             row["tree_shape"] = "x".join(map(str, row_tree))
+            if args.decode_precision != "highest":
+                row["decode_precision"] = args.decode_precision
             if row_kvq != "none":
                 row["kv_quant"] = row_kvq
             if args.target_quant or sp.get("target_quant"):

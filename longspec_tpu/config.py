@@ -241,6 +241,13 @@ class EngineConfig:
     #     emitted distribution only APPROXIMATES the target law (top-k is
     #     not the proposal distribution the rejection test assumes).
     t_proposals: str = "iid"  # "iid" | "topk"
+    # Decode/verify attention matmul-precision law (models.llama.
+    # forward_append docstring): "highest" = exact f32 operands (6 MXU
+    # passes; ~35% tree tax measured at 8k), "high" = 3-pass, "bf16_pinned"
+    # = operands explicitly rounded to bf16 with pinned casts (one pass,
+    # deterministic — the _mm law applied to the attention dots). All are
+    # arm-deterministic; they pick slightly different target functions.
+    decode_precision: str = "highest"
     # Proposal sharpening for "iid" T>0 trees: children are sampled from
     # q' = softmax(draft_logp / (T * proposal_sharpness)) and the verifier
     # uses the SAME q' in its accept ratios, so any value stays EXACT
@@ -268,6 +275,9 @@ class EngineConfig:
         if self.decode_dtype not in ("fp32", "native"):
             raise ValueError(f"decode_dtype must be fp32|native, "
                              f"got {self.decode_dtype!r}")
+        if self.decode_precision not in ("highest", "high", "bf16_pinned"):
+            raise ValueError(f"decode_precision must be highest|high|"
+                             f"bf16_pinned, got {self.decode_precision!r}")
         if self.t_proposals not in ("iid", "topk"):
             raise ValueError(f"t_proposals must be iid|topk, "
                              f"got {self.t_proposals!r}")

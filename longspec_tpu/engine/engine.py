@@ -692,6 +692,7 @@ class SpecEngine:
                     params, cfg, cur[:, None], pos, smask, st.cache_lens,
                     st.kv_k, st.kv_v, attn_impl=self.ecfg.attn_impl,
                     tables=st.tables, compute_dtype=self._cdt,
+                decode_precision=self.ecfg.decode_precision,
                     ring_anchors=self._ring)
                 logits = M.logits_at(params, h[:, 0])
             nxt = _sample(logits, k1, self.ecfg.temperature)
@@ -730,6 +731,7 @@ class SpecEngine:
             params, cfg, tokens, pos_t, vmask, st.cache_lens,
             st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, collect_kv=True,
             tables=st.tables, compute_dtype=self._cdt,
+                decode_precision=self.ecfg.decode_precision,
             ring_anchors=self._ring)
         logits = M.logits_at(params, hv)
         return jax.lax.optimization_barrier((logits, new_k, new_v))
@@ -957,7 +959,8 @@ class SpecEngine:
             hv, kv_k, kv_v = M.forward_append(
                 params, cfg, spec, pos_t, cmask, st.cache_lens,
                 st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
-                compute_dtype=self._cdt, ring_anchors=self._ring)
+                compute_dtype=self._cdt,
+                decode_precision=self.ecfg.decode_precision, ring_anchors=self._ring)
             ver_logits = M.logits_at(params, hv)  # [B, A, V] fp32
         if per_row:
             emit, correct_len, rng = _chain_accept_rows(
@@ -1074,7 +1077,8 @@ class SpecEngine:
         h, d_kv_k, d_kv_v = M.forward_append(
             params, cfg_s, carry.acc_tokens, pos, cmaskA, st.d_cache_lens,
             st.d_kv_k, st.d_kv_v, attn_impl=ecfg.attn_impl,
-            write_at=st.d_cache_lens, compute_dtype=self._cdt)
+            write_at=st.d_cache_lens, compute_dtype=self._cdt,
+                decode_precision=self.ecfg.decode_precision)
         d_cache_lens = st.d_cache_lens + jnp.where(carry.done, 0, carry.acc_len)
         bonus_h = jnp.take_along_axis(h, (carry.acc_len - 1)[:, None, None], axis=1)[:, 0]
         logits = M.logits_at(params, bonus_h)
@@ -1103,7 +1107,8 @@ class SpecEngine:
             hi, dkk, dkv = M.forward_append(
                 params, cfg_s, cur[:, None], pos_cur[:, None], smask1, dcl,
                 dkk, dkv, attn_impl=ecfg.attn_impl, write_at=dcl,
-                compute_dtype=self._cdt)
+                compute_dtype=self._cdt,
+                decode_precision=self.ecfg.decode_precision)
             dcl = dcl + jnp.where(carry.done, 0, 1)
             pos_cur = pos_cur + 1
             li = M.logits_at(params, hi[:, 0])
@@ -1135,7 +1140,8 @@ class SpecEngine:
             hv, kv_k, kv_v = M.forward_append(
                 params, cfg, spec, pos_t, cmask, st.cache_lens,
                 st.kv_k, st.kv_v, attn_impl=ecfg.attn_impl, tables=st.tables,
-                compute_dtype=self._cdt, ring_anchors=self._ring)
+                compute_dtype=self._cdt,
+                decode_precision=self.ecfg.decode_precision, ring_anchors=self._ring)
             ver_logits = M.logits_at(params, hv)
         if per_row:
             emit, correct_len, rng = _chain_accept_rows(

@@ -448,20 +448,28 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
     elif attn_impl == "paged":
         from ..ops.pallas_paged import paged_flash_decode
         assert tables is not None, "paged attention needs page tables"
+        # paged/sp take Precision enums only; the pinned-bf16 law maps to
+        # HIGHEST there (exactness-first serving/sharded paths)
         return paged_flash_decode(q, k_cache, v_cache, tables, k_hi2, q_pos,
                                   window, anchors,
-                                  precision=(jax.lax.Precision.DEFAULT
-                                             if precision is None
-                                             else precision))
+                                  precision=_enum_prec(precision))
     elif attn_impl == "sp":
         # exact decode/verify attention over a sequence-sharded cache
         from ..parallel.ring import sp_flash_decode
         return sp_flash_decode(attn_impl.mesh, q, k_cache, v_cache, k_hi2,
                                q_pos, window, anchors, axis_name=attn_impl.axis,
-                               precision=(jax.lax.Precision.DEFAULT
-                                          if precision is None
-                                          else precision))
+                               precision=_enum_prec(precision))
     raise ValueError(f"unknown attn_impl {attn_impl}")
+
+
+def _enum_prec(precision):
+    """Map a decode-precision value to a lax.Precision for call sites that
+    cannot express the pinned-bf16 law (paged/sp kernels)."""
+    if precision is None:
+        return jax.lax.Precision.DEFAULT
+    if precision == "bf16_pinned":
+        return jax.lax.Precision.HIGHEST
+    return precision
 
 
 def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
@@ -483,6 +491,11 @@ def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
     # [B, Hkv, G, Tq, D]
     qf = (q.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
     qf = qf.reshape(b, hkv, groups, tq, d)
+    scale_f = jnp.float32(d ** -0.5)
+    qb16 = (jax.lax.optimization_barrier(
+        q.astype(jnp.bfloat16)).transpose(0, 2, 1, 3)
+        .reshape(b, hkv, groups, tq, d)
+        if precision == "bf16_pinned" else None)
     n_chunks = max(1, -(-s // chunk))
     pad = n_chunks * chunk - s
 
@@ -515,16 +528,29 @@ def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,
                 vis = vis | (kj[None, None, :] < anchors)
             mask = mask & vis
         mask = mask[:, None, None]                 # [B, 1, 1, Tq, chunk]
-        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32),
-                         precision=precision)
+        if precision == "bf16_pinned":
+            # pinned-cast bf16 operand law (see att.attend_masked): one
+            # MXU pass, deterministic, scale applied after in fp32
+            kb = jax.lax.optimization_barrier(kch.astype(jnp.bfloat16))
+            sco = jnp.einsum("bhgqd,bhkd->bhgqk", qb16, kb,
+                             preferred_element_type=jnp.float32) * scale_f
+        else:
+            sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32),
+                             precision=precision)
         sco = jnp.where(mask, sco, att.NEG_INF)
         m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
         p = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(p, axis=-1)
-        acc_new = acc * alpha[..., None] + jnp.einsum(
-            "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32),
-            precision=precision)
+        if precision == "bf16_pinned":
+            pb = jax.lax.optimization_barrier(p.astype(jnp.bfloat16))
+            vb = jax.lax.optimization_barrier(vch.astype(jnp.bfloat16))
+            pv = jnp.einsum("bhgqk,bhkd->bhgqd", pb, vb,
+                            preferred_element_type=jnp.float32)
+        else:
+            pv = jnp.einsum("bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32),
+                            precision=precision)
+        acc_new = acc * alpha[..., None] + pv
         return (m_new, l_new, acc_new), None
 
     m0 = jnp.full((b, hkv, groups, tq), att.NEG_INF, jnp.float32)
@@ -683,7 +709,8 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
                    cache_lens: jnp.ndarray, kv_k: jnp.ndarray, kv_v: jnp.ndarray,
                    attn_impl: str = "dense", write_at: Optional[jnp.ndarray] = None,
                    collect_kv: bool = False, tables=None, compute_dtype=None,
-                   ring_anchors: Optional[int] = None):
+                   ring_anchors: Optional[int] = None,
+                   decode_precision: str = "highest"):
     """Hybrid-attention step over T new tokens.
 
     tokens: [B, T]; positions: [B, T] absolute; suffix_mask: [B, T, T]
@@ -715,6 +742,15 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     sees the STORED (rounded/quantized) values — what any later cached read
     of those rows sees — on every path.
 
+    ``decode_precision`` picks the decode/verify attention matmul law
+    (EngineConfig.decode_precision): "highest" = exact f32 operands
+    (6 MXU passes — measured ~35% tree-throughput tax at 8k); "high" =
+    3-pass f32; "bf16_pinned" = operands explicitly rounded to bf16
+    (deterministic, pinned against --xla_allow_excess_precision elision),
+    fp32 accumulation, one MXU pass. All three are arm-deterministic; they
+    differ in which (slightly different) target function both arms compute
+    and in speed. Prefill keeps the fast compiler default either way.
+
     ``ring_anchors``: the caches are O(window) RING buffers ([L,B,Hkv,R,D],
     `ops.ring_cache`, EngineConfig.kv_ring) with that many pinned sink rows;
     prefix attention recovers key positions from the written count and runs
@@ -725,6 +761,14 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
     hd = cfg.head_dim_
     if write_at is None:
         write_at = cache_lens
+    if decode_precision == "highest":
+        dprec = jax.lax.Precision.HIGHEST
+    elif decode_precision == "high":
+        dprec = jax.lax.Precision.HIGH
+    elif decode_precision in ("bf16_pinned", "bf16"):
+        dprec = "bf16_pinned"
+    else:
+        raise ValueError(f"unknown decode_precision {decode_precision!r}")
     cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta, scaling=cfg.rope_scaling)
     h = embed(params, tokens)
     if compute_dtype is not None:
@@ -821,8 +865,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             o_p, lse_p = rc.ring_attention(
                 q, ck, cv, cache_lens, positions, ring_written,
                 cfg.sliding_window, ring_anchors, impl=attn_impl,
-                precision=(jax.lax.Precision.HIGHEST
-                           if suffix_mask is not None else None),
+                precision=(dprec if suffix_mask is not None else None),
                 layer=li_read)
         elif suffix_mask is None and attn_impl == "pallas":
             # segmented prefill, pallas: positions are AFFINE (q_off +
@@ -845,8 +888,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             o_p, lse_p = sliced_prefix_attention(
                 q, ck, cv, cache_lens, positions, cfg.sliding_window,
                 cfg.attn_sinks, attn_impl, tables=tables,
-                precision=(jax.lax.Precision.HIGHEST
-                           if suffix_mask is not None else None),
+                precision=(dprec if suffix_mask is not None else None),
                 layer_idx=li_read)
         if suffix_mask is None:
             # segmented prefill: causality is fully encoded in the per-query
@@ -873,7 +915,7 @@ def forward_append(params, cfg: ModelConfig, tokens: jnp.ndarray,
             k_s = jax.lax.optimization_barrier(k.astype(ck.dtype))
             v_s = jax.lax.optimization_barrier(v.astype(ck.dtype))
         o_s, lse_s = att.attend_masked(q, k_s, v_s, suffix_mask,
-                                       precision=jax.lax.Precision.HIGHEST)
+                                       precision=dprec)
         o = att.merge_attention(o_p, lse_p, o_s, lse_s)
         o = _mm(o.astype(h.dtype).reshape(b, t, -1), lp["wo"])
         h = h + o

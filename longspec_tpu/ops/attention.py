@@ -56,9 +56,21 @@ def attend_masked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale = scale if scale is not None else d ** -0.5
     k = _repeat_kv(k, h // hkv)
     v = _repeat_kv(v, h // hkv)
-    qf = q.astype(jnp.float32) * scale
-    s = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32),
-                   precision=precision)
+    if precision == "bf16_pinned":
+        # pinned-cast bf16 operand law (ops/pallas_decode._decode_kernel
+        # docstring): operands explicitly rounded to bf16 (deterministic
+        # RTNE, pinned against --xla_allow_excess_precision elision), one
+        # MXU pass, fp32 accumulation — the same function in every
+        # program that computes it, at bf16-operand speed. Scale applied
+        # AFTER the dot in fp32 so q is rounded once, unscaled.
+        qb = jax.lax.optimization_barrier(q.astype(jnp.bfloat16))
+        kb = jax.lax.optimization_barrier(k.astype(jnp.bfloat16))
+        s = jnp.einsum("bqhd,bkhd->bhqk", qb, kb,
+                       preferred_element_type=jnp.float32) * scale
+    else:
+        qf = q.astype(jnp.float32) * scale
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32),
+                       precision=precision)
     if mask.ndim == 3:
         mask = mask[:, None, :, :]
     s = jnp.where(mask, s, NEG_INF)
@@ -68,8 +80,14 @@ def attend_masked(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     p = jnp.exp(s - m_safe)
     p = jnp.where(mask, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32),
-                   precision=precision)
+    if precision == "bf16_pinned":
+        pb = jax.lax.optimization_barrier(p.astype(jnp.bfloat16))
+        vb = jax.lax.optimization_barrier(v.astype(jnp.bfloat16))
+        o = jnp.einsum("bhqk,bkhd->bqhd", pb, vb,
+                       preferred_element_type=jnp.float32)
+    else:
+        o = jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32),
+                       precision=precision)
     o = o / jnp.maximum(l, 1e-30).transpose(0, 2, 1, 3)
     o = jnp.where(valid.transpose(0, 2, 1, 3), o, 0.0)
     lse = jnp.where(valid[..., 0], m_safe[..., 0] + jnp.log(jnp.maximum(l[..., 0], 1e-30)),

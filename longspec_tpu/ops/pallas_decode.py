@@ -89,19 +89,32 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
 
     @pl.when(live)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
-        k = (k_ref[0, 0, 0] if stacked else k_ref[0, 0]).astype(jnp.float32)
-        # precision=HIGHEST: a default-precision f32 MXU dot truncates the
-        # operands to bf16, injecting ~1e-3 split-dependent rounding into
-        # the scores — enough that the vanilla and tree arms' committed
-        # K/V rows drift 1-2 bf16 ulps and a 0.004-margin greedy tie flips
-        # (bitdiff_hard8k_r4.log; the CPU chunked oracle shows the arms
-        # bit-identical). Decode/verify is bandwidth-bound, so the extra
-        # MXU passes are free.
-        s = jax.lax.dot_general(q * scale, k,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=precision)  # [R, chunk]
+        # Decode/verify matmul-precision law (the lossless gate's bite):
+        # a DEFAULT-precision f32 MXU dot lets the compiler truncate the
+        # operands to bf16 per-fusion, injecting ~1e-3 program-dependent
+        # rounding into the scores — enough that the vanilla and tree
+        # arms' committed K/V rows drift 1-2 bf16 ulps and a 0.004-margin
+        # greedy tie flips (bitdiff_hard8k_r4.log). Two deterministic
+        # alternatives, selected by `precision`:
+        #   * Precision.HIGHEST — exact f32 operands (6 MXU passes;
+        #     measured ~35% tree-throughput tax at 8k);
+        #   * "bf16_pinned" — operands EXPLICITLY rounded to bf16 (RTNE,
+        #     written into the program, so every arm computes the same
+        #     function), fp32 accumulation, ONE MXU pass. Scale applied
+        #     after the dot in f32 so q is rounded once, unscaled.
+        kr = k_ref[0, 0, 0] if stacked else k_ref[0, 0]
+        if precision == "bf16_pinned":
+            qb = q_ref[0, 0].astype(jnp.bfloat16)    # [R, D]
+            s = jax.lax.dot_general(qb, kr.astype(jnp.bfloat16),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale                             # [R, chunk]
+        else:
+            q = q_ref[0, 0].astype(jnp.float32)      # [R, D]
+            s = jax.lax.dot_general(q * scale, kr.astype(jnp.float32),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)  # [R, chunk]
         if quant:                                    # [1, chunk] K scales
             s = s * (ks_ref[0, 0, 0] if stacked else ks_ref[0, 0])
         col = c * chunk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -136,12 +149,19 @@ def _decode_kernel(nchunk_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         p = jnp.where(mask, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)               # [R, 1]
         l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = (v_ref[0, 0, 0] if stacked else v_ref[0, 0]).astype(jnp.float32)
+        vr = v_ref[0, 0, 0] if stacked else v_ref[0, 0]
         pv_in = (p * (vs_ref[0, 0, 0] if stacked else vs_ref[0, 0])
                  if quant else p)                     # [1, chunk] V scales
-        pv = jax.lax.dot_general(pv_in, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)  # [R, D]
+        if precision == "bf16_pinned":
+            pv = jax.lax.dot_general(pv_in.astype(jnp.bfloat16),
+                                     vr.astype(jnp.bfloat16),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        else:
+            pv = jax.lax.dot_general(pv_in, vr.astype(jnp.float32),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)  # [R, D]
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
         l_scr[:] = l_new

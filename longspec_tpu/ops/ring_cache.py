@@ -226,6 +226,11 @@ def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
         return o, lse
     qf = (q.astype(jnp.float32) * (d ** -0.5)).transpose(0, 2, 1, 3)
     qf = qf.reshape(b, hkv, groups, tq, d)
+    scale_f = jnp.float32(d ** -0.5)
+    qb16 = (jax.lax.optimization_barrier(
+        q.astype(jnp.bfloat16)).transpose(0, 2, 1, 3)
+        .reshape(b, hkv, groups, tq, d)
+        if precision == "bf16_pinned" else None)
     n_chunks = max(1, -(-ring // chunk))
     pad = n_chunks * chunk - ring
     w = ring - anchors
@@ -253,15 +258,27 @@ def ring_chunked_prefix_attention(q, cache_k, cache_v, k_hi, q_pos, d_len,
                 vis = vis | (p[:, None, :] < anchors)
             mask = mask & vis                                  # [B, Tq, chunk]
         mask = mask[:, None, None]                             # [B,1,1,Tq,chunk]
-        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf,
-                         kch.astype(jnp.float32), precision=precision)
+        if precision == "bf16_pinned":
+            # pinned-cast bf16 operand law (att.attend_masked docstring)
+            kb = jax.lax.optimization_barrier(kch.astype(jnp.bfloat16))
+            sco = jnp.einsum("bhgqd,bhkd->bhgqk", qb16, kb,
+                             preferred_element_type=jnp.float32) * scale_f
+        else:
+            sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf,
+                             kch.astype(jnp.float32), precision=precision)
         sco = jnp.where(mask, sco, att.NEG_INF)
         m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
         pmat = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
         alpha = jnp.exp(m_run - m_new)
         l_new = l_run * alpha + jnp.sum(pmat, axis=-1)
-        pv = jnp.einsum("bhgqk,bhkd->bhgqd", pmat, vch.astype(jnp.float32),
-                        precision=precision)
+        if precision == "bf16_pinned":
+            pb = jax.lax.optimization_barrier(pmat.astype(jnp.bfloat16))
+            vb = jax.lax.optimization_barrier(vch.astype(jnp.bfloat16))
+            pv = jnp.einsum("bhgqk,bhkd->bhgqd", pb, vb,
+                            preferred_element_type=jnp.float32)
+        else:
+            pv = jnp.einsum("bhgqk,bhkd->bhgqd", pmat,
+                            vch.astype(jnp.float32), precision=precision)
         acc = acc * alpha[..., None] + pv
         return (m_new, l_new, acc), None
 

@@ -95,53 +95,25 @@ def main():
     plen = ctx
 
     def run_arm(method):
-        state = eng.init_state(1, s_max, jnp.bfloat16)
-        rng = jax.random.PRNGKey(0)
-        rng, k_pre, k_gen = jax.random.split(rng, 3)
-        prefill = jax.jit(eng._prefill_impl)
-        state, t0, _ = prefill(eng.params, eng.draft_params,
-                               jnp.asarray(prompt, jnp.int32), lens, state,
-                               k_pre)
-        np.asarray(t0)
-        if method == "vanilla":
-            carry = eng._vanilla_carry(state, t0, gen, k_gen)
-            seg = jax.jit(functools.partial(eng._vanilla_segment,
-                                            max_gen_len=gen))
-            for _ in range(gen + 4):
-                carry, status = seg(eng.params, carry, jnp.int32(gen))
-                if int(np.asarray(status)) % 2 == 1 or int(carry[3][0]) >= gen:
-                    break
-            st, out = carry[0], np.asarray(carry[2])
-            pk, pv, pat = carry[7], carry[8], carry[9]
-            if pk is not None:
-                # flush the deferred-commit scratch so the cache holds
-                # every row cache_lens counts (engine._run does the same)
-                kv_k, kv_v = eng._write_rows_at(st, pk, pv, pat)
-                st = st._replace(kv_k=kv_k, kv_v=kv_v)
-        else:
-            A = ecfg.tree_depth + 1
-            # defer matches engine._run: tree always runs the deferred
-            # commit — measuring the non-deferred carry here would compare
-            # a path the bench never executes
-            carry = eng._spec_carry(state, t0, gen, k_gen, A, defer=True)
-            seg = jax.jit(functools.partial(eng._spec_segment,
-                                            eng._tree_round))
-            for _ in range(gen + 4):
-                carry, status = seg(eng.params, eng._decode_draft_params,
-                                    carry, jnp.int32(4 * gen))
-                if int(np.asarray(status)) % 2 == 1:
-                    break
-                if int(np.asarray(carry.out_len)[0]) >= gen:
-                    break
-            st, out = carry.state, np.asarray(carry.output_ids)
-            if carry.pend_k is not None:
-                st = eng._flush_pending(carry)
+        # drive THE production path (engine._run: donated prefill, donated
+        # decode segments, deferred commit + final flush) via the public
+        # API — a hand-rolled non-donated drive compiles DIFFERENT
+        # programs, and under --xla_allow_excess_precision differently-
+        # compiled programs can compute measurably different functions
+        # (round-5 finding: the hand-rolled arms diverged at token 150
+        # while the bench's production arms were token-exact at the same
+        # commit). return_state=True hands back the flushed final cache.
+        fn = (eng.vanilla_generate if method == "vanilla"
+              else eng.tree_spec_generate)
+        res = fn(np.asarray(prompt), np.asarray(lens), max_gen_len=gen,
+                 s_max=s_max, return_state=True)
+        st, out = res["state"], np.asarray(res["output_ids"])
         # pull the caches to HOST and drop every device buffer before the
         # other arm runs — holding two full decode states on the chip next
         # to the 5GB params OOM'd the 11:25 r3c run (RESOURCE_EXHAUSTED)
         kv_k = np.asarray(jax.device_get(st.kv_k))
         kv_v = np.asarray(jax.device_get(st.kv_v))
-        del st, carry, state
+        del st, res
         import gc
         gc.collect()
         return _HostState(kv_k, kv_v), out

@@ -36,12 +36,13 @@ from longspec_tpu.engine.engine import SpecEngine
 
 
 def build_engine(attn_impl="chunked", uniform=True, seed=0, vocab=211,
-                 tree_shape=(2, 3, 3), gamma=3):
+                 tree_shape=(2, 3, 3), gamma=3, decode_precision="highest"):
     cfg = tiny_test(vocab_size=vocab, num_layers=2)
     params = M.init_params(jax.random.PRNGKey(seed), cfg)
     dparams = G.init_draft_params(jax.random.PRNGKey(seed + 1), cfg)
     ecfg = EngineConfig(tree_shape=tree_shape, gamma=gamma, temperature=0.0,
-                        attn_impl=attn_impl, uniform_decode_shape=uniform)
+                        attn_impl=attn_impl, uniform_decode_shape=uniform,
+                        decode_precision=decode_precision)
     dcfg = DraftConfig(window=8)
     return SpecEngine(params, dparams, cfg, dcfg, ecfg), cfg
 
@@ -131,6 +132,54 @@ def test_cross_arm_committed_kv_bitequal(arm, state_dtype):
                                            c.astype(np.float32),
                                            atol=2e-3, rtol=2e-3)
     assert rows_checked >= 1, "every row eos'd at t0 — pick another prompt"
+
+
+@pytest.mark.parametrize("arm", ["spec_generate", "tree_spec_generate"])
+@pytest.mark.parametrize("dprec", ["bf16_pinned", "high"])
+def test_decode_precision_laws_lossless(arm, dprec):
+    """The alternative decode-precision laws (EngineConfig.decode_precision
+    "bf16_pinned" / "high") must keep T=0 arms token-exact on the emitted
+    stream. "high" keeps the cross-arm drift seed linear-small (~2^-19) so
+    committed rows stay bit-identical like "highest"; "bf16_pinned" rounds
+    the QUERY activations — the cross-arm split drift then amplifies at
+    rounding boundaries into occasional 1-ulp committed-row flips (allowed,
+    bounded), which is the documented trade for its one-pass MXU speed."""
+    eng, cfg = build_engine(decode_precision=dprec)
+    toks, lens = _prompt(cfg, seed=17)
+    max_gen = 20
+    s_max = int(max(lens)) + max_gen + eng.ecfg.tree_size + 8
+    van = eng.vanilla_generate(toks, lens, max_gen_len=max_gen,
+                               state_dtype=jnp.bfloat16, s_max=s_max,
+                               return_state=True)
+    spec = getattr(eng, arm)(toks, lens, max_gen_len=max_gen,
+                             state_dtype=jnp.bfloat16, s_max=s_max,
+                             return_state=True)
+    rows_checked = 0
+    for b in range(toks.shape[0]):
+        if int(van["output_ids"][b][0]) == cfg.eos_token_id:
+            continue
+        n = _agree_len(van["output_ids"][b], spec["output_ids"][b],
+                       cfg.eos_token_id)
+        # token-exact over the whole emitted stream (both rows run to
+        # max_gen or eos together)
+        v = [int(x) for x in van["output_ids"][b][:max_gen]]
+        s = [int(x) for x in spec["output_ids"][b][:max_gen]]
+        ve = v.index(cfg.eos_token_id) if cfg.eos_token_id in v else max_gen
+        assert v[:ve] == s[:ve], f"{dprec} {arm} row {b} tokens diverge"
+        plen = int(lens[b])
+        kv = _committed_rows(van["state"], b, plen, plen + n - 1)
+        ks = _committed_rows(spec["state"], b, plen, plen + n - 1)
+        for name, a, c in (("K", kv[0], ks[0]), ("V", kv[1], ks[1])):
+            if dprec == "high":
+                assert bool(np.all(_bit_view(a) == _bit_view(c))), (
+                    f"{dprec} {arm} row {b}: {name} rows drift")
+            else:
+                # bounded ulp-class drift only
+                np.testing.assert_allclose(a.astype(np.float32),
+                                           c.astype(np.float32),
+                                           atol=0.05, rtol=0.05)
+        rows_checked += 1
+    assert rows_checked >= 1
 
 
 def test_deferred_equals_inround_commit():
