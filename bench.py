@@ -708,7 +708,7 @@ def main():
                     help="target KV cache storage: none | int8 "
                     "(ops/quantkv.py; spec-vs-vanilla exactness preserved); "
                     "default = each row's SPECS kv_quant, else none")
-    ap.add_argument("--decode-precision", type=str, default="highest",
+    ap.add_argument("--decode-precision", type=str, default="bf16_pinned",
                     choices=["highest", "high", "bf16_pinned"],
                     help="decode/verify attention matmul law "
                     "(EngineConfig.decode_precision): exactness identical "
@@ -826,7 +826,8 @@ def main():
             if args.decode_dtype != "fp32":
                 key += f"_dd{args.decode_dtype}"
             if args.decode_precision != "highest":
-                key += f"_dp{args.decode_precision}"
+                key += f"_dp{args.decode_precision}"   # historical key rule:
+                # unsuffixed row files were measured under "highest"
             if not args.uniform_decode_shape:
                 key += "_minshape"
             return os.path.join(cache_dir, f"row_{key}.json")

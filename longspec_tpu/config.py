@@ -242,12 +242,16 @@ class EngineConfig:
     #     not the proposal distribution the rejection test assumes).
     t_proposals: str = "iid"  # "iid" | "topk"
     # Decode/verify attention matmul-precision law (models.llama.
-    # forward_append docstring): "highest" = exact f32 operands (6 MXU
-    # passes; ~35% tree tax measured at 8k), "high" = 3-pass, "bf16_pinned"
-    # = operands explicitly rounded to bf16 with pinned casts (one pass,
-    # deterministic — the _mm law applied to the attention dots). All are
-    # arm-deterministic; they pick slightly different target functions.
-    decode_precision: str = "highest"
+    # forward_append docstring): "bf16_pinned" = operands explicitly
+    # rounded to bf16 with pinned casts (one MXU pass, deterministic — the
+    # _mm activation law applied to the attention dots; measured green AND
+    # 36% faster tree than "highest" on the hard_8k row, 311 vs 229 tok/s,
+    # identical emitted trajectory); "highest" = exact f32 operands (6 MXU
+    # passes) for strict-bitwise committed-cache mode; "high" = 3-pass f32
+    # (XLA paths only — Mosaic has no HIGH dot lowering, so the pallas
+    # kernel rejects it). All are arm-deterministic; they pick slightly
+    # different target functions. See LOSSLESSNESS.md.
+    decode_precision: str = "bf16_pinned"
     # Proposal sharpening for "iid" T>0 trees: children are sampled from
     # q' = softmax(draft_logp / (T * proposal_sharpness)) and the verifier
     # uses the SAME q' in its accept ratios, so any value stays EXACT
@@ -278,6 +282,11 @@ class EngineConfig:
         if self.decode_precision not in ("highest", "high", "bf16_pinned"):
             raise ValueError(f"decode_precision must be highest|high|"
                              f"bf16_pinned, got {self.decode_precision!r}")
+        if self.decode_precision == "high" and self.attn_impl == "pallas":
+            raise ValueError(
+                "decode_precision='high' is XLA-only (Mosaic has no "
+                "Precision.HIGH dot lowering) — use 'bf16_pinned' or "
+                "'highest' with attn_impl='pallas'")
         if self.t_proposals not in ("iid", "topk"):
             raise ValueError(f"t_proposals must be iid|topk, "
                              f"got {self.t_proposals!r}")

@@ -448,28 +448,20 @@ def sliced_prefix_attention(q, k_cache, v_cache, k_hi, q_pos, window, anchors,
     elif attn_impl == "paged":
         from ..ops.pallas_paged import paged_flash_decode
         assert tables is not None, "paged attention needs page tables"
-        # paged/sp take Precision enums only; the pinned-bf16 law maps to
-        # HIGHEST there (exactness-first serving/sharded paths)
         return paged_flash_decode(q, k_cache, v_cache, tables, k_hi2, q_pos,
                                   window, anchors,
-                                  precision=_enum_prec(precision))
+                                  precision=(jax.lax.Precision.DEFAULT
+                                             if precision is None
+                                             else precision))
     elif attn_impl == "sp":
         # exact decode/verify attention over a sequence-sharded cache
         from ..parallel.ring import sp_flash_decode
         return sp_flash_decode(attn_impl.mesh, q, k_cache, v_cache, k_hi2,
                                q_pos, window, anchors, axis_name=attn_impl.axis,
-                               precision=_enum_prec(precision))
+                               precision=(jax.lax.Precision.DEFAULT
+                                          if precision is None
+                                          else precision))
     raise ValueError(f"unknown attn_impl {attn_impl}")
-
-
-def _enum_prec(precision):
-    """Map a decode-precision value to a lax.Precision for call sites that
-    cannot express the pinned-bf16 law (paged/sp kernels)."""
-    if precision is None:
-        return jax.lax.Precision.DEFAULT
-    if precision == "bf16_pinned":
-        return jax.lax.Precision.HIGHEST
-    return precision
 
 
 def _attend_prefix_chunked_khi(q, k_cache, v_cache, k_hi2, q_pos, window,

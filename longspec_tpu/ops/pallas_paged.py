@@ -78,16 +78,25 @@ def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
 
     @pl.when(c < n_used)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)          # [R, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [page, D]
-        # precision=HIGHEST on decode/verify: a default-precision f32 MXU
-        # dot truncates operands to bf16 — the same split-dependent drift
-        # that flipped a 0.004-margin greedy tie on the dense pallas arm
-        # (ops/pallas_decode._decode_kernel, bitdiff_hard8k_r4.log).
-        s = jax.lax.dot_general(q * scale, k,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=precision)  # [R, page]
+        # decode/verify matmul-precision law — same options as
+        # ops/pallas_decode._decode_kernel: "bf16_pinned" (explicit bf16
+        # operands, one MXU pass, deterministic) or a lax.Precision
+        # (HIGHEST = exact f32; DEFAULT would let the compiler truncate
+        # per-fusion — the drift that flipped a 0.004-margin greedy tie,
+        # bitdiff_hard8k_r4.log).
+        if precision == "bf16_pinned":
+            qb = q_ref[0, 0].astype(jnp.bfloat16)    # [R, D]
+            s = jax.lax.dot_general(qb, k_ref[0, 0].astype(jnp.bfloat16),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale                             # [R, page]
+        else:
+            q = q_ref[0, 0].astype(jnp.float32)      # [R, D]
+            s = jax.lax.dot_general(q * scale,
+                                    k_ref[0, 0].astype(jnp.float32),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision)  # [R, page]
         if quant:
             s = s * ks_ref[0, 0]                     # [1, page] K scales
         # logical position of column j in this page: c*page + j (the page
@@ -108,11 +117,17 @@ def _paged_kernel(npage_ref, pt_ref, khi_ref, qpos_ref, q_ref, k_ref, v_ref,
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_scr[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)           # [page, D]
         pv_in = p * vs_ref[0, 0] if quant else p      # [1, page] V scales
-        pv = jax.lax.dot_general(pv_in, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+        if precision == "bf16_pinned":
+            pv = jax.lax.dot_general(pv_in.astype(jnp.bfloat16),
+                                     v_ref[0, 0].astype(jnp.bfloat16),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        else:
+            pv = jax.lax.dot_general(pv_in, v_ref[0, 0].astype(jnp.float32),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32,
+                                     precision=precision)
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
         l_scr[:] = l_new

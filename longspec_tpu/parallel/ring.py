@@ -150,16 +150,31 @@ def _block_update(carry, qf, kch, vch, k_offset, q_pos, k_hi, window, anchors,
             vis = vis | (kj[None, None, :] < anchors)
         mask = mask & vis
     mask = mask[:, None, None]                          # [B, 1, 1, Tq, Tk]
-    sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32),
-                     precision=precision)
+    if precision == "bf16_pinned":
+        # pinned-cast bf16 operand law (ops/attention.attend_masked): qf is
+        # PRE-SCALED fp32; round it once — the scale multiplication is the
+        # same deterministic fp32 op in every program
+        qb = jax.lax.optimization_barrier(qf.astype(jnp.bfloat16))
+        kb = jax.lax.optimization_barrier(kch.astype(jnp.bfloat16))
+        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qb, kb,
+                         preferred_element_type=jnp.float32)
+    else:
+        sco = jnp.einsum("bhgqd,bhkd->bhgqk", qf, kch.astype(jnp.float32),
+                         precision=precision)
     sco = jnp.where(mask, sco, att.NEG_INF)
     m_new = jnp.maximum(m_run, jnp.max(sco, axis=-1))
     p = jnp.where(mask, jnp.exp(sco - m_new[..., None]), 0.0)
     alpha = jnp.exp(m_run - m_new)
     l_new = l_run * alpha + jnp.sum(p, axis=-1)
-    acc_new = acc * alpha[..., None] + jnp.einsum(
-        "bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32),
-        precision=precision)
+    if precision == "bf16_pinned":
+        pb = jax.lax.optimization_barrier(p.astype(jnp.bfloat16))
+        vb = jax.lax.optimization_barrier(vch.astype(jnp.bfloat16))
+        pv = jnp.einsum("bhgqk,bhkd->bhgqd", pb, vb,
+                        preferred_element_type=jnp.float32)
+    else:
+        pv = jnp.einsum("bhgqk,bhkd->bhgqd", p, vch.astype(jnp.float32),
+                        precision=precision)
+    acc_new = acc * alpha[..., None] + pv
     return m_new, l_new, acc_new
 
 

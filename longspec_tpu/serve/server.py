@@ -81,7 +81,8 @@ class SpecServer:
                  state_dtype=jnp.bfloat16, seed: int = 0,
                  policy: str = "fifo", kv: str = "slots",
                  pool_pages: Optional[int] = None,
-                 paging: str = "reserved"):
+                 paging: str = "reserved",
+                 profile_phases: bool = False):
         if method == "tree":
             self._round_fn = engine._tree_round
             a_max = engine.ecfg.tree_depth + 1
@@ -102,6 +103,14 @@ class SpecServer:
         if policy not in ("fifo", "priority", "sjf", "packed"):
             raise ValueError(f"unknown admission policy {policy!r}")
         self.policy = policy
+        # per-phase wall-clock breakdown (stats()["phase_s"]): where does a
+        # serve run's time go — admission prefills, decode segments, or
+        # host-side harvest? `profile_phases` adds a device sync after
+        # admission so its dispatches are charged to "admit" instead of
+        # riding into the decode segment timing (slightly perturbs perf;
+        # leave off for headline numbers).
+        self.profile_phases = profile_phases
+        self.phase_s = {"admit": 0.0, "decode": 0.0, "harvest": 0.0}
 
         # kv="paged": target KV lives in shared page pools; each request's
         # footprint is its USED pages (prompt + generation budget), not a
@@ -970,16 +979,25 @@ class SpecServer:
         harvest. Returns completions that finished this tick."""
         if self._t_serve_start is None:
             self._t_serve_start = time.perf_counter()
+        t0 = time.perf_counter()
         self._admit()
         if self.paging == "elastic" and self.active_slots:
             self._topup(rounds)
+        if self.profile_phases:
+            jax.device_get(self._carry.rounds)   # charge admit's dispatches
+        t1 = time.perf_counter()
+        self.phase_s["admit"] += t1 - t0
         if self.active_slots:
             limit = self._carry.rounds + rounds
             self._carry, status = self._seg(
                 self.engine.params, self.engine._decode_draft_params,
                 self._carry, limit)
             int(status)  # host readback barrier
-        return self._harvest()
+        t2 = time.perf_counter()
+        self.phase_s["decode"] += t2 - t1
+        out = self._harvest()
+        self.phase_s["harvest"] += time.perf_counter() - t2
+        return out
 
     def run(self, rounds_per_step: int = 16) -> List[Completion]:
         """Drain the queue and all active slots; returns all completions."""
@@ -999,6 +1017,7 @@ class SpecServer:
             "pending": self.pending,
             "active_slots": self.active_slots,
         }
+        out["phase_s"] = {k: round(v, 3) for k, v in self.phase_s.items()}
         if self._pool is not None:
             out["pool"] = self._pool.stats()
             out["prefix_hits"] = self.prefix_hits

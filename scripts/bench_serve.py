@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--rounds", type=int, default=16,
                     help="decode rounds per scheduler tick")
     ap.add_argument("--row", default="hard_8k")
+    ap.add_argument("--attn", default="pallas",
+                    help="engine attn_impl (pallas = the measured-best "
+                    "decode kernel; earlier serve benches ran chunked)")
+    ap.add_argument("--tree-shape", default="4,16,16,16,16,16")
+    ap.add_argument("--decode-precision", default="highest")
+    ap.add_argument("--profile-phases", action="store_true",
+                    help="per-phase breakdown (admit/decode/harvest) in the "
+                    "artifact; adds an admission sync")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -47,9 +55,11 @@ def main():
 
     cfg = big_model_config()
     dcfg = DraftConfig(window=512)
-    ecfg = EngineConfig(tree_shape=(4, 16, 16, 16, 16), gamma=4,
-                        attn_impl="chunked", draft_head="int8",
-                        draft_compute="int8")
+    ecfg = EngineConfig(tree_shape=tuple(int(x) for x in
+                                         args.tree_shape.split(",")),
+                        gamma=4, attn_impl=args.attn, draft_head="int8",
+                        draft_compute="int8",
+                        decode_precision=args.decode_precision)
     tpath, dpath = row_cache_paths(args.row)
     params = load_tree(tpath)
     dparams = load_tree(dpath)
@@ -87,7 +97,8 @@ def main():
     srv = SpecServer(eng, n_slots=args.slots, s_max=args.s_max,
                      max_new_cap=args.max_new, method="tree",
                      prefill_buckets=(1024, 2048, args.s_max),
-                     policy=args.policy)
+                     policy=args.policy,
+                     profile_phases=args.profile_phases)
 
     def run_server():
         for p in prompts:
@@ -119,6 +130,8 @@ def main():
         "speedup_vs_sequential": round((tokens / serve_s) / (seq_tokens / seq_s), 4),
         "p50_latency_s": round(lat[len(lat) // 2], 2),
         "pmax_latency_s": round(lat[-1], 2),
+        "attn": args.attn, "tree_shape": args.tree_shape,
+        "decode_precision": args.decode_precision,
         "pool": st,
         "date": time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime()),
     }

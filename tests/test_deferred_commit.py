@@ -37,6 +37,9 @@ from longspec_tpu.engine.engine import SpecEngine
 
 def build_engine(attn_impl="chunked", uniform=True, seed=0, vocab=211,
                  tree_shape=(2, 3, 3), gamma=3, decode_precision="highest"):
+    # default "highest" here: these tests assert the STRICT bit-equality
+    # contract; the default engine law ("bf16_pinned") has its own
+    # token-exactness + bounded-drift tests below.
     cfg = tiny_test(vocab_size=vocab, num_layers=2)
     params = M.init_params(jax.random.PRNGKey(seed), cfg)
     dparams = G.init_draft_params(jax.random.PRNGKey(seed + 1), cfg)

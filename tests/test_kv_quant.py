@@ -88,6 +88,11 @@ def build_engine(attn_impl="chunked", window=None, **ekw):
         cfg = dataclasses.replace(cfg, sliding_window=window, attn_sinks=2)
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     dparams = G.init_draft_params(jax.random.PRNGKey(1), cfg)
+    # decode_precision="highest": RANDOM tiny models are all-tie margins —
+    # the strict law is the one testable there (see test_lossless.py note);
+    # the pinned default's int8-KV behavior is measured on the TRAINED
+    # bench models (long_128k/long_262k rows).
+    ekw.setdefault("decode_precision", "highest")
     ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, attn_impl=attn_impl,
                         kv_quant="int8", **ekw)
     return SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg), cfg
@@ -217,11 +222,13 @@ def _paged_int8_engines(page=16):
     dcfg = DraftConfig(window=8)
     dense = SpecEngine(params, dparams, cfg, dcfg,
                        EngineConfig(tree_shape=(2, 3, 3), gamma=3,
-                                    attn_impl="dense", kv_quant="int8"))
+                                    attn_impl="dense", kv_quant="int8",
+                                    decode_precision="highest"))
     paged = SpecEngine(params, dparams, cfg, dcfg,
                        EngineConfig(tree_shape=(2, 3, 3), gamma=3,
                                     attn_impl=PagedAttn(page),
-                                    kv_quant="int8"))
+                                    kv_quant="int8",
+                                    decode_precision="highest"))
     return cfg, dense, paged
 
 

@@ -345,8 +345,15 @@ def test_lossless_bf16_fp32_islands(method, attn):
                           M.init_params(jax.random.PRNGKey(3), cfg))
     dparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
                            G.init_draft_params(jax.random.PRNGKey(4), cfg))
+    # decode_precision="highest": a RANDOM bf16 model has near-uniform
+    # logits (every token is a ~1e-3-margin tie) — the strict-bitwise law
+    # is the one that must hold there. The default "bf16_pinned" law's
+    # contract (token-exact on real-margin models, documented tie-flips
+    # below 1e-2) is tested in test_deferred_commit and on the TRAINED
+    # bench models (LOSSLESSNESS.md).
     ecfg = EngineConfig(tree_shape=(2, 3, 3), gamma=3, temperature=0.0,
-                        attn_impl=attn, decode_dtype="fp32")
+                        attn_impl=attn, decode_dtype="fp32",
+                        decode_precision="highest")
     eng = SpecEngine(params, dparams, cfg, DraftConfig(window=8), ecfg)
     rng = np.random.default_rng(5)
     B, S = 2, 19
