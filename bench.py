@@ -965,8 +965,14 @@ def main():
                                              ecfg,
                                              uniform_decode_shape=False))
                 if is_head:
+                    # proposal_sharpness 0.5: measured-best T=1 config
+                    # (t1_study_r5.log, hard_32k d7: accept 3.59 / 191.0
+                    # tok/s vs 3.32 / 162.2 at sharpness 1.0; still the
+                    # EXACT target law — the verifier's accept ratios use
+                    # the same sharpened proposal q', engine/verify.py)
                     eng_t1 = SpecEngine(params, dparams, cfg_d, dcfg_d,
-                                        _dc.replace(ecfg, temperature=1.0))
+                                        _dc.replace(ecfg, temperature=1.0,
+                                                    proposal_sharpness=0.5))
                 prompt = sample(args.batch, ctx, 999)
                 lens = np.full((args.batch,), ctx, np.int32)
                 row = measure_row(name, eng, prompt, lens, row_gen,
