@@ -40,7 +40,7 @@ def main():
                     help="engine attn_impl (pallas = the measured-best "
                     "decode kernel; earlier serve benches ran chunked)")
     ap.add_argument("--tree-shape", default="4,16,16,16,16,16")
-    ap.add_argument("--decode-precision", default="highest")
+    ap.add_argument("--decode-precision", default="bf16_pinned")
     ap.add_argument("--profile-phases", action="store_true",
                     help="per-phase breakdown (admit/decode/harvest) in the "
                     "artifact; adds an admission sync")
