@@ -22,6 +22,13 @@ Design notes
     prefill programs ever compile; prompts pad up to the bucket.
   * The decode segment is the engine's own jitted tree/chain round while-loop
     (`SpecEngine._spec_segment`) — serving adds zero per-round host work.
+  * Batched serving wants a SMALLER tree than single-stream decoding: the
+    verify forward runs B x tree_size token-rows through the full model, so
+    past batch ~2 it turns MXU-compute-bound and tree FLOPs stop being free
+    (measured, hard_8k b4 on one v5e: 85-node depth-6 tree 392 tok/s vs
+    37-node `tree_shape=(4,8,8,8,8)` 538 tok/s, both lossless — build the
+    serving engine with the smaller shape; single-stream rows keep depth 6/7
+    where verify is bandwidth-bound and deeper acceptance is free).
   * T=0 output streams are token-exact vs a standalone
     `tree_spec_generate` call for the same prompt (test_serve.py): continuous
     batching changes scheduling, never the emitted law.
